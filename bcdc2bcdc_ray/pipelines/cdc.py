@@ -1,0 +1,220 @@
+"""The flagship pipeline: WAL tail → classified delta → lake upsert merge.
+
+End-to-end re-expression of the reference's run loop
+(``/root/reference/bin/runBCDC2BCDC.py:40-201`` extract → normalize → delta →
+apply, SURVEY §3.1) as one streaming Ray Data pipeline:
+
+    read_parquet(WAL chunks)                       # S2 analog, streaming
+      → map_batches(AssignPartition)               # hash(conv_id) % P + early
+                                                   #   watermark drop (resume)
+      → [map_batches(AddSalt)
+         → groupby(part, salt).map_groups(LWW)]    # skew pre-reduce (opt-in)
+      → groupby(__part)                            # THE one shuffle — change
+                                                   #   stream only, never lake
+      → map_groups(MergeWriter)                    # actor-pool merge-write,
+                                                   #   atomic + exactly-once
+      → lineage Dataset (small)                    # per-partition counters
+
+The lake is a directory of hash-partitioned parquet files plus
+``_manifests/`` (watermarks) and ``_meta.json`` (partition count + key) —
+resumable output layout: a rerun skips every event at or below each
+partition's committed watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..canonical import partition_ids
+from ..spec import TableSpec, transcripts_spec
+from ..state.manifest import ManifestStore, atomic_write_parquet
+from ..stages import evolve
+from ..stages.merge import PART_COL, MergeWriter, partition_path
+from ..stages.skew import SALT_COL, AddSalt, make_pre_reducer
+
+
+def lake_meta(lake_dir: str) -> dict:
+    with open(os.path.join(lake_dir, "_meta.json")) as f:
+        return json.load(f)
+
+
+def init_lake(
+    table: pa.Table, lake_dir: str, spec: TableSpec, num_partitions: int
+) -> None:
+    """Seed the lake: hash-partition the initial table by conv_id and write
+    one file per partition. Partition assignment must match AssignPartition
+    exactly (same hash, same modulus) — co-partitioning invariant."""
+    os.makedirs(lake_dir, exist_ok=True)
+    with open(os.path.join(lake_dir, "_meta.json"), "w") as f:
+        json.dump(
+            {"num_partitions": num_partitions, "key": list(spec.key), "name": spec.name},
+            f,
+        )
+    pids = partition_ids(table, [spec.key[0]], num_partitions)
+    order = np.argsort(pids, kind="stable")
+    sorted_tbl = table.take(order)
+    sorted_pids = pids[order]
+    bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
+    for pid in range(num_partitions):
+        lo, hi = bounds[pid], bounds[pid + 1]
+        if hi > lo:
+            part = sorted_tbl.slice(lo, hi - lo).sort_by(
+                [(k, "ascending") for k in spec.key]
+            )
+            atomic_write_parquet(part, partition_path(lake_dir, pid))
+    ManifestStore(lake_dir)  # create _manifests/
+
+
+def read_lake_table(lake_dir: str) -> pa.Table:
+    """Driver-side full read (tests / small results only): unify partition
+    schemas (evolution may have touched only some partitions) and return one
+    key-sorted table."""
+    meta = lake_meta(lake_dir)
+    parts = []
+    for pid in range(meta["num_partitions"]):
+        p = partition_path(lake_dir, pid)
+        if os.path.exists(p):
+            t = pq.read_table(p)
+            if t.num_rows:
+                parts.append(t)
+    if not parts:
+        return transcripts_spec().schema.empty_table()
+    parts = evolve.unify_tables(parts)
+    return pa.concat_tables(parts).sort_by(
+        [(k, "ascending") for k in meta["key"]]
+    )
+
+
+def read_lake(lake_dir: str):
+    """Streaming read of the lake as a Ray Dataset (scale path)."""
+    import ray.data as rd
+
+    meta = lake_dir and lake_meta(lake_dir)
+    paths = [
+        partition_path(lake_dir, pid)
+        for pid in range(meta["num_partitions"])
+        if os.path.exists(partition_path(lake_dir, pid))
+    ]
+    return rd.read_parquet(paths)
+
+
+class AssignPartition:
+    """map_batches fn: add ``__part = hash(conv_id) % P`` and drop events at
+    or below their partition's committed watermark (cheap resume filter; the
+    MergeWriter re-checks authoritatively)."""
+
+    def __init__(self, spec: TableSpec, num_partitions: int, watermarks: dict):
+        self.spec = spec
+        self.P = num_partitions
+        # dense vector lookup: pid -> watermark (-1 = none)
+        wm = np.full(num_partitions, -1, dtype=np.int64)
+        for pid, w in watermarks.items():
+            wm[pid] = w
+        self.wm = wm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids = partition_ids(batch, [self.spec.key[0]], self.P)
+        keep = batch.column("lsn").to_numpy(zero_copy_only=False) > self.wm[pids]
+        if PART_COL in batch.column_names:
+            batch = batch.drop_columns([PART_COL])
+        batch = batch.append_column(PART_COL, pa.array(pids, pa.int64()))
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
+
+
+def replay(
+    lake_dir: str,
+    wal_paths: Sequence[str] | str,
+    spec: Optional[TableSpec] = None,
+    *,
+    salt: Optional[int] = None,
+    hot_key_threshold: Optional[int] = None,
+    concurrency: Optional[int] = None,
+) -> dict:
+    """Replay WAL parquet chunks against the lake. Returns the run report:
+    total adds/updates/deletes/noops/skipped + per-partition lineage rows.
+
+    ``salt=S`` enables the salted pre-reduce; with ``hot_key_threshold`` set,
+    only detected hot conversations are salted (two-pass), otherwise every
+    key is (single-pass, no detection scan).
+    """
+    import ray.data as rd
+
+    spec = spec or transcripts_spec()
+    meta = lake_meta(lake_dir)
+    P = meta["num_partitions"]
+    store = ManifestStore(lake_dir)
+
+    if isinstance(wal_paths, str):
+        wal_paths = (
+            sorted(
+                os.path.join(wal_paths, f)
+                for f in os.listdir(wal_paths)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(wal_paths)
+            else [wal_paths]
+        )
+    ds = rd.read_parquet(list(wal_paths))
+    ds = ds.map_batches(
+        AssignPartition(spec, P, store.watermarks()), batch_format="pyarrow"
+    )
+
+    if salt and salt > 1:
+        hot = None
+        if hot_key_threshold is not None:
+            from ..stages.skew import detect_hot_keys
+
+            hot = detect_hot_keys(ds, spec.key[0], hot_key_threshold)
+        ds = ds.map_batches(AddSalt(spec, salt, hot), batch_format="pyarrow")
+        ds = ds.groupby([PART_COL, SALT_COL]).map_groups(
+            make_pre_reducer(spec), batch_format="pyarrow"
+        )
+
+    # MergeWriter as a callable CLASS + constructor args → actor pool: the
+    # spec/manifest-store state is built once per actor, not per group.
+    if concurrency is None:
+        # one writer actor per ~4 partitions, capped — callers override for
+        # bench; on a real cluster size this to nodes × cores_per_writer.
+        concurrency = max(1, min(16, P // 4))
+    writer_kwargs: dict = {
+        "batch_format": "pyarrow",
+        "fn_constructor_args": (lake_dir, spec),
+        "concurrency": concurrency,
+    }
+    lineage_ds = ds.groupby(PART_COL).map_groups(MergeWriter, **writer_kwargs)
+    # ≤ P rows — small by construction. Collect as Arrow (schema-less empty
+    # boundary blocks would confuse a bare to_pandas()).
+    from ..stages.merge import LINEAGE_SCHEMA
+
+    batches = [
+        b
+        for b in lineage_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    lineage = (
+        pa.concat_tables(batches) if batches else LINEAGE_SCHEMA.empty_table()
+    ).to_pandas()
+
+    report = {
+        k: int(lineage[k].sum())
+        for k in ("events", "adds", "updates", "deletes", "noops", "skipped")
+    }
+    # events dropped by the early watermark filter never reach a writer —
+    # account for them from parquet footer row counts (no data read).
+    total_wal = sum(pq.read_metadata(p).num_rows for p in wal_paths)
+    report["skipped"] += total_wal - report["events"]
+    report["events"] = total_wal
+    report["partitions_touched"] = int(len(lineage))
+    report["rows"] = int(lineage["rows"].sum())
+    report["lsn_hi"] = int(lineage["lsn_hi"].max()) if len(lineage) else -1
+    report["lineage"] = lineage.sort_values("partition").to_dict("records")
+    return report

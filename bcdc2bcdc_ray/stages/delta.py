@@ -1,0 +1,196 @@
+"""Vectorized delta classification: ADD / UPDATE / DELETE / NOOP.
+
+The Ray-native re-expression of the reference's delta algorithm
+(``/root/reference/bcdc2bcdc/CKANData.py:1468-1502`` ``getDelta``; key-set
+ops at ``CKANData.py:1367-1466`` = SURVEY §2.4 J1–J3) with the per-record
+deep diff (``Diff.py:48-53``) replaced by content-hash equality (§2.7 D4):
+
+- ``reduce_lww``      — per merge key keep only the max-LSN event
+                        (last-writer-wins; the reference's per-key index
+                        lookup generalized to an ordered stream);
+- ``classify_delta``  — full outer join of current partition state with the
+                        reduced events; key only in events → ADD (J2), delete
+                        event on existing key → DELETE (J3), both present &
+                        hash differs → UPDATE (J1), hash equal → NOOP (D4);
+- ``apply_delta`` / ``merge_partition`` — produce the new partition table,
+  sorted by key (the determinism contract, §2.6 O1), plus counters
+  (§2.5 A2).
+
+All functions are pure ``pa.Table -> pa.Table`` — they run inside the merge
+writer's per-partition ``map_groups`` call, so every operation here is
+single-partition-local; the only cluster-wide data movement is the one
+``groupby(part)`` shuffle of the (small) change stream, never of the lake.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..canonical import add_content_hash
+from ..spec import TableSpec
+from . import evolve
+
+OP_COL = "__op"
+META_COLS = ("lsn", "op")
+
+# op codes (int8 for cheap masks)
+ADD, UPDATE, DELETE, NOOP, KEEP = 1, 2, 3, 4, 0
+
+
+def reduce_lww(events: pa.Table, key: Sequence[str], lsn_col: str = "lsn") -> pa.Table:
+    """Keep the max-LSN event per merge key.
+
+    Sort descending by LSN once, then a vectorized first-occurrence mask over
+    the key columns (pandas ``duplicated`` C kernel on just the key columns —
+    the payload columns are filtered in Arrow, zero-copy).
+    """
+    if events.num_rows == 0:
+        return events
+    t = events.sort_by([(lsn_col, "descending")])
+    kdf = t.select(list(key)).to_pandas()
+    mask = ~kdf.duplicated(keep="first").to_numpy()
+    return t.filter(pa.array(mask))
+
+
+def filter_ignored(events: pa.Table, spec: TableSpec) -> pa.Table:
+    """Drop events touching ignored keys (the reference's ignore_list filter,
+    ``/root/reference/bcdc2bcdc/CKANUpdate.py:85-117`` — SURVEY §2.2 M9)."""
+    if not spec.ignore_keys or events.num_rows == 0:
+        return events
+    col = events.column(spec.key[0])
+    mask = pc.is_in(col, value_set=pa.array(sorted(spec.ignore_keys), type=col.type))
+    return events.filter(pc.invert(pc.fill_null(mask, False)))
+
+
+def _compare_columns(schema: pa.Schema, spec: TableSpec) -> list[str]:
+    """Columns hashed for change detection: the spec's compare set plus any
+    evolved (new) columns, in unified-schema order."""
+    base = set(spec.compare_cols())
+    skip = set(spec.key) | set(META_COLS) | {OP_COL}
+    out = []
+    for name in schema.names:
+        if name in skip or name.startswith("__"):
+            continue
+        if spec.compare_columns is None or name in base or name not in spec.schema.names:
+            out.append(name)
+    return out
+
+
+def classify_delta(
+    current: pa.Table, events_lww: pa.Table, spec: TableSpec
+) -> tuple[pa.Table, pa.Schema]:
+    """Full-outer join current state with LWW-reduced events; emit one row per
+    key with an int8 ``__op`` column and both sides' payloads.
+
+    Returns (joined, unified_data_schema). The unified schema is the
+    schema-evolution result: column union + permissive type widening
+    (SURVEY §7 step 6).
+    """
+    key = list(spec.key)
+    ev_data = events_lww.drop_columns(
+        [c for c in ("op",) if c in events_lww.column_names]
+    )
+    data_schema = evolve.unify(
+        current.schema,
+        pa.schema([f for f in ev_data.schema if f.name not in ("lsn",)]),
+    )
+    data_schema = pa.schema([f for f in data_schema if f.name != "lsn"])
+
+    cur = evolve.conform(current, data_schema)
+    cmp_cols = _compare_columns(data_schema, spec)
+    cur = add_content_hash(cur, cmp_cols, spec.falsy_null_columns, "__h_cur")
+
+    inc = evolve.conform(
+        events_lww.drop_columns([c for c in ("op", "lsn") if c in events_lww.column_names]),
+        data_schema,
+    )
+    inc = add_content_hash(inc, cmp_cols, spec.falsy_null_columns, "__h_inc")
+    # carry op + lsn through, renamed so the join can't collide
+    inc = inc.append_column("__ev_del", pc.equal(events_lww.column("op"), "delete"))
+    inc = inc.append_column("__lsn", events_lww.column("lsn"))
+    inc = inc.rename_columns(
+        [n if n in key or n.startswith("__") else f"__in_{n}" for n in inc.column_names]
+    )
+
+    joined = cur.join(inc, keys=key, join_type="full outer")
+
+    has_cur = pc.is_valid(joined.column("__h_cur"))
+    has_inc = pc.is_valid(joined.column("__h_inc"))
+    is_del = pc.fill_null(joined.column("__ev_del"), False)
+    same = pc.fill_null(
+        pc.equal(joined.column("__h_cur"), joined.column("__h_inc")), False
+    )
+
+    n = joined.num_rows
+    op = np.full(n, KEEP, dtype=np.int8)
+    hc = has_cur.to_numpy(zero_copy_only=False)
+    hi = has_inc.to_numpy(zero_copy_only=False)
+    dl = is_del.to_numpy(zero_copy_only=False)
+    sm = same.to_numpy(zero_copy_only=False)
+    op[hi & ~dl & ~hc] = ADD
+    op[hi & ~dl & hc & ~sm] = UPDATE
+    op[hi & ~dl & hc & sm] = NOOP
+    op[hi & dl & hc] = DELETE
+    op[hi & dl & ~hc] = NOOP  # delete of absent key — nothing to do
+    joined = joined.append_column(OP_COL, pa.array(op, pa.int8()))
+    return joined, data_schema
+
+
+def apply_delta(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa.Table:
+    """Materialize the new partition state from the classified join output:
+    ADD/UPDATE take the incoming payload, KEEP/NOOP retain the current one,
+    DELETE rows drop. Output sorted by merge key (O1 determinism)."""
+    op = joined.column(OP_COL)
+    take_inc = pc.is_in(op, value_set=pa.array([ADD, UPDATE], pa.int8()))
+    keep_row = pc.invert(pc.is_in(op, value_set=pa.array([DELETE], pa.int8())))
+    # delete-of-absent NOOPs have no current payload either — drop them too
+    keep_row = pc.and_(keep_row, pc.or_(pc.is_valid(joined.column("__h_cur")), take_inc))
+
+    cols = {}
+    for fld in data_schema:
+        if fld.name in spec.key:
+            cols[fld.name] = joined.column(fld.name)
+        else:
+            cols[fld.name] = pc.if_else(
+                take_inc,
+                joined.column(f"__in_{fld.name}"),
+                joined.column(fld.name),
+            )
+    out = pa.table(cols, schema=data_schema).filter(keep_row)
+    return out.sort_by([(k, "ascending") for k in spec.key])
+
+
+def delta_counts(joined: pa.Table) -> dict:
+    """adds/updates/deletes/noops counters — the reference's
+    ``CKANDataSetDeltas.__str__`` report (§2.5 A2)."""
+    op = joined.column(OP_COL)
+
+    def cnt(code: int) -> int:
+        return int(pc.sum(pc.cast(pc.equal(op, code), pa.int64())).as_py() or 0)
+
+    return {
+        "adds": cnt(ADD),
+        "updates": cnt(UPDATE),
+        "deletes": cnt(DELETE),
+        "noops": cnt(NOOP),
+    }
+
+
+def merge_partition(
+    current: pa.Table, events: pa.Table, spec: TableSpec
+) -> tuple[pa.Table, dict]:
+    """One partition's full merge: ignore-filter → LWW reduce → classify →
+    apply. Returns (new_state sorted by key, counters)."""
+    events = filter_ignored(events, spec)
+    for hook in spec.on_compare:
+        events = hook(events)
+    lww = reduce_lww(events, spec.key)
+    joined, data_schema = classify_delta(current, lww, spec)
+    new_state = apply_delta(joined, data_schema, spec)
+    for hook in spec.on_apply:
+        new_state = hook(new_state)
+    return new_state, delta_counts(joined)

@@ -1,0 +1,89 @@
+"""Hot-key detection + salted pre-reduction for skewed change streams.
+
+The reference never handles skew (its datasets are 10^3–10^4 records,
+SURVEY §4); at 10^10 events a Zipf-hot conversation funnels millions of
+events into one partition group. Named explicitly by ``north_rule``:
+"skewed hot-conversation keys salted and rebalanced explicitly".
+
+Strategy (SURVEY §7 step 8):
+
+- **detect**: partial per-batch value counts inside ``map_batches`` (emit
+  (conv_id, n) partials) → tiny ``groupby().sum()`` → keys above threshold.
+  The pre-aggregation means the detection shuffle moves one row per distinct
+  hot-ish key per block, not one per event.
+- **salt + pre-reduce**: a salt column ``hash(conv_id, turn_idx) % S`` splits
+  a hot conversation's turns across S sub-groups while keeping every merge
+  KEY's events together (LWW stays per-key-correct). A first
+  ``groupby([__part, __salt]).map_groups(reduce_lww)`` collapses each salted
+  sub-group to ≤1 row per key; the second ``groupby(__part)`` then sees at
+  most |distinct keys| rows regardless of how hot the stream was.
+- manifests key on the LOGICAL partition, never the salted group
+  (SURVEY §7 hard part (c)) — salting only reshapes the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..canonical import key_hash
+from ..spec import TableSpec
+from .delta import reduce_lww
+from .merge import PART_COL
+
+SALT_COL = "__salt"
+
+
+def partial_key_counts(batch: pa.Table, key_col: str) -> pa.Table:
+    """Per-batch combiner: (key, n) partials — the pre-aggregate half of a
+    distributed value_counts (SURVEY 'pre-aggregate inside map_batches')."""
+    vc = batch.column(key_col).to_pandas().value_counts()
+    return pa.table({key_col: vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)})
+
+
+def detect_hot_keys(ds, key_col: str, threshold: int) -> frozenset:
+    """Distributed hot-key scan over a Dataset: partial counts per block →
+    small groupby sum → keys with total count >= threshold."""
+    import pyarrow.compute as pc
+
+    partials = ds.map_batches(
+        lambda b: partial_key_counts(b, key_col), batch_format="pyarrow"
+    )
+    totals = partials.groupby(key_col).sum("n")
+    hot = totals.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), threshold)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return frozenset(hot[key_col].tolist())
+
+
+class AddSalt:
+    """map_batches fn: add ``__salt = hash(key) % S`` for rows whose conv_id
+    is hot (0 otherwise). Hot set is captured by value (small frozenset) —
+    broadcast once in the task closure, not per batch."""
+
+    def __init__(self, spec: TableSpec, num_salts: int, hot_keys: frozenset | None):
+        self.spec = spec
+        self.num_salts = num_salts
+        self.hot = hot_keys  # None → salt everything (unconditional pre-reduce)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kh = key_hash(batch, list(self.spec.key))
+        salt = (kh % np.uint64(self.num_salts)).astype(np.int32)
+        if self.hot is not None:
+            conv = batch.column(self.spec.key[0]).to_pandas()
+            salt = np.where(conv.isin(self.hot).to_numpy(), salt, np.int32(0))
+        if SALT_COL in batch.column_names:
+            batch = batch.drop_columns([SALT_COL])
+        return batch.append_column(SALT_COL, pa.array(salt, pa.int32()))
+
+
+def make_pre_reducer(spec: TableSpec):
+    """Per (partition, salt) group: LWW-collapse to one row per key, drop the
+    salt. Output feeds the second (logical-partition) groupby."""
+
+    def pre_reduce(group: pa.Table) -> pa.Table:
+        return reduce_lww(group.drop_columns([SALT_COL]), spec.key)
+
+    return pre_reduce

@@ -1,0 +1,62 @@
+"""Unit tests for the canonicalization + content-hash kernel (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+
+from bcdc2bcdc_ray import canonical
+
+
+def test_falsy_to_null():
+    arr = pa.chunked_array([pa.array(["a", "", "None", None, "b"])])
+    out = canonical.falsy_to_null(arr)
+    assert out.to_pylist() == ["a", None, None, None, "b"]
+
+
+def test_falsy_to_null_non_string_passthrough():
+    arr = pa.chunked_array([pa.array([1, 2, None])])
+    assert canonical.falsy_to_null(arr).to_pylist() == [1, 2, None]
+
+
+def test_content_hash_detects_change():
+    t1 = pa.table({"a": ["x", "y"], "b": [1, 2]})
+    t2 = pa.table({"a": ["x", "z"], "b": [1, 2]})
+    h1 = canonical.content_hash(t1, ["a", "b"])
+    h2 = canonical.content_hash(t2, ["a", "b"])
+    assert h1[0] == h2[0] and h1[1] != h2[1]
+
+
+def test_content_hash_column_order_sensitive():
+    t = pa.table({"a": ["x"], "b": ["y"]})
+    assert canonical.content_hash(t, ["a", "b"])[0] != canonical.content_hash(
+        t, ["b", "a"]
+    )[0]
+
+
+def test_content_hash_falsy_forms_equal():
+    """'' == 'None' == null under canonicalization (Diff.py:55-67 analog)."""
+    t = pa.table({"a": ["", "None", None, "real"]})
+    h = canonical.content_hash(t, ["a"], falsy_null_columns=["a"])
+    assert h[0] == h[1] == h[2] != h[3]
+
+
+def test_content_hash_deterministic_across_calls():
+    t = pa.table({"a": ["p", "q"], "n": pa.array([1, 2], pa.int32())})
+    assert (canonical.content_hash(t, ["a", "n"]) == canonical.content_hash(t, ["a", "n"])).all()
+
+
+def test_pad_missing_columns():
+    t = pa.table({"a": [1, 2]})
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    out = canonical.pad_missing_columns(t, schema)
+    assert out.column("b").null_count == 2
+
+
+def test_partition_ids_stable_and_bounded():
+    t = pa.table({"k": [f"conv-{i:08d}" for i in range(1000)]})
+    p1 = canonical.partition_ids(t, ["k"], 32)
+    p2 = canonical.partition_ids(t, ["k"], 32)
+    assert (p1 == p2).all()
+    assert p1.min() >= 0 and p1.max() < 32
+    # reasonably balanced: no partition > 3x the mean
+    counts = np.bincount(p1, minlength=32)
+    assert counts.max() < 3 * counts.mean()

@@ -1,0 +1,151 @@
+"""End-to-end Ray pipeline tests: golden replay, exactly-once, resume,
+schema evolution, skew salting (FIXTURES.md 'Oracle & invariants')."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from bcdc2bcdc_ray import changegen as cg
+from bcdc2bcdc_ray.spec import transcripts_spec
+from bcdc2bcdc_ray.stages import evolve
+from bcdc2bcdc_ray.state.manifest import ManifestStore
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path / "lake"), str(tmp_path / "wal")
+
+
+def _setup(lake_dir, wal_dir, n_convs=120, n_events=3000, P=8, **gen_kw):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=P)
+    events = cg.gen_change_events(n_events, n_convs, seed=43, **gen_kw)
+    paths = cg.write_wal_chunks(events, wal_dir, num_chunks=6)
+    return spec, lake, events, paths
+
+
+def test_replay_matches_oracle(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["events"] == events.num_rows
+    final = cdc.read_lake_table(lake_dir)
+    oracle = cg.oracle_replay(lake, events)
+    assert final.equals(oracle)
+    # counters consistent: final rows = initial + adds - deletes
+    assert rep["rows"] == final.num_rows
+
+
+def test_exactly_once_rerun(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec)
+    oracle = cg.oracle_replay(lake, events)
+    rep2 = cdc.replay(lake_dir, paths, spec)
+    assert rep2["adds"] == rep2["updates"] == rep2["deletes"] == 0
+    assert rep2["skipped"] == events.num_rows
+    assert cdc.read_lake_table(lake_dir).equals(oracle)
+
+
+def test_resume_after_partial_commit(ray_session, dirs):
+    """Interrupt emulation: replay chunk 1, then full range; watermarks make
+    the overlap idempotent (SURVEY §7 step 7)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths[:2], spec)     # partial run ("crash" after 2 chunks)
+    rep = cdc.replay(lake_dir, paths, spec)   # restart over the whole WAL
+    assert rep["skipped"] > 0
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_salted_skew_path(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep = cdc.replay(lake_dir, paths, spec, salt=4)
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_salted_with_hot_detection(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep = cdc.replay(lake_dir, paths, spec, salt=4, hot_key_threshold=50)
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_schema_evolution_replay(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(100, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    ev1 = cg.gen_change_events(1500, 100, seed=43)
+    ev2 = cg.gen_change_events(1500, 100, seed=44, lsn_start=100_000, evolved=True)
+    p1 = cg.write_wal_chunks(ev1, wal_dir + "/a", num_chunks=4)
+    p2 = cg.write_wal_chunks(ev2, wal_dir + "/b", num_chunks=4)
+    cdc.replay(lake_dir, p1, spec)
+    cdc.replay(lake_dir, p2, spec)
+    final = cdc.read_lake_table(lake_dir)
+    assert final.schema.field("turn_idx").type == pa.int64()
+    assert "lang" in final.schema.names
+
+    evolved_schema = evolve.unify(
+        lake.schema, pa.schema([("turn_idx", pa.int64()), ("lang", pa.string())])
+    )
+    lake_e = evolve.conform(lake, evolved_schema)
+    all_ev = pa.concat_tables(evolve.unify_tables([ev1, ev2]))
+    assert final.equals(cg.oracle_replay(lake_e, all_ev))
+
+
+def test_ignore_keys_invariant(ray_session, dirs):
+    """No applied change touches an ignored conversation
+    (/root/reference/tests/test_CKANData.py:97-105 analog)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    ignore = frozenset({"conv-00000001", "conv-00000003"})
+    spec = transcripts_spec(ignore_keys=ignore)
+    lake = cg.gen_transcripts(60, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    events = cg.gen_change_events(1000, 60, seed=43)
+    paths = cg.write_wal_chunks(events, wal_dir, num_chunks=4)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    oracle = cg.oracle_replay(lake, events, ignore_keys=ignore)
+    assert final.equals(oracle)
+    # ignored conversations still hold their original lake rows
+    import pyarrow.compute as pc
+
+    for c in ignore:
+        got = final.filter(pc.equal(final.column("conv_id"), c))
+        exp = lake.filter(pc.equal(lake.column("conv_id"), c))
+        assert got.sort_by("turn_idx").equals(exp.sort_by("turn_idx"))
+
+
+def test_lineage_and_watermarks_persisted(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=4)
+    rep = cdc.replay(lake_dir, paths, spec)
+    store = ManifestStore(lake_dir)
+    wms = store.watermarks()
+    assert set(wms) == set(range(4))
+    assert max(wms.values()) == rep["lsn_hi"]
+    tot = store.total_counts()
+    assert tot["adds"] == rep["adds"] and tot["rows"] == rep["rows"]
