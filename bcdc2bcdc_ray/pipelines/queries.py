@@ -1,0 +1,866 @@
+"""Operator coverage queries + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY §2, each expressed as a
+Ray Data pipeline over the driver's parquet tables, with (where
+SQL-expressible) a matching DuckDB oracle. Column names are kept identical
+between the Ray result and the SQL (the driver hash-compares values after
+sorting columns by name).
+
+Float-determinism policy: any aggregated money/value column is converted to
+integer cents per row BEFORE summing (exact int64 arithmetic on both sides);
+floats only appear in outputs where both sides compute the identical per-row
+expression.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import dedup, multimodal, similarity, text
+from ..spec import TableSpec
+from ..stages import delta, transforms
+
+# registry: name -> (ray_fn(sf_dir) -> result, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {}
+
+
+def q(name: str, sql: Optional[str] = None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    batches = [
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
+    ]
+    return pa.concat_tables(batches) if batches else None
+
+
+# ---------------------------------------------------------------------------
+# CDC core over the `events` table (lsn = event_id, delete = 'error' events)
+# ---------------------------------------------------------------------------
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@q(
+    "cdc_lww_merge",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id DESC) = 1
+    """,
+)
+def cdc_lww_merge(sf_dir: str):
+    """Last-writer-wins state per (user_id, event_type) — the engine's LWW
+    reduce (stages/delta.py:reduce_lww) as a distributed combiner + final:
+    per-batch partial reduce, one groupby shuffle, per-group final reduce."""
+    key = ("user_id", "event_type")
+    ds = _read(sf_dir, "events")
+    pre = ds.map_batches(
+        lambda b: delta.reduce_lww(b, key, "event_id"), batch_format="pyarrow"
+    )
+    return pre.groupby(list(key)).map_groups(
+        lambda g: delta.reduce_lww(g, key, "event_id"), batch_format="pyarrow"
+    )
+
+
+def _events_user_spec() -> TableSpec:
+    state_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("ts", pa.timestamp("us")),
+            ("props", pa.string()),
+        ]
+    )
+    return TableSpec(
+        name="user_state",
+        schema=state_schema,
+        key=("user_id",),
+        compare_columns=("event_type", "value", "ts", "props"),
+    )
+
+
+def _events_halves(sf_dir: str):
+    """Split events at max(event_id)/2: lower half = current state, upper
+    half = the incoming change batch (delete when event_type == 'error')."""
+    key = ("user_id",)
+    ds = _read(sf_dir, "events")
+    m = int(ds.max("event_id")) // 2
+
+    def lower(b):
+        return delta.reduce_lww(
+            b.filter(pc.less_equal(b.column("event_id"), m)), key, "event_id"
+        )
+
+    def upper(b):
+        return delta.reduce_lww(
+            b.filter(pc.greater(b.column("event_id"), m)), key, "event_id"
+        )
+
+    def final(g):
+        return delta.reduce_lww(g, key, "event_id")
+
+    base = _collect(
+        ds.map_batches(lower, batch_format="pyarrow")
+        .groupby(list(key))
+        .map_groups(final, batch_format="pyarrow")
+    )
+    inc = _collect(
+        ds.map_batches(upper, batch_format="pyarrow")
+        .groupby(list(key))
+        .map_groups(final, batch_format="pyarrow")
+    )
+    spec = _events_user_spec()
+    state_cols = [f.name for f in spec.schema]
+    current = base.select(state_cols)
+    events = inc.select(state_cols).append_column(
+        "lsn", inc.column("event_id")
+    ).append_column(
+        "op",
+        pc.if_else(
+            pc.equal(inc.column("event_type"), "error"), "delete", "upsert"
+        ),
+    )
+    return current, events, spec
+
+
+_OP_NAMES = {
+    delta.ADD: "ADD",
+    delta.UPDATE: "UPDATE",
+    delta.DELETE: "DELETE",
+    delta.NOOP: "NOOP",
+    delta.KEEP: "KEEP",
+}
+
+_DELTA_CTE = """
+    WITH mx AS (SELECT max(event_id) // 2 AS m FROM events),
+    base AS (
+        SELECT user_id, event_type, value, ts, props FROM events
+        WHERE event_id <= (SELECT m FROM mx)
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    inc AS (
+        SELECT user_id, event_type, value, ts, props FROM events
+        WHERE event_id > (SELECT m FROM mx)
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    classified AS (
+        SELECT coalesce(b.user_id, i.user_id) AS user_id,
+               b.user_id IS NOT NULL AS has_b, i.user_id IS NOT NULL AS has_i,
+               b.event_type AS b_et, b.value AS b_v, b.ts AS b_ts, b.props AS b_p,
+               i.event_type AS i_et, i.value AS i_v, i.ts AS i_ts, i.props AS i_p,
+               CASE WHEN i.user_id IS NULL THEN 'KEEP'
+                    WHEN i.event_type = 'error' AND b.user_id IS NOT NULL THEN 'DELETE'
+                    WHEN i.event_type = 'error' THEN 'NOOP'
+                    WHEN b.user_id IS NULL THEN 'ADD'
+                    WHEN b.event_type = i.event_type AND b.value = i.value
+                         AND b.ts = i.ts AND b.props = i.props THEN 'NOOP'
+                    ELSE 'UPDATE' END AS op
+        FROM base b FULL OUTER JOIN inc i ON b.user_id = i.user_id
+    )
+"""
+
+
+@q("cdc_delta_classify", _DELTA_CTE + "SELECT user_id, op FROM classified")
+def cdc_delta_classify(sf_dir: str):
+    """ADD/UPDATE/DELETE/NOOP/KEEP classification (J1–J3 + D4) of the upper
+    half of the event stream against the lower-half state."""
+    current, events, spec = _events_halves(sf_dir)
+    joined, _ = delta.classify_delta(current, events, spec)
+    ops = [
+        _OP_NAMES[c] for c in joined.column(delta.OP_COL).to_pylist()
+    ]
+    return pa.table(
+        {"user_id": joined.column("user_id"), "op": pa.array(ops, pa.string())}
+    )
+
+
+@q(
+    "cdc_delta_counts",
+    _DELTA_CTE + "SELECT op, count(*) AS n FROM classified GROUP BY op",
+)
+def cdc_delta_counts(sf_dir: str):
+    """Per-op delta counters — the reference's update report (A2)."""
+    t = cdc_delta_classify(sf_dir)
+    vc = t.column("op").to_pandas().value_counts()
+    return pa.table(
+        {"op": pa.array(vc.index, pa.string()), "n": pa.array(vc.to_numpy(), pa.int64())}
+    )
+
+
+@q(
+    "cdc_merge_apply",
+    _DELTA_CTE
+    + """
+    SELECT user_id,
+           CASE WHEN has_i AND i_et <> 'error' THEN i_et ELSE b_et END AS event_type,
+           CASE WHEN has_i AND i_et <> 'error' THEN i_v  ELSE b_v  END AS value,
+           CASE WHEN has_i AND i_et <> 'error' THEN i_ts ELSE b_ts END AS ts,
+           CASE WHEN has_i AND i_et <> 'error' THEN i_p  ELSE b_p  END AS props
+    FROM classified
+    WHERE NOT (has_i AND i_et = 'error') AND NOT (op = 'NOOP' AND NOT has_b)
+    """,
+)
+def cdc_merge_apply(sf_dir: str):
+    """Full merge: apply the classified delta → the new state table."""
+    current, events, spec = _events_halves(sf_dir)
+    joined, schema = delta.classify_delta(current, events, spec)
+    return delta.apply_delta(joined, schema, spec)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / sorts / joins over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (A1/A2 family) — column-pruned read,
+    vectorized cents conversion per batch, one small groupby shuffle.
+    Money summed as int64 cents for bitwise-deterministic results."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.less_equal(b.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        # round half AWAY FROM ZERO to match DuckDB/SQL round() (Arrow's
+        # default is banker's rounding — off-by-one-cent on exact midpoints)
+        qty = pc.cast(b.column("l_quantity"), pa.int64())
+        base = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_extendedprice"), 100),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(1, b.column("l_discount")),
+                    ),
+                    100,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": qty, "base_cents": base, "disc_cents": disc,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+@q(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders(sf_dir: str):
+    """Sort/limit (O1 determinism contract): global top-10 by price."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+class _BroadcastJoin:
+    """Actor-pool broadcast hash join: the small side is ray.put once and
+    resolved once per actor (J5 dimension-remap pattern)."""
+
+    def __init__(self, small_ref, small_key: str, batch_key: str, take_cols: list):
+        import ray
+
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self.small = small.set_index(small_key)[take_cols]
+        self.on = batch_key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.join(self.small, on=self.on, how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@q(
+    "order_customer_join",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def order_customer_join(sf_dir: str):
+    """J1/J6 — fact⋈dim broadcast join; dim is read once, shipped once."""
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    ref = ray.put(cust)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(ref, "c_custkey", "o_custkey", ["c_name"]),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "c_name", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def customers_without_orders(sf_dir: str):
+    """J2 anti-join (ADD detection shape): broadcast key set + filter.
+    (Date-restricted so the result is non-empty at every scale factor.)"""
+    import ray
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    )
+    keys = keys.filter(
+        pc.greater_equal(keys.column("o_orderdate"), pa.scalar(pd.Timestamp("2000-01-01")))
+    )
+    key_set = pc.unique(keys.column("o_custkey"))
+    ref = ray.put(key_set)
+
+    class AntiFilter:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column("c_custkey"), value_set=self.keys)
+            return b.filter(pc.invert(pc.fill_null(mask, False)))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return ds.map_batches(
+        AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+    )
+
+
+@q(
+    "ignore_filter",
+    "SELECT event_id, user_id FROM events WHERE user_id % 7 <> 0",
+)
+def ignore_filter(sf_dir: str):
+    """M9 — ignore-list semi filter (vectorized predicate, no row UDF)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        # pyarrow 16 has no modulo kernel — numpy on the zero-copy view
+        keep = b.column("user_id").to_numpy(zero_copy_only=False) % 7 != 0
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "hot_users",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 40",
+)
+def hot_users(sf_dir: str):
+    """Skew pre-pass (§7 step 8): partial per-batch counts → small groupby
+    sum → threshold filter. The detection half of hot-key salting."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("user_id").to_pandas().value_counts()
+        return pa.table(
+            {"user_id": pa.array(vc.index, pa.int64()),
+             "pn": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
+        Sum("pn", alias_name="n")
+    )
+    return totals.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 40)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalizers / fixups (M-family) over documents / events / nation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "value_map_lang",
+    "SELECT doc_id, coalesce(nullif(lang, 'zh'), 'unknown') AS lang_fixed FROM documents",
+)
+def value_map_lang(sf_dir: str):
+    """M14 value-map + M3 default-fill composed: 'zh' → 'unknown'."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.value_map(b, "lang", {"zh": None})
+        b = transforms.fill_defaults(b, {"lang": "unknown"})
+        return pa.table({"doc_id": b.column("doc_id"), "lang_fixed": b.column("lang")})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "domain_clamp_lang",
+    """
+    SELECT doc_id,
+           CASE WHEN lang IN ('en','fr','de') THEN lang ELSE 'other' END AS lang_clamped
+    FROM documents
+    """,
+)
+def domain_clamp_lang(sf_dir: str):
+    """M12 — enum-domain validation with default."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.domain_clamp(b, "lang", ("en", "fr", "de"), "other")
+        return pa.table({"doc_id": b.column("doc_id"), "lang_clamped": b.column("lang")})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "source_url_rewrite",
+    "SELECT doc_id, replace(source, 'src', 'https://mirror.example/s') AS url FROM documents",
+)
+def source_url_rewrite(sf_dir: str):
+    """M17 — hostname/URL rewrite as vectorized substring replace."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.replace_substring(b, "source", "src", "https://mirror.example/s")
+        return pa.table({"doc_id": b.column("doc_id"), "url": b.column("source")})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "type_widen_nation",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation",
+)
+def type_widen_nation(sf_dir: str):
+    """M4 — int32→int64 widening cast (schema-evolution kernel)."""
+    ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    target = pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())])
+    return ds.map_batches(
+        lambda b: transforms.enforce_types(b, target), batch_format="pyarrow"
+    )
+
+
+@q(
+    "json_extract_props",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events",
+)
+def json_extract_props(sf_dir: str):
+    """M5/M16 — stringified-JSON field extraction."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.json_extract_field(b, "props", "k", "k_val")
+        return b.select(["event_id", "k_val"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (D2/D3 + training-data near-dup)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dup_groups",
+    """
+    SELECT lang, source, count(*) AS n FROM documents
+    GROUP BY lang, source HAVING count(*) >= 2
+    """,
+)
+def dup_groups(sf_dir: str):
+    """A1/D3 — duplicate-group detection (the duplicate-email scan analog,
+    CKANData.py:1582-1637), keyed on (lang, source)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    counts = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)), batch_format="pyarrow"
+    )
+
+
+@q(
+    "exact_dedup",
+    "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source",
+)
+def exact_dedup(sf_dir: str):
+    """D2 — exact dedup: hash-partition by key, keep min id per group."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+@q("minhash_lsh_pairs")  # not SQL-expressible → rows-only check
+def minhash_lsh_pairs(sf_dir: str):
+    """MinHash + LSH banding near-dup candidates: signature per batch (actor
+    pool), explode to (band, band_hash), ONE groupby, per-bucket pairs,
+    distinct. Deterministic (crc32 tokens, seeded permutations)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        dedup.MinHasher, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(64, 3),
+    )
+    bands = sigs.map_batches(
+        lambda b: dedup.lsh_bands(b, num_bands=16), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        dedup.candidate_pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+
+
+@q("simhash_signatures")  # rows-only
+def simhash_signatures(sf_dir: str):
+    """SimHash 64-bit signatures per document (near-dup by Hamming ≤ k)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+@q("embedding_neardup")  # rows-only
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs, bucketed by hyperplane LSH so the
+    all-pairs check stays bucket-local."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    dim = len(first.column("embedding")[0])
+    # 2 hyperplane bits → 4 buckets: good bucket recall at test scale while
+    # keeping the all-pairs check bucket-local; production tunes bits to
+    # data volume (quadratic cost ~ (N / 2^bits)^2 per bucket)
+    bucketed = ds.map_batches(
+        similarity.HyperplaneLSH, fn_constructor_args=(dim, 2),
+        batch_format="pyarrow", concurrency=2,
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: dedup.embedding_neardup_pairs(g, threshold=0.4),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_count",
+    r"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents",
+)
+def token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+@q(
+    "quality_score",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.quality_score(b).select(
+            ["doc_id", "n_chars_q", "n_alpha", "n_punct", "alpha_ratio", "punct_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@q(
+    "lang_id",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|la|los|que|de)\b')) AS es
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id(sf_dir: str):
+    """Stopword-hit language ID (actor pool: patterns built once/actor)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+@q("fingerprint_md5", "SELECT doc_id, md5(text) AS fp FROM documents")
+def fingerprint_md5(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.md5_fingerprint(b).select(["doc_id", "fp"]),
+        batch_format="pyarrow",
+    )
+
+
+@q("rolling_fingerprint")  # rows-only (python-side rolling hash)
+def rolling_fingerprint_q(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.rolling_fingerprint(b).select(["doc_id", "rfp"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_topk",
+    """
+    SELECT e.vec_id FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC,
+             e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 query vector:
+    broadcast query, per-batch BLAS partials, global sort of partials."""
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qvec = np.asarray(
+        qtab.filter(pc.equal(qtab.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = similarity.topk_cosine(ds, qvec, k=10)
+    return top.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessionization (streaming-shaped, §2.9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM o GROUP BY user_id
+    """,
+)
+def sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: groupby + in-group sorted scan
+    (the ray_guide streaming-shaped pattern; ordering tie-broken by
+    event_id on both sides)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        n = int((gap.isna() | (gap > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@q(
+    "hourly_rollup",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id, hour
+    """,
+)
+def hourly_rollup(sf_dir: str):
+    """Tumbling-window aggregate: vectorized bucket column + grouped sums
+    (cents for determinism)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # keep us unit explicitly (floor_temporal can downcast the unit;
+        # DuckDB's date_trunc stays timestamp[us])
+        hour = pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="hour"), pa.timestamp("us")
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(b.column("value"), 100),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"user_id": b.column("user_id"), "hour": hour, "cents": cents}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="value_cents"))
+    )
+    # Ray's sort-based aggregate can downcast the timestamp key unit —
+    # restore timestamp[us] to match date_trunc's output type
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("hour"), "hour",
+            pc.cast(b.column("hour"), pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship CDC replay on synthesized transcripts + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@q("transcripts_replay")  # the flagship engine, rows-only (stateful pipeline)
+def transcripts_replay(sf_dir: str):
+    """Full CDC pipeline on the mandated transcripts payload: synthesize the
+    lake + WAL deterministically, replay, return the merged table. The e2e
+    correctness gate for this lives in tests (oracle dict replay)."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txr_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        lake = cg.gen_transcripts(400, seed=42)
+        cdc.init_lake(lake, lake_dir, spec, num_partitions=16)
+        events = cg.gen_change_events(8000, 400, seed=43, noop_frac=0.05)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec)
+        return cdc.read_lake_table(lake_dir)
+
+
+@q("multimodal_decode")  # rows-only (stubbed codec, real plumbing)
+def multimodal_decode(sf_dir: str):
+    """Binary media column → actor-pool decode/feature stage (stub kernel,
+    deterministic fake features; small batch_size for large binary rows)."""
+    import ray.data as rd
+
+    media = multimodal.synth_media_table(128, seed=5)
+    ds = rd.from_arrow(media)
+    return ds.map_batches(
+        multimodal.DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )

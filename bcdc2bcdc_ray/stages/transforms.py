@@ -1,0 +1,166 @@
+"""Vectorized per-batch transforms — the reference's normalizer/fixup zoo.
+
+Each function here re-expresses one of the reference's per-record custom
+transformers (SURVEY §2.2 M1–M22, ``/root/reference/bcdc2bcdc/CustomTransformers.py``)
+as a pure ``pa.Table -> pa.Table`` Arrow-kernel transform suitable for
+``map_batches(fn, batch_format="pyarrow")``. No Python row loops anywhere —
+every body is one or a few pyarrow.compute calls.
+
+The reference applies these via a reflection-based registry
+(``CustomTransformers.py:24-120`` MethodMapping); here they are plain
+composable functions, bound to a table via ``TableSpec.on_compare/on_apply``
+hook tuples or used directly in query pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _set(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def project(batch: pa.Table, columns: Sequence[str]) -> pa.Table:
+    """M1/M11 — keep only the configured columns (user-field projection /
+    drop-field transform, ``CKANData.py:173-263``, ``CustomTransformers.py:177-187``)."""
+    return batch.select([c for c in columns if c in batch.column_names])
+
+
+def fill_defaults(batch: pa.Table, defaults: Mapping[str, object]) -> pa.Table:
+    """M3 — required-defaults fill (``CKANData.py:1789-1885`` DataPopulator):
+    nulls in the named columns become the configured default."""
+    for col, dflt in defaults.items():
+        if col in batch.column_names:
+            batch = _set(batch, col, pc.fill_null(batch.column(col), dflt))
+    return batch
+
+
+def enforce_types(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """M4 — type enforcement / widening cast (``CKANData.py:966-1022``)."""
+    for fld in schema:
+        if fld.name in batch.column_names:
+            col = batch.column(fld.name)
+            if col.type != fld.type:
+                batch = _set(batch, fld.name, col.cast(fld.type))
+    return batch
+
+
+def value_map(
+    batch: pa.Table, col: str, mapping: Mapping[str, str], default: str | None = None
+) -> pa.Table:
+    """M14 — security-class-style value remap (``CustomTransformers.py:601-637``):
+    values in ``mapping`` are replaced; others become ``default`` if given,
+    else pass through. Dictionary-encode + take → O(distinct) python work."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dict_arr = pc.dictionary_encode(arr)
+    uniques = dict_arr.dictionary.to_pylist()
+    remapped = pa.array(
+        [
+            mapping.get(u, u if default is None else default) if u is not None else None
+            for u in uniques
+        ],
+        type=arr.type,
+    )
+    return _set(batch, col, remapped.take(dict_arr.indices))
+
+
+def domain_clamp(
+    batch: pa.Table, col: str, allowed: Sequence[str], default: str
+) -> pa.Table:
+    """M12 — enum-domain validation (``CustomTransformers.py:404-449``):
+    values outside the scheming domain are clamped to the default."""
+    arr = batch.column(col)
+    ok = pc.is_in(arr, value_set=pa.array(list(allowed), type=pa.string()))
+    return _set(batch, col, pc.if_else(pc.fill_null(ok, False), arr, default))
+
+
+def conditional_set(
+    batch: pa.Table, when_col: str, equals: object, then_col: str, then_value: object
+) -> pa.Table:
+    """M15 — conditional field fill (``CustomTransformers.py:639-656``
+    fixResourceStatus): where ``when_col == equals`` and ``then_col`` is
+    null, set ``then_value``."""
+    cond = pc.and_(
+        pc.fill_null(pc.equal(batch.column(when_col), equals), False),
+        pc.is_null(batch.column(then_col)),
+    )
+    return _set(
+        batch, then_col, pc.if_else(cond, then_value, batch.column(then_col))
+    )
+
+
+def constant_set(batch: pa.Table, col: str, value: object, dtype=None) -> pa.Table:
+    """M21 — constant column assignment (``CustomTransformers.py:292-303``)."""
+    n = batch.num_rows
+    arr = pa.array([value] * n, type=dtype) if dtype else pa.array([value] * n)
+    return _set(batch, col, arr)
+
+
+def str_to_bool(batch: pa.Table, col: str) -> pa.Table:
+    """M22 — 'true'/'false' strings → bool (``CustomTransformers.py:317-338``)."""
+    low = pc.utf8_lower(batch.column(col))
+    return _set(
+        batch,
+        col,
+        pc.if_else(
+            pc.is_null(low), pa.scalar(None, pa.bool_()), pc.equal(low, "true")
+        ),
+    )
+
+
+def replace_substring(batch: pa.Table, col: str, pattern: str, replacement: str) -> pa.Table:
+    """M17 — URL/hostname rewrite (``CustomTransformers.py:340-377``
+    adjustURLDomain) as a vectorized literal replace."""
+    return _set(
+        batch, col, pc.replace_substring(batch.column(col), pattern, replacement)
+    )
+
+
+def strip_whitespace(batch: pa.Table, col: str) -> pa.Table:
+    """M19 — whitespace strip (``CustomTransformers.py:480-497``)."""
+    return _set(batch, col, pc.utf8_trim_whitespace(batch.column(col)))
+
+
+def json_extract_field(batch: pa.Table, col: str, field_name: str, out: str) -> pa.Table:
+    """M5/M16 analog — pull one field out of a stringified-JSON column
+    (``CustomTransformers.py:715-765`` fixMoreInfo territory). The parse is a
+    per-row op by nature; done via a pandas map (C-dispatched loop) — use
+    inside an actor pool for hot paths."""
+    s = batch.column(col).to_pandas()
+
+    def get(v):
+        if v is None:
+            return None
+        try:
+            x = json.loads(v).get(field_name)
+            return None if x is None else str(x)
+        except (ValueError, AttributeError):
+            return None
+
+    return _set(batch, out, pa.array(s.map(get), pa.string()))
+
+
+def canonical_json(batch: pa.Table, col: str) -> pa.Table:
+    """M16 — canonical re-serialization (sorted keys, fixed separators) of a
+    stringified-JSON column (``CustomTransformers.py:739-764``)."""
+    s = batch.column(col).to_pandas()
+
+    def canon(v):
+        if v is None:
+            return None
+        try:
+            return json.dumps(json.loads(v), sort_keys=True, separators=(",", ":"))
+        except ValueError:
+            return v
+
+    return _set(batch, col, pa.array(s.map(canon), pa.string()))

@@ -1,0 +1,159 @@
+"""Benchmark harness.
+
+Headline: CDC replay throughput — replay a deterministically generated,
+Zipf-skewed transcript change-event WAL (scaled by $GRAFT_SF_DIR's scale
+factor) against a hash-partitioned parquet lake, measuring end-to-end wall
+time of the streaming pipeline (read → partition/watermark → salted
+pre-reduce → groupby shuffle → merge-writer actor pool → manifests).
+
+Also times representative operator queries over the $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline in two fresh processes (num_cpus=8 and 32) on
+the same input and reports both throughputs + efficiency (the in-sandbox
+evidence for the N→4N cluster scaling criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+MODE = os.environ.get("BENCH_MODE", "full")  # "headline" → skip query sweep
+
+# replay workload scaled by the sf factor: 2M events / 50k convs at sf0.1
+try:
+    _factor = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+except ValueError:
+    _factor = 0.1
+N_EVENTS = max(20_000, int(20_000_000 * _factor))
+N_CONVS = max(1_000, int(500_000 * _factor))
+N_PARTITIONS = max(16, min(256, N_EVENTS // 30_000))
+
+QUERY_NAMES = [
+    "cdc_lww_merge",
+    "pricing_summary",
+    "hourly_rollup",
+    "order_customer_join",
+    "token_count",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "exact_dedup",
+    "sessionize",
+]
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc, queries as q
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    work = f"/tmp/bench_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    lake_dir, wal_dir = os.path.join(work, "lake"), os.path.join(work, "wal")
+
+    # ---- untimed setup: generate lake + WAL, seed lake, warm page cache
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(N_CONVS, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=N_PARTITIONS)
+    events = cg.gen_change_events(N_EVENTS, N_CONVS, seed=43, noop_frac=0.05)
+    paths = cg.write_wal_chunks(events, wal_dir, num_chunks=max(8, NUM_CPUS))
+    n_events = events.num_rows
+    del events, lake
+
+    # ---- timed headline: the replay pipeline
+    t0 = time.perf_counter()
+    rep = cdc.replay(lake_dir, paths, spec, salt=8, concurrency=max(2, NUM_CPUS // 2))
+    headline = time.perf_counter() - t0
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": _factor,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / headline),
+        "partitions": N_PARTITIONS,
+        "applied": rep["adds"] + rep["updates"] + rep["deletes"],
+        "queries": {},
+    }
+
+    if MODE == "full":
+        qs = q.queries()
+        for name in QUERY_NAMES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            out["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="headline",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events": lo["events"],
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,191 @@
+"""Unit tests for text / dedup / similarity / multimodal operators."""
+
+import numpy as np
+import pyarrow as pa
+
+from bcdc2bcdc_ray.functions import dedup, multimodal, similarity, text
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+# ---- text ----------------------------------------------------------------
+
+
+def test_token_count():
+    out = text.token_count(_docs(["a b  c", "  x ", ""]))
+    assert out.column("n_tokens").to_pylist() == [3, 1, 1]  # '' → ['']
+
+
+def test_quality_score():
+    out = text.quality_score(_docs(["ab.!", ""]))
+    assert out.column("n_chars_q").to_pylist() == [4, 0]
+    assert out.column("n_alpha").to_pylist() == [2, 0]
+    assert out.column("n_punct").to_pylist() == [2, 0]
+    assert out.column("alpha_ratio").to_pylist() == [0.5, 0.0]
+
+
+def test_lang_id():
+    out = text.lang_id(
+        _docs(
+            [
+                "the cat and the dog of to in",
+                "der hund und die katze ist",
+                "zzz qqq www",
+            ]
+        )
+    )
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
+
+
+def test_md5_fingerprint_matches_hashlib():
+    import hashlib
+
+    out = text.md5_fingerprint(_docs(["abc", None]))
+    assert out.column("fp").to_pylist() == [hashlib.md5(b"abc").hexdigest(), None]
+
+
+def test_rolling_fingerprint_deterministic():
+    a = text.rolling_fingerprint(_docs(["hello world rolling hash"]))
+    b = text.rolling_fingerprint(_docs(["hello world rolling hash"]))
+    assert a.column("rfp").to_pylist() == b.column("rfp").to_pylist()
+    assert a.column("rfp")[0].as_py() is not None
+
+
+# ---- dedup ---------------------------------------------------------------
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE + " extra"
+FAR = "completely different content about databases and shuffles and actors"
+
+
+def test_minhash_near_dup_similarity():
+    mh = dedup.MinHasher(num_perm=128)
+    s1, s2, s3 = mh.signature(BASE), mh.signature(NEAR), mh.signature(FAR)
+    sim_near = (s1 == s2).mean()
+    sim_far = (s1 == s3).mean()
+    assert sim_near > 0.5 > sim_far
+
+
+def test_minhash_deterministic_across_instances():
+    assert (
+        dedup.MinHasher(num_perm=64).signature(BASE)
+        == dedup.MinHasher(num_perm=64).signature(BASE)
+    ).all()
+
+
+def test_lsh_bands_bucket_near_dups_together():
+    mh = dedup.MinHasher(num_perm=64)
+    t = mh(_docs([BASE, NEAR, FAR]))
+    bands = dedup.lsh_bands(t, num_bands=16)
+    df = bands.to_pandas()
+    shared_01 = set(
+        df[df.doc_id == 0][["band", "band_hash"]].itertuples(index=False)
+    ) & set(df[df.doc_id == 1][["band", "band_hash"]].itertuples(index=False))
+    shared_02 = set(
+        df[df.doc_id == 0][["band", "band_hash"]].itertuples(index=False)
+    ) & set(df[df.doc_id == 2][["band", "band_hash"]].itertuples(index=False))
+    assert len(shared_01) > 0 and len(shared_02) == 0
+
+
+def test_candidate_pairs():
+    g = pa.table({"doc_id": pa.array([3, 1, 3, 2], pa.int64())})
+    pairs = dedup.candidate_pairs(g)
+    got = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_jaccard_ngram():
+    assert dedup.jaccard_ngram(BASE, BASE) == 1.0
+    assert dedup.jaccard_ngram(BASE, NEAR) > 0.7
+    assert dedup.jaccard_ngram(BASE, FAR) < 0.1
+    assert dedup.jaccard_ngram("", "") == 1.0
+
+
+def test_simhash_hamming():
+    sh = dedup.SimHasher()
+    h1 = np.array([sh.simhash(BASE)], dtype=np.uint64)
+    h2 = np.array([sh.simhash(NEAR)], dtype=np.uint64)
+    h3 = np.array([sh.simhash(FAR)], dtype=np.uint64)
+    assert dedup.hamming64(h1, h2)[0] < dedup.hamming64(h1, h3)[0]
+
+
+def test_embedding_neardup_pairs():
+    import pandas as pd
+
+    v = np.random.default_rng(1).standard_normal(16)
+    g = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [v, v + 0.01, np.random.default_rng(2).standard_normal(16)],
+        }
+    )
+    out = dedup.embedding_neardup_pairs(g, threshold=0.95)
+    assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
+
+# ---- similarity ----------------------------------------------------------
+
+
+def test_bruteforce_topk_local():
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8))
+    q = mat[7]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    top = similarity.BruteForceTopK(q, k=5)(tbl)
+    df = top.to_pandas().sort_values("cos_sim", ascending=False)
+    assert df.iloc[0]["vec_id"] == 7  # self is the nearest
+
+
+def test_hyperplane_lsh_deterministic():
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((20, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    b1 = similarity.HyperplaneLSH(8, 4)(tbl).column("bucket").to_pylist()
+    b2 = similarity.HyperplaneLSH(8, 4)(tbl).column("bucket").to_pylist()
+    assert b1 == b2
+    assert all(0 <= b < 16 for b in b1)
+
+
+# ---- multimodal ----------------------------------------------------------
+
+
+def test_decode_stub_deterministic():
+    media = multimodal.synth_media_table(8)
+    out1 = multimodal.DecodeImage()(media)
+    out2 = multimodal.DecodeImage()(media)
+    assert out1.equals(out2)
+    assert out1.column("n_bytes").to_pylist() == [
+        len(p) for p in media.column("payload").to_pylist()
+    ]
+
+
+def test_decode_strict_raises():
+    import pytest
+
+    media = multimodal.synth_media_table(2)
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImage(strict=True)(media)
+
+
+def test_resize_and_frames():
+    media = multimodal.synth_media_table(4)
+    out = multimodal.ResizeImage(64, 64)(media)
+    assert set(out.column("meta_width").to_pylist()) == {64}
+    frames = multimodal.SampleFrames(every_n=3)(media)
+    assert frames.column_names == ["media_id", "frame_idx"]
+    assert frames.num_rows >= 4

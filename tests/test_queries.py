@@ -1,0 +1,83 @@
+"""Query-vs-DuckDB-oracle parity spot checks at sf0.001 (the driver runs the
+full matrix at sf0.01; this keeps the contract pinned in CI)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast, representative subset — one per operator family
+SPOT = [
+    "cdc_lww_merge",
+    "cdc_merge_apply",
+    "pricing_summary",
+    "order_customer_join",
+    "exact_dedup",
+    "token_count",
+    "lang_id",
+    "ann_topk",
+    "sessionize",
+    "hourly_rollup",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _to_pandas(res):
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    got = _norm(_to_pandas(e.queries()[name](SF)))
+    exp = _norm(con.sql(e.oracle_sql()[name]).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_all_queries_have_callables_and_run_metadata(ray_session):
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert len(qs) >= 25
+    assert set(sqls) <= set(qs)
+    # every SQL-expressible op has an oracle; the non-SQL set is the known one
+    rows_only = set(qs) - set(sqls)
+    assert rows_only == {
+        "minhash_lsh_pairs",
+        "simhash_signatures",
+        "embedding_neardup",
+        "rolling_fingerprint",
+        "transcripts_replay",
+        "multimodal_decode",
+    }
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(_to_pandas(res))
+    assert t.num_rows > 0
+    assert {"conv_id", "turn_idx", "text"} <= set(t.schema.names)
