@@ -182,9 +182,14 @@ def replay(
     # MergeWriter as a callable CLASS + constructor args → actor pool: the
     # spec/manifest-store state is built once per actor, not per group.
     if concurrency is None:
-        # one writer actor per ~4 partitions, capped — callers override for
-        # bench; on a real cluster size this to nodes × cores_per_writer.
-        concurrency = max(1, min(16, P // 4))
+        # one writer actor per ~4 partitions, capped below the cluster CPU
+        # count: an actor pool that reserves every CPU starves the upstream
+        # read/shuffle tasks and deadlocks the streaming executor. Callers
+        # override for bench; on a real cluster size to nodes × cores/writer.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
+        concurrency = max(1, min(16, P // 4, cpus - 1))
     writer_kwargs: dict = {
         "batch_format": "pyarrow",
         "fn_constructor_args": (lake_dir, spec),
