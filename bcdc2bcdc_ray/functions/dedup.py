@@ -127,6 +127,46 @@ def jaccard_ngram(a: str | None, b: str | None, n: int = 3) -> float:
     return len(sa & sb) / u if u else 0.0
 
 
+class PairJaccardVerifier:
+    """Verify LSH candidate pairs with EXACT word-n-gram Jaccard — the
+    verification half of the MinHash pipeline (candidates from banding are a
+    superset; this removes false positives).
+
+    ``texts_ref`` is a broadcast id→text mapping (``ray.put`` once on the
+    driver, resolved once per actor here — never re-shipped per batch). At
+    test scale the full text map broadcasts; the 100 TB path replaces the
+    broadcast with a hash join of the (small) candidate-pair set back against
+    the documents table on doc_id before this stage.
+    """
+
+    def __init__(self, texts_ref, n: int = 3, threshold: float = 0.5):
+        import ray
+
+        t = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        if isinstance(t, pa.Table):
+            ids = t.column(t.column_names[0]).to_pylist()
+            txts = t.column(t.column_names[1]).to_pylist()
+            t = dict(zip(ids, txts))
+        self.texts = t
+        self.n = n
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        # per-pair loop is over the LSH-pruned candidate set (tiny vs corpus)
+        jac = np.array(
+            [
+                jaccard_ngram(self.texts.get(x), self.texts.get(y), self.n)
+                for x, y in zip(a, b)
+            ],
+            dtype=np.float64,
+        )
+        keep = jac >= self.threshold
+        out = batch.filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+
+
 class SimHasher:
     """64-bit SimHash (Charikar) over word-token hashes — per-batch numpy
     bit-vote accumulation; Hamming distance ≤ k defines near-dups."""

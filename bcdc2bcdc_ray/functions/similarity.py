@@ -119,3 +119,33 @@ class HyperplaneLSH:
         for b in range(bits.shape[1]):
             bucket = (bucket << 1) | bits[:, b]
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def bucket_of(self, vec: np.ndarray) -> int:
+        """Bucket id of a single query vector (same hyperplanes)."""
+        bits = (np.asarray(vec, dtype=np.float64) @ self.h > 0).astype(np.int64)
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        return out
+
+
+def topk_cosine_lsh(
+    ds, query, dim: int, bits: int = 2, k: int = 10, id_col: str = "vec_id", seed: int = 7
+):
+    """IVF/LSH-bucketed ANN (the scale path): bucket every vector with the
+    deterministic hyperplane hash, scan ONLY the query's bucket, then run the
+    brute-force top-k over that ~N/2^bits slice. Trades recall (vectors just
+    across a hyperplane are missed) for a 2^bits scan reduction; production
+    probes neighboring buckets for higher recall."""
+    import pyarrow.compute as pc
+
+    lsh = HyperplaneLSH(dim, bits, seed)
+    qb = lsh.bucket_of(query)
+    bucketed = ds.map_batches(
+        lsh.__class__, fn_constructor_args=(dim, bits, seed),
+        batch_format="pyarrow", concurrency=2,
+    )
+    in_bucket = bucketed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("bucket"), qb)), batch_format="pyarrow"
+    )
+    return topk_cosine(in_bucket, query, k=k, id_col=id_col)

@@ -138,13 +138,24 @@ def replay(
     salt: Optional[int] = None,
     hot_key_threshold: Optional[int] = None,
     concurrency: Optional[int] = None,
+    combine: bool = True,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
 
-    ``salt=S`` enables the salted pre-reduce; with ``hot_key_threshold`` set,
-    only detected hot conversations are salted (two-pass), otherwise every
-    key is (single-pass, no detection scan).
+    ``combine`` (default on) applies the shuffle-free per-block LWW combiner
+    before the merge groupby — collapses duplicate keys (hot conversations
+    especially) so the one all-to-all shuffle moves only surviving rows.
+    ``salt=S`` additionally enables the salted pre-reduce SHUFFLE; with
+    ``hot_key_threshold`` set, only detected hot conversations are salted
+    (two-pass), otherwise every key is (single-pass, no detection scan).
+    Reserve salting for streams where one partition's distinct keyspace
+    exceeds a single writer's capacity; the combiner already flattens
+    duplicate-heavy skew without moving data.
+
+    Report note: ``skipped`` counts events that never reached a writer's
+    classifier — watermark-filtered replays plus (when ``combine`` is on)
+    lower-LSN duplicates collapsed by the combiner.
     """
     import ray.data as rd
 
@@ -163,10 +174,33 @@ def replay(
             if os.path.isdir(wal_paths)
             else [wal_paths]
         )
-    ds = rd.read_parquet(list(wal_paths))
+    # Shuffle cost in Ray Data's sort-based groupby grows with the SQUARE of
+    # the block count (every map block exchanges a chunk with every reduce
+    # block): reading this 2M-event WAL at Ray's default split produced 224
+    # blocks and an 8-12s sort; ~1-per-CPU blocks sort the same data in ~1s.
+    # Target max(cluster CPUs, total_bytes / 128MB) blocks — at 100 TB the
+    # byte term dominates and keeps blocks at the recommended ~128MB.
+    import ray
+
+    cluster_cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    total_bytes = 0
+    for p in wal_paths:
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            pass
+    n_blocks = max(cluster_cpus, total_bytes // (128 << 20), 1)
+    ds = rd.read_parquet(list(wal_paths), override_num_blocks=n_blocks)
     ds = ds.map_batches(
         AssignPartition(spec, P, store.watermarks()), batch_format="pyarrow"
     )
+
+    if combine:
+        from ..stages.skew import make_block_combiner
+
+        ds = ds.map_batches(make_block_combiner(spec), batch_format="pyarrow")
 
     if salt and salt > 1:
         hot = None
@@ -186,10 +220,7 @@ def replay(
         # count: an actor pool that reserves every CPU starves the upstream
         # read/shuffle tasks and deadlocks the streaming executor. Callers
         # override for bench; on a real cluster size to nodes × cores/writer.
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
-        concurrency = max(1, min(16, P // 4, cpus - 1))
+        concurrency = max(1, min(16, P // 4, cluster_cpus - 1))
     writer_kwargs: dict = {
         "batch_format": "pyarrow",
         "fn_constructor_args": (lake_dir, spec),

@@ -594,6 +594,39 @@ def minhash_lsh_pairs(sf_dir: str):
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
 
 
+@q("ngram_jaccard_pairs")  # rows-only (crc32 shingles not SQL-expressible)
+def ngram_jaccard_pairs(sf_dir: str):
+    """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
+    EXACT n-gram Jaccard verification (threshold 0.35). The verify stage is
+    an actor pool holding the broadcast doc_id→text map."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        dedup.MinHasher, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(64, 3),
+    )
+    bands = sigs.map_batches(
+        lambda b: dedup.lsh_bands(b, num_bands=16), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        dedup.candidate_pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ref = ray.put(texts)
+    return distinct.map_batches(
+        dedup.PairJaccardVerifier,
+        fn_constructor_args=(ref, 3, 0.35),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).map_batches(lambda b: b.select(["a", "b", "jaccard"]), batch_format="pyarrow")
+
+
 @q("simhash_signatures")  # rows-only
 def simhash_signatures(sf_dir: str):
     """SimHash 64-bit signatures per document (near-dup by Hamming ≤ k)."""
@@ -743,6 +776,130 @@ def ann_topk(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     top = similarity.topk_cosine(ds, qvec, k=10)
     return top.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+@q("ann_topk_lsh")  # rows-only (approximate — bucket recall is data-dependent)
+def ann_topk_lsh(sf_dir: str):
+    """IVF/LSH-bucketed ANN: scan only the query's hyperplane bucket
+    (~N/2^bits of the data), then brute-force top-10 inside it."""
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qvec = np.asarray(
+        qtab.filter(pc.equal(qtab.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    dim = len(qvec)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = similarity.topk_cosine_lsh(ds, qvec, dim, bits=2, k=10)
+    return top.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+@q(
+    "alt_key_latest_state",
+    """
+    SELECT c.c_custkey, c.c_name, e.event_type, e.value
+    FROM customer c
+    JOIN (SELECT user_id, event_type, value FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) = 1) e
+      ON e.user_id = c.c_custkey
+    """,
+)
+def alt_key_latest_state(sf_dir: str):
+    """J4 — alternate-key join (the reference's users-by-email path,
+    CKANData.py:1650-1759): LWW state keyed on the ALTERNATE key (user_id,
+    not the event's own id), then broadcast-joined to the dimension."""
+    import ray
+
+    key = ("user_id",)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    latest = ds.map_batches(
+        lambda b: delta.reduce_lww(b, key, "event_id"), batch_format="pyarrow"
+    ).groupby(list(key)).map_groups(
+        lambda g: delta.reduce_lww(g, key, "event_id"), batch_format="pyarrow"
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    ref = ray.put(cust)
+    joined = latest.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(ref, "c_custkey", "user_id", ["c_name"]),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("user_id"),
+                "c_name": b.column("c_name"),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@q(
+    "nested_scrub",
+    """
+    WITH nested AS (
+        SELECT source, list(struct_pack(doc_id := doc_id, lang := lang)) AS docs
+        FROM documents GROUP BY source
+    ), scrubbed AS (
+        SELECT source, list_filter(docs, d -> d.lang IS DISTINCT FROM 'zh') AS docs
+        FROM nested
+    )
+    SELECT source, len(docs) AS n_kept,
+           len(list_filter(docs, d -> d.lang = 'en')) AS n_enus
+    FROM scrubbed
+    """,
+)
+def nested_scrub(sf_dir: str):
+    """M2 + J7 — embedded-ignore scrub and in-list value remap over a
+    list<struct> column: nest documents per source, drop embedded 'zh'
+    entries (M2 removeEmbeddedIgnores), remap 'en'→'en-US' in place (J7
+    remapUserNames), emit per-source counts the oracle can reproduce."""
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def nest(g: pa.Table) -> pa.Table:
+        st = pa.StructArray.from_arrays(
+            [g.column("doc_id").combine_chunks(), g.column("lang").combine_chunks()],
+            names=["doc_id", "lang"],
+        )
+        lst = pa.ListArray.from_arrays(pa.array([0, len(st)], pa.int32()), st)
+        return pa.table(
+            {"source": g.column("source").slice(0, 1), "docs": lst}
+        )
+
+    nested = ds.groupby("source").map_groups(nest, batch_format="pyarrow")
+
+    def scrub_and_remap(b: pa.Table) -> pa.Table:
+        b = transforms.scrub_list_struct(b, "docs", "lang", ["zh"])
+        b = transforms.remap_list_struct(b, "docs", "lang", {"en": "en-US"})
+        docs = b.column("docs")
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        n_kept = pc.cast(pc.list_value_length(docs), pa.int64())
+        flat_lang = pc.struct_field(pc.list_flatten(docs), "lang")
+        parent = pc.list_parent_indices(docs).to_numpy(zero_copy_only=False)
+        is_en = pc.fill_null(pc.equal(flat_lang, "en-US"), False).to_numpy(
+            zero_copy_only=False
+        )
+        n_en = np.bincount(parent[is_en], minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_kept": n_kept,
+                "n_enus": pa.array(n_en, pa.int64()),
+            }
+        )
+
+    return nested.map_batches(scrub_and_remap, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,13 @@ class MergeWriter:
     actor in ``__init__``."""
 
     def __init__(self, lake_dir: str, spec: TableSpec):
+        # Each writer actor reserves 1 CPU; Arrow's default thread pool is
+        # sized to the MACHINE, so N concurrent actors × machine-width acero
+        # joins oversubscribe the node ~N× (measured 3-20× per-call inflation
+        # at 16 actors / 32 cores). Pin this actor's Arrow pools to its own
+        # CPU budget.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.lake_dir = lake_dir
         self.spec = spec
         self.store = ManifestStore(lake_dir)

@@ -150,6 +150,83 @@ def json_extract_field(batch: pa.Table, col: str, field_name: str, out: str) -> 
     return _set(batch, out, pa.array(s.map(get), pa.string()))
 
 
+def _as_list_array(arr) -> pa.ListArray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _rebuild_list(
+    arr: pa.ListArray, new_values: pa.Array, kept_parent: np.ndarray
+) -> pa.ListArray:
+    """Reassemble a list array from filtered flattened values using parent
+    indices (robust to sliced offsets); null lists stay null."""
+    n = len(arr)
+    counts = np.bincount(kept_parent, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    validity = arr.is_valid().to_numpy(zero_copy_only=False)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        new_values,
+        mask=pa.array(~validity) if not validity.all() else None,
+    )
+
+
+def scrub_list_struct(
+    batch: pa.Table, col: str, field: str, ignore_values: Sequence[object]
+) -> pa.Table:
+    """M2 — embedded-ignore scrub (``CKANData.py:265-305`` removeEmbeddedIgnores):
+    drop elements of a ``list<struct>`` column whose ``field`` value is in the
+    ignore set. Fully vectorized: flatten once, one ``is_in`` mask, offset
+    rebuild from parent indices — no Python loop over elements."""
+    arr = _as_list_array(batch.column(col))
+    flat = pc.list_flatten(arr)
+    parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    vals = pc.struct_field(flat, field)
+    drop = pc.fill_null(pc.is_in(vals, value_set=pa.array(list(ignore_values))), False)
+    keep = pc.invert(drop).to_numpy(zero_copy_only=False)
+    return _set(batch, col, _rebuild_list(arr, flat.filter(pa.array(keep)), parent[keep]))
+
+
+def remap_list_struct(
+    batch: pa.Table,
+    col: str,
+    field: str,
+    mapping: Mapping[str, str],
+    default: str | None = None,
+) -> pa.Table:
+    """J7 — per-element value remap inside a ``list<struct>`` column
+    (``CustomTransformers.py:194-282`` remapUserNames, double-LUT lookup):
+    the broadcast LUT is applied to the flattened field via dictionary
+    encoding (O(distinct) Python work), the struct and list are rebuilt
+    around it with the original offsets."""
+    arr = _as_list_array(batch.column(col))
+    flat = pc.list_flatten(arr)
+    parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    st = flat.type
+    cols, names = [], []
+    for i in range(st.num_fields):
+        f = st.field(i)
+        names.append(f.name)
+        child = pc.struct_field(flat, f.name)
+        if f.name == field:
+            dict_arr = pc.dictionary_encode(child.combine_chunks() if isinstance(child, pa.ChunkedArray) else child)
+            uniques = dict_arr.dictionary.to_pylist()
+            remapped = pa.array(
+                [
+                    mapping.get(u, u if default is None else default)
+                    if u is not None
+                    else None
+                    for u in uniques
+                ],
+                type=f.type,
+            )
+            child = remapped.take(dict_arr.indices)
+        cols.append(child)
+    new_flat = pa.StructArray.from_arrays(cols, names=names)
+    return _set(batch, col, _rebuild_list(arr, new_flat, parent))
+
+
 def canonical_json(batch: pa.Table, col: str) -> pa.Table:
     """M16 — canonical re-serialization (sorted keys, fixed separators) of a
     stringified-JSON column (``CustomTransformers.py:739-764``)."""

@@ -66,11 +66,13 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
         "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
         "simhash_signatures",
         "embedding_neardup",
         "rolling_fingerprint",
         "transcripts_replay",
         "multimodal_decode",
+        "ann_topk_lsh",
     }
 
 

@@ -74,3 +74,43 @@ def test_json_extract_field():
 def test_canonical_json():
     out = tf.canonical_json(_t(p=['{"b": 1, "a": 2}', None]), "p")
     assert out.column("p").to_pylist() == ['{"a":2,"b":1}', None]
+
+
+def _nested():
+    st = pa.array(
+        [
+            [{"id": 1, "lang": "en"}, {"id": 2, "lang": "zh"}, {"id": 3, "lang": "fr"}],
+            [],
+            None,
+            [{"id": 4, "lang": "zh"}],
+            [{"id": 5, "lang": "en"}, {"id": 6, "lang": None}],
+        ],
+        type=pa.list_(pa.struct([("id", pa.int64()), ("lang", pa.string())])),
+    )
+    return pa.table({"k": [10, 20, 30, 40, 50], "docs": st})
+
+
+def test_scrub_list_struct():
+    out = tf.scrub_list_struct(_nested(), "docs", "lang", ["zh"])
+    docs = out.column("docs").to_pylist()
+    assert [d["id"] for d in docs[0]] == [1, 3]
+    assert docs[1] == []
+    assert docs[2] is None  # null list preserved
+    assert docs[3] == []  # all elements scrubbed
+    assert [d["id"] for d in docs[4]] == [5, 6]  # null field never matches
+
+
+def test_remap_list_struct():
+    out = tf.remap_list_struct(_nested(), "docs", "lang", {"en": "en-US"})
+    docs = out.column("docs").to_pylist()
+    assert [d["lang"] for d in docs[0]] == ["en-US", "zh", "fr"]
+    assert docs[2] is None
+    assert [d["lang"] for d in docs[4]] == ["en-US", None]
+    # other struct fields untouched
+    assert [d["id"] for d in docs[0]] == [1, 2, 3]
+
+
+def test_remap_list_struct_with_default():
+    out = tf.remap_list_struct(_nested(), "docs", "lang", {"en": "E"}, default="other")
+    docs = out.column("docs").to_pylist()
+    assert [d["lang"] for d in docs[0]] == ["E", "other", "other"]
