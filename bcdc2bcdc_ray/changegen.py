@@ -200,6 +200,40 @@ def write_wal_chunks(events: pa.Table, out_dir: str, num_chunks: int = 8) -> lis
     return paths
 
 
+def gen_wal_chunks(
+    n_events: int,
+    n_convs: int,
+    out_dir: str,
+    num_chunks: int = 8,
+    seed: int = 43,
+    **kwargs,
+) -> list[str]:
+    """Generate + write the WAL chunk-by-chunk, never holding more than one
+    chunk in memory. Required beyond ~10M events: a single driver-side table
+    of 32M ~100-byte strings overflows Arrow's int32 string offsets in
+    take/sort, and a generator that scales to the 10^10-event regime must be
+    streaming anyway. Each chunk gets a disjoint ascending LSN range, so the
+    concatenated chunks are one valid ordered WAL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = np.linspace(0, n_events, num_chunks + 1).astype(int)
+    paths = []
+    for i in range(num_chunks):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi <= lo:
+            continue
+        chunk = gen_change_events(
+            hi - lo, n_convs, seed=seed + i, lsn_start=lo + 1, **kwargs
+        )
+        p = os.path.join(out_dir, f"wal-{i:05d}.parquet")
+        pq.write_table(chunk, p)
+        paths.append(p)
+    return paths
+
+
 def oracle_replay(
     lake: pa.Table,
     events: pa.Table,

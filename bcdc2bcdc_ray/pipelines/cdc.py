@@ -191,7 +191,10 @@ def replay(
             total_bytes += os.path.getsize(p)
         except OSError:
             pass
-    n_blocks = max(cluster_cpus, total_bytes // (128 << 20), 1)
+    # cap the CPU term at 16: on one node >16 concurrent sort/merge tasks
+    # saturate memory bandwidth (measured: 16 blocks beat 32 at 32 CPUs);
+    # at real scale the bytes term dominates anyway.
+    n_blocks = max(min(cluster_cpus, 16), total_bytes // (128 << 20), 1)
     ds = rd.read_parquet(list(wal_paths), override_num_blocks=n_blocks)
     ds = ds.map_batches(
         AssignPartition(spec, P, store.watermarks()), batch_format="pyarrow"
