@@ -49,9 +49,21 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with explicit block sizing: shuffle cost in
+    sort-based groupby grows quadratically with block count, so target
+    max(min(CPUs,16), bytes/128MB) blocks instead of Ray's fine default
+    (same policy as pipelines/cdc.py replay)."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    n_blocks = max(min(cpus, 16), size // (128 << 20), 1)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
 
 
 def _collect(ds) -> pa.Table:
@@ -1008,6 +1020,75 @@ def transcripts_replay(sf_dir: str):
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec)
         return cdc.read_lake_table(lake_dir)
+
+
+_TOOL_REMAP = {
+    "search": "dst-search-01", "calculator": "dst-calc-02", "browser": "dst-web-03",
+    "python": "dst-py-04", "sql": "dst-sql-05", "editor": "dst-edit-06",
+    "shell": "dst-sh-07", "retrieval": "dst-ret-08",
+}
+
+
+def _remap_tool_hook(batch: pa.Table) -> pa.Table:
+    """on_compare hook: source-side tool ids → destination ids (broadcast
+    LUT captured in the hook closure, shipped once inside the spec)."""
+    return transforms.value_map(batch, "tool", _TOOL_REMAP)
+
+
+@q("transcripts_replay_remap")  # rows-only (stateful pipeline)
+def transcripts_replay_remap(sf_dir: str):
+    """J5 — FK id-remap inside the CDC replay (the reference's
+    applyIdRemapping, CKANData.py:420-455 / src2DestRemap DataCache.py:384-437):
+    incoming events carry SOURCE-side tool ids; a TableSpec.on_compare hook
+    (§2.10 extension surface) remaps them through a broadcast LUT before
+    hashing/merge, so the destination lake stays entirely in dest-id space."""
+    from .. import changegen as cg
+    from ..spec import TableSpec, TRANSCRIPTS_SCHEMA
+    from . import cdc
+
+    spec = TableSpec(
+        name="transcripts_remap",
+        schema=TRANSCRIPTS_SCHEMA,
+        key=("conv_id", "turn_idx"),
+        compare_columns=("role", "text", "tool", "ts"),
+        falsy_null_columns=("text", "tool"),
+        on_compare=(_remap_tool_hook,),
+    )
+    with tempfile.TemporaryDirectory(prefix="txrm_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        # the destination lake is already in dest-id space
+        lake = _remap_tool_hook(cg.gen_transcripts(400, seed=42))
+        cdc.init_lake(lake, lake_dir, spec, num_partitions=16)
+        events = cg.gen_change_events(8000, 400, seed=43, noop_frac=0.05)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec)
+        return cdc.read_lake_table(lake_dir)
+
+
+@q(
+    "conditional_const_fill",
+    """
+    SELECT doc_id,
+           CASE WHEN source = 'src1' AND nullif(lang, 'zh') IS NULL THEN 'en'
+                ELSE nullif(lang, 'zh') END AS lang2,
+           'doc' AS kind
+    FROM documents
+    """,
+)
+def conditional_const_fill(sf_dir: str):
+    """M14 + M15 + M21 composed — value-map to null, conditional field fill
+    (fixResourceStatus) and constant column assignment (fixPackageType) in
+    one vectorized pass."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.append_column("lang2", b.column("lang"))
+        b = transforms.value_map(b, "lang2", {"zh": None})
+        b = transforms.conditional_set(b, "source", "src1", "lang2", "en")
+        b = transforms.constant_set(b, "kind", "doc", pa.string())
+        return b.select(["doc_id", "lang2", "kind"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 @q("multimodal_decode")  # rows-only (stubbed codec, real plumbing)

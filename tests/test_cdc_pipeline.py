@@ -149,3 +149,79 @@ def test_lineage_and_watermarks_persisted(ray_session, dirs):
     assert max(wms.values()) == rep["lsn_hi"]
     tot = store.total_counts()
     assert tot["adds"] == rep["adds"] and tot["rows"] == rep["rows"]
+
+
+def test_combiner_off_same_final_state(ray_session, dirs):
+    """The per-block LWW combiner is a pure optimization: replay with and
+    without it must produce identical final tables (both == oracle)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec, combine=False)
+    final_nc = cdc.read_lake_table(lake_dir)
+    oracle = cg.oracle_replay(lake, events)
+    assert final_nc.equals(oracle)
+
+    lake2 = lake_dir + "_c"
+    cdc.init_lake(lake, lake2, spec, num_partitions=8)
+    cdc.replay(lake2, paths, spec, combine=True)
+    assert cdc.read_lake_table(lake2).equals(oracle)
+
+
+def test_block_combiner_reduces_and_preserves_lww():
+    from bcdc2bcdc_ray.stages.delta import reduce_lww
+    from bcdc2bcdc_ray.stages.skew import make_block_combiner
+
+    spec = transcripts_spec()
+    events = cg.gen_change_events(4000, 50, seed=7)
+    combined = make_block_combiner(spec)(events)
+    assert combined.num_rows < events.num_rows
+    # combiner output reduces to the same LWW state as the raw block
+    a = reduce_lww(combined, spec.key).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
+    b = reduce_lww(events, spec.key).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
+    assert a.equals(b)
+
+
+def test_gen_wal_chunks_matches_single_table(tmp_path):
+    """Chunked generation is a valid ordered WAL: disjoint ascending LSN
+    ranges, schema identical to the in-memory generator."""
+    import pyarrow.parquet as pq
+
+    paths = cg.gen_wal_chunks(5000, 100, str(tmp_path / "w"), num_chunks=4, seed=11)
+    assert len(paths) == 4
+    last_hi = 0
+    for p in paths:
+        t = pq.read_table(p)
+        lsns = t.column("lsn").to_pylist()
+        assert min(lsns) > last_hi
+        last_hi = max(lsns)
+        assert t.schema.names == cg.gen_change_events(10, 5).schema.names
+
+
+def test_replay_remap_hook(ray_session, dirs):
+    """J5 FK-remap via on_compare hook: final lake stays in dest-id space and
+    matches the oracle replay of remapped events."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.pipelines.queries import _TOOL_REMAP, _remap_tool_hook
+    from bcdc2bcdc_ray.spec import TRANSCRIPTS_SCHEMA, TableSpec
+
+    lake_dir, wal_dir = dirs
+    spec = TableSpec(
+        name="transcripts_remap",
+        schema=TRANSCRIPTS_SCHEMA,
+        key=("conv_id", "turn_idx"),
+        compare_columns=("role", "text", "tool", "ts"),
+        falsy_null_columns=("text", "tool"),
+        on_compare=(_remap_tool_hook,),
+    )
+    lake = _remap_tool_hook(cg.gen_transcripts(100, seed=42))
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    events = cg.gen_change_events(2500, 100, seed=43)
+    paths = cg.write_wal_chunks(events, wal_dir, num_chunks=4)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    tools = set(final.column("tool").to_pylist()) - {None}
+    assert tools <= set(_TOOL_REMAP.values())
+    oracle = cg.oracle_replay(lake, _remap_tool_hook(events))
+    assert final.equals(oracle)

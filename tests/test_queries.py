@@ -71,6 +71,7 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
         "embedding_neardup",
         "rolling_fingerprint",
         "transcripts_replay",
+        "transcripts_replay_remap",
         "multimodal_decode",
         "ann_topk_lsh",
     }
