@@ -81,6 +81,33 @@ class ManifestStore:
             json.dump(asdict(m), f)
         os.replace(tmp, p)
 
+    # ---- lake-level replay watermark -------------------------------------
+    # Committed by replay() ONLY after every partition's manifest commit
+    # returned, so "global_watermark = W" means every event with lsn <= W is
+    # durably applied (or was a no-op) on every partition. Lets chunk-level
+    # pruning skip the TAIL chunk too, whose max LSN always exceeds the
+    # minimum per-partition watermark (events route by key hash, so the last
+    # lsn routed to each partition differs).
+
+    def _gpath(self) -> str:
+        return os.path.join(self.dir, "_replay_watermark.json")
+
+    def global_watermark(self) -> int:
+        p = self._gpath()
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(json.load(f)["lsn_hi"])
+
+    def commit_global(self, lsn_hi: int) -> None:
+        cur = self.global_watermark()
+        if lsn_hi <= cur:
+            return
+        tmp = f"{self._gpath()}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"lsn_hi": int(lsn_hi)}, f)
+        os.replace(tmp, self._gpath())
+
     def total_counts(self) -> dict:
         tot = {"adds": 0, "updates": 0, "deletes": 0, "noops": 0, "rows": 0}
         for fn in os.listdir(self.dir):

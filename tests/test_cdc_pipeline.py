@@ -225,3 +225,46 @@ def test_replay_remap_hook(ray_session, dirs):
     assert tools <= set(_TOOL_REMAP.values())
     oracle = cg.oracle_replay(lake, _remap_tool_hook(events))
     assert final.equals(oracle)
+
+
+def test_chunk_pruning_on_rerun(ray_session, dirs):
+    """After a full commit, a rerun prunes every chunk from parquet footers
+    alone (no partition reads) and leaves state untouched."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.sources import wal as wal_src
+    from bcdc2bcdc_ray.state.manifest import ManifestStore
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep1 = cdc.replay(lake_dir, paths, spec)
+    store = ManifestStore(lake_dir)
+    live, pruned = wal_src.prune_committed_chunks(
+        paths, store.watermarks(), 8, global_watermark=store.global_watermark()
+    )
+    assert live == [] and pruned == events.num_rows
+    # without the lake-level watermark the tail chunk must NOT prune
+    live2, _ = wal_src.prune_committed_chunks(paths, store.watermarks(), 8)
+    assert len(live2) >= 1
+    rep2 = cdc.replay(lake_dir, paths, spec)
+    assert rep2["skipped"] == events.num_rows and rep2["partitions_touched"] == 0
+    assert rep2["rows"] == rep1["rows"]
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_chunk_pruning_conservative_when_partial():
+    """Missing manifests (uncommitted partitions) disable pruning."""
+    from bcdc2bcdc_ray.sources import wal as wal_src
+
+    live, pruned = wal_src.prune_committed_chunks(["x.parquet"], {0: 100}, 2)
+    assert live == ["x.parquet"] and pruned == 0
+    live, pruned = wal_src.prune_committed_chunks(["x.parquet"], {}, 2)
+    assert live == ["x.parquet"] and pruned == 0
+
+
+def test_wal_chunk_stats(tmp_path):
+    from bcdc2bcdc_ray.sources import wal as wal_src
+
+    paths = cg.gen_wal_chunks(1000, 40, str(tmp_path / "w"), num_chunks=2, seed=3)
+    s0, s1 = wal_src.chunk_stats(paths[0]), wal_src.chunk_stats(paths[1])
+    assert s0.lsn_hi < s1.lsn_lo and s0.rows + s1.rows >= 1000
+    assert wal_src.list_wal_chunks(str(tmp_path / "w")) == paths
