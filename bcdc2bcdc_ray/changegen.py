@@ -117,6 +117,16 @@ def gen_change_events(
     """
     rng = np.random.default_rng(seed)
     n = n_events
+    if n == 0:
+        # zero-length numpy intermediates lose their dtypes (empty map →
+        # int64): build the empty table straight from the schema
+        fields = [
+            ("lsn", pa.int64()), ("op", pa.string()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int64() if evolved else pa.int32()),
+            ("role", pa.string()), ("text", pa.string()),
+            ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ] + ([("lang", pa.string())] if evolved else [])
+        return pa.table({name: pa.array([], typ) for name, typ in fields})
     lsn = np.arange(lsn_start, lsn_start + n, dtype=np.int64)
 
     conv_idx = _zipf_conv_ids(rng, n, int(n_convs * 1.3) + 1)  # ~30% beyond lake → ADDs
