@@ -79,6 +79,23 @@ class MinHasher:
         return batch.append_column("minhash", arr)
 
 
+_MH_CACHE: dict = {}
+
+
+def minhash_batch(
+    batch: pa.Table, num_perm: int = 64, shingle: int = 3, seed: int = 1234
+) -> pa.Table:
+    """Task-friendly MinHasher: per-worker-process cached state. The
+    permutation table is 2×num_perm uint64 — too cheap to justify an actor
+    pool's startup cost per execution; a module-level cache gives the same
+    build-once-per-worker behavior under plain ``map_batches`` tasks."""
+    key = (num_perm, shingle, seed)
+    mh = _MH_CACHE.get(key)
+    if mh is None:
+        mh = _MH_CACHE[key] = MinHasher(num_perm, shingle, seed)
+    return mh(batch)
+
+
 def lsh_bands(batch: pa.Table, num_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
     """Explode signatures to (band, band_hash, doc_id) rows — the LSH
     bucketing key. One output row per (doc, band); the following
@@ -115,6 +132,42 @@ def candidate_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
     ii, jj = np.triu_indices(len(ids), k=1)
     return pa.table(
         {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}
+    )
+
+
+def candidate_pairs_grouped(
+    tbl: pa.Table,
+    id_col: str = "doc_id",
+    bucket_cols: tuple = ("band", "band_hash"),
+) -> pa.Table:
+    """Shuffle-bucket variant of :func:`candidate_pairs`: one call receives
+    MANY LSH buckets (co-located by hash of ``bucket_cols``) and groups them
+    internally — one Python dispatch per shuffle bucket instead of one per
+    LSH bucket."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    b0 = tbl.column(bucket_cols[0]).to_numpy(zero_copy_only=False)
+    b1 = tbl.column(bucket_cols[1]).to_numpy(zero_copy_only=False)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, b1, b0))
+    b0s, b1s, ids_s = b0[order], b1[order], ids[order]
+    new = np.flatnonzero((b0s[1:] != b0s[:-1]) | (b1s[1:] != b1s[:-1])) + 1
+    bounds = np.concatenate(([0], new, [len(ids_s)]))
+    out_a, out_b = [], []
+    for i in range(len(bounds) - 1):
+        seg = np.unique(ids_s[bounds[i] : bounds[i + 1]])
+        if len(seg) >= 2:
+            ii, jj = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ii])
+            out_b.append(seg[jj])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
     )
 
 
@@ -193,6 +246,18 @@ class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vals = [self.simhash(v) for v in batch.column("text").to_pylist()]
         return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+
+
+_SH_CACHE: dict = {}
+
+
+def simhash_batch(batch: pa.Table, seed: int = 99) -> pa.Table:
+    """Task-friendly SimHasher (state is just a seed — worker-cached
+    instance under plain ``map_batches`` tasks, no actor-pool startup)."""
+    sh = _SH_CACHE.get(seed)
+    if sh is None:
+        sh = _SH_CACHE[seed] = SimHasher(seed)
+    return sh(batch)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

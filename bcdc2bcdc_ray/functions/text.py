@@ -101,8 +101,15 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
+_LANGID_CACHE: list = []
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
-    return LangId()(batch)
+    """Task-friendly LangId: worker-cached instance (pattern strings build
+    once per worker process — no actor-pool startup per execution)."""
+    if not _LANGID_CACHE:
+        _LANGID_CACHE.append(LangId())
+    return _LANGID_CACHE[0](batch)
 
 
 def md5_fingerprint(batch: pa.Table, col: str = "text", out: str = "fp") -> pa.Table:

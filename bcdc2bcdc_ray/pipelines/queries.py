@@ -632,19 +632,19 @@ def minhash_lsh_pairs(sf_dir: str):
     pool), explode to (band, band_hash), ONE groupby, per-bucket pairs,
     distinct. Deterministic (crc32 tokens, seeded permutations)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(
-        dedup.MinHasher, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(64, 3),
-    )
+    sigs = ds.map_batches(dedup.minhash_batch, batch_format="pyarrow")
     bands = sigs.map_batches(
         lambda b: dedup.lsh_bands(b, num_bands=16), batch_format="pyarrow"
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        dedup.candidate_pairs, batch_format="pyarrow"
+    pairs = _bucketed_map_groups(
+        bands, ["band", "band_hash"], dedup.candidate_pairs_grouped
     )
-    from ray.data.aggregate import Count
 
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+    def distinct_count(g: pa.Table) -> pa.Table:
+        out = g.group_by(["a", "b"]).aggregate([("a", "count")])
+        return out.rename_columns(["a", "b", "n_buckets"])
+
+    return _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
 
 
 @q("ngram_jaccard_pairs")  # rows-only (crc32 shingles not SQL-expressible)
@@ -655,19 +655,19 @@ def ngram_jaccard_pairs(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(
-        dedup.MinHasher, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(64, 3),
-    )
+    sigs = ds.map_batches(dedup.minhash_batch, batch_format="pyarrow")
     bands = sigs.map_batches(
         lambda b: dedup.lsh_bands(b, num_bands=16), batch_format="pyarrow"
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        dedup.candidate_pairs, batch_format="pyarrow"
+    pairs = _bucketed_map_groups(
+        bands, ["band", "band_hash"], dedup.candidate_pairs_grouped
     )
-    from ray.data.aggregate import Count
 
-    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+    def distinct_count(g: pa.Table) -> pa.Table:
+        out = g.group_by(["a", "b"]).aggregate([("a", "count")])
+        return out.rename_columns(["a", "b", "n_buckets"])
+
+    distinct = _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
     texts = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -684,7 +684,7 @@ def ngram_jaccard_pairs(sf_dir: str):
 def simhash_signatures(sf_dir: str):
     """SimHash 64-bit signatures per document (near-dup by Hamming ≤ k)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
     return out.map_batches(
         lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
     )
@@ -776,7 +776,7 @@ def quality_score(sf_dir: str):
 def lang_id(sf_dir: str):
     """Stopword-hit language ID (actor pool: patterns built once/actor)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(text.lang_id, batch_format="pyarrow")
     return out.map_batches(
         lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
     )
