@@ -85,6 +85,22 @@ class BruteForceTopK:
         )
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _cached(cls, *args):
+    """Per-worker-process instance cache — build-once state under plain
+    map_batches tasks (see pipelines/queries.py:_cached; duplicated here to
+    keep the functions package standalone)."""
+    key = (cls.__qualname__,) + tuple(
+        a.hex() if hasattr(a, "hex") else a for a in args
+    )
+    inst = _WORKER_CACHE.get(key)
+    if inst is None:
+        inst = _WORKER_CACHE[key] = cls(*args)
+    return inst
+
+
 def topk_cosine(ds, query, k: int = 10, id_col: str = "vec_id"):
     """Full ANN pipeline: broadcast query → per-batch local top-k →
     global top-k via sort+limit over the tiny partial set."""
@@ -92,10 +108,8 @@ def topk_cosine(ds, query, k: int = 10, id_col: str = "vec_id"):
 
     ref = ray.put(np.asarray(query, dtype=np.float64))
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref, k, id_col),
+        lambda b: _cached(BruteForceTopK, ref, k, id_col)(b),
         batch_format="pyarrow",
-        concurrency=2,
     )
     # deterministic tie-break on id so the top-k set is stable
     return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
@@ -142,8 +156,8 @@ def topk_cosine_lsh(
     lsh = HyperplaneLSH(dim, bits, seed)
     qb = lsh.bucket_of(query)
     bucketed = ds.map_batches(
-        lsh.__class__, fn_constructor_args=(dim, bits, seed),
-        batch_format="pyarrow", concurrency=2,
+        lambda b: _cached(HyperplaneLSH, dim, bits, seed)(b),
+        batch_format="pyarrow",
     )
     in_bucket = bucketed.map_batches(
         lambda b: b.filter(pc.equal(b.column("bucket"), qb)), batch_format="pyarrow"

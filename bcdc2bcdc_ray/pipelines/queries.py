@@ -101,6 +101,25 @@ def _bucketed_map_groups(ds, key_cols, fn, n_buckets: int | None = None):
     )
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _cached(cls, *args):
+    """Build a callable-class instance once per WORKER PROCESS and reuse it
+    across tasks — the task-pool analog of actor-pool ``__init__`` state.
+    Right when the state is cheap to build (a broadcast ``ray.get`` resolve,
+    a small index): plain tasks skip the actor pool's per-execution spin-up.
+    ObjectRefs key by hex so a new broadcast invalidates the cache entry."""
+    key = (cls.__qualname__,) + tuple(
+        a.hex() if hasattr(a, "hex") else (tuple(a) if isinstance(a, list) else a)
+        for a in args
+    )
+    inst = _WORKER_CACHE.get(key)
+    if inst is None:
+        inst = _WORKER_CACHE[key] = cls(*args)
+    return inst
+
+
 def _collect(ds) -> pa.Table:
     batches = [
         b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
@@ -416,10 +435,8 @@ def order_customer_join(sf_dir: str):
     ref = ray.put(cust)
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     out = ds.map_batches(
-        _BroadcastJoin,
-        fn_constructor_args=(ref, "c_custkey", "o_custkey", ["c_name"]),
+        lambda b: _cached(_BroadcastJoin, ref, "c_custkey", "o_custkey", ["c_name"])(b),
         batch_format="pyarrow",
-        concurrency=2,
     )
     return out.map_batches(
         lambda b: b.select(["o_orderkey", "c_name", "o_totalprice"]),
@@ -460,7 +477,7 @@ def customers_without_orders(sf_dir: str):
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return ds.map_batches(
-        AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+        lambda b: _cached(AntiFilter, ref)(b), batch_format="pyarrow"
     )
 
 
@@ -673,10 +690,8 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
     ref = ray.put(texts)
     return distinct.map_batches(
-        dedup.PairJaccardVerifier,
-        fn_constructor_args=(ref, 3, 0.35),
+        lambda b: _cached(dedup.PairJaccardVerifier, ref, 3, 0.35)(b),
         batch_format="pyarrow",
-        concurrency=2,
     ).map_batches(lambda b: b.select(["a", "b", "jaccard"]), batch_format="pyarrow")
 
 
@@ -703,8 +718,8 @@ def embedding_neardup(sf_dir: str):
     # keeping the all-pairs check bucket-local; production tunes bits to
     # data volume (quadratic cost ~ (N / 2^bits)^2 per bucket)
     bucketed = ds.map_batches(
-        similarity.HyperplaneLSH, fn_constructor_args=(dim, 2),
-        batch_format="pyarrow", concurrency=2,
+        lambda b: _cached(similarity.HyperplaneLSH, dim, 2)(b),
+        batch_format="pyarrow",
     )
     return bucketed.groupby("bucket").map_groups(
         lambda g: dedup.embedding_neardup_pairs(g, threshold=0.4),
@@ -879,10 +894,8 @@ def alt_key_latest_state(sf_dir: str):
     ).to_pandas()
     ref = ray.put(cust)
     joined = latest.map_batches(
-        _BroadcastJoin,
-        fn_constructor_args=(ref, "c_custkey", "user_id", ["c_name"]),
+        lambda b: _cached(_BroadcastJoin, ref, "c_custkey", "user_id", ["c_name"])(b),
         batch_format="pyarrow",
-        concurrency=2,
     )
 
     def finish(b: pa.Table) -> pa.Table:
