@@ -232,11 +232,14 @@ def replay(
     # MergeWriter as a callable CLASS + constructor args → actor pool: the
     # spec/manifest-store state is built once per actor, not per group.
     if concurrency is None:
-        # one writer actor per ~4 partitions, capped below the cluster CPU
-        # count: an actor pool that reserves every CPU starves the upstream
-        # read/shuffle tasks and deadlocks the streaming executor. Callers
-        # override for bench; on a real cluster size to nodes × cores/writer.
-        concurrency = max(1, min(16, P // 4, cluster_cpus - 1))
+        # one writer actor per ~2 partitions (measured on the bench WAL:
+        # P//2 writers doubled throughput over P//4 at 32 CPUs — merge-write
+        # is the serial tail; more writers past that saturate single-node
+        # memory bandwidth), capped below the cluster CPU count: an actor
+        # pool that reserves every CPU starves the upstream read/shuffle
+        # tasks and deadlocks the streaming executor. Callers override for
+        # bench; on a real cluster size to nodes × cores/writer.
+        concurrency = max(1, min(16, P // 2, cluster_cpus - 1))
     writer_kwargs: dict = {
         "batch_format": "pyarrow",
         "fn_constructor_args": (lake_dir, spec),

@@ -565,6 +565,78 @@ def domain_clamp_lang(sf_dir: str):
 
 
 @q(
+    "falsy_normalize",
+    """
+    SELECT event_id,
+           CASE WHEN raw = 'None' THEN NULL ELSE raw END AS fixed,
+           CASE WHEN flag_s = 'true' THEN TRUE
+                WHEN flag_s = 'false' THEN FALSE END AS flag_b,
+           trim(pad) AS trimmed
+    FROM (SELECT event_id,
+                 CASE WHEN user_id % 7 = 0 THEN 'None' ELSE event_type END AS raw,
+                 CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS flag_s,
+                 '  ' || event_type || ' ' AS pad
+          FROM events)
+    """,
+)
+def falsy_normalize(sf_dir: str):
+    """M10+M22+M19 composed normalizer: literal 'None' string → null
+    (CustomTransformers.py:153-170), 'true'/'false' → bool
+    (CustomTransformers.py:317-338), whitespace strip
+    (CustomTransformers.py:480-497). Dirty inputs are derived
+    deterministically in-batch so the cleanup is observable."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type")
+        pad = pc.binary_join_element_wise(
+            pa.array(["  "] * b.num_rows), et, pa.array([" "] * b.num_rows), ""
+        )
+        dirty = pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "fixed": pc.if_else(pa.array(uid % 7 == 0), "None", et),
+                "flag_b": pc.if_else(pa.array(uid % 2 == 0), "true", "false"),
+                "trimmed": pad,
+            }
+        )
+        dirty = transforms.value_map(dirty, "fixed", {"None": None})
+        dirty = transforms.str_to_bool(dirty, "flag_b")
+        dirty = transforms.strip_whitespace(dirty, "trimmed")
+        return dirty
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "word_match_domain",
+    """
+    SELECT doc_id,
+           CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 'spark'
+                WHEN list_contains(string_split(text, ' '), 'merge') THEN 'merge'
+                WHEN list_contains(string_split(text, ' '), 'window') THEN 'window'
+                ELSE 'other' END AS engine_word
+    FROM documents
+    """,
+)
+def word_match_domain(sf_dir: str):
+    """M13 — fuzzy word-level domain repair (the reference's
+    download_audience/view_audience fixer,
+    /root/reference/bcdc2bcdc/CustomTransformers.py:677-713): first domain
+    value appearing as a whole word wins, else default."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.word_match_clamp(
+            b, "text", ("spark", "merge", "window"), "other", "engine_word"
+        )
+        return b.select(["doc_id", "engine_word"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
     "source_url_rewrite",
     "SELECT doc_id, replace(source, 'src', 'https://mirror.example/s') AS url FROM documents",
 )

@@ -84,6 +84,25 @@ def domain_clamp(
     return _set(batch, col, pc.if_else(pc.fill_null(ok, False), arr, default))
 
 
+def word_match_clamp(
+    batch: pa.Table, col: str, domain: Sequence[str], default: str, out: str
+) -> pa.Table:
+    """M13 — word-match domain repair
+    (``CustomTransformers.py:677-713`` __fixDataSetPropertyUsingDomainWordMatch):
+    the first domain value (in domain order) appearing as a whole word in
+    ``col`` wins; no hit (or null) → default. Vectorized: one RE2
+    word-boundary scan per domain value, folded right-to-left so earlier
+    domain values take priority."""
+    import re as _re
+
+    arr = batch.column(col)
+    result = pa.array([default] * batch.num_rows, pa.string())
+    for w in reversed(list(domain)):
+        hit = pc.match_substring_regex(arr, r"\b" + _re.escape(w) + r"\b")
+        result = pc.if_else(pc.fill_null(hit, False), pa.scalar(w), result)
+    return batch.append_column(out, result)
+
+
 def conditional_set(
     batch: pa.Table, when_col: str, equals: object, then_col: str, then_value: object
 ) -> pa.Table:

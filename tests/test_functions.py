@@ -189,3 +189,64 @@ def test_resize_and_frames():
     frames = multimodal.SampleFrames(every_n=3)(media)
     assert frames.column_names == ["media_id", "frame_idx"]
     assert frames.num_rows >= 4
+
+
+# ---- bucketed / worker-cached variants -----------------------------------
+
+
+def test_candidate_pairs_grouped_matches_per_group():
+    """candidate_pairs_grouped over a multi-bucket table == candidate_pairs
+    applied to each (band, band_hash) group separately."""
+    rng = np.random.default_rng(5)
+    n = 200
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "band": pa.array(rng.integers(0, 4, n), pa.int32()),
+            "band_hash": pa.array(rng.integers(0, 6, n).astype(np.uint64), pa.uint64()),
+        }
+    )
+    got = dedup.candidate_pairs_grouped(tbl)
+    want_parts = []
+    df = tbl.to_pandas()
+    for _, g in df.groupby(["band", "band_hash"]):
+        want_parts.append(
+            dedup.candidate_pairs(pa.Table.from_pandas(g, preserve_index=False))
+        )
+    want = pa.concat_tables(want_parts)
+    key = lambda t: sorted(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+    assert key(got) == key(want)
+    # no self-pairs, a < b ordering
+    assert all(a < b for a, b in key(got))
+
+
+def test_candidate_pairs_grouped_empty():
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.uint64()),
+        }
+    )
+    out = dedup.candidate_pairs_grouped(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["a", "b"]
+
+
+def test_cached_batch_wrappers_match_class_versions():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dog",
+                 "pack my box with five dozen liquor jugs",
+                 None],
+                pa.string(),
+            ),
+        }
+    )
+    assert dedup.minhash_batch(docs).equals(dedup.MinHasher(64, 3)(docs))
+    assert dedup.simhash_batch(docs).equals(dedup.SimHasher()(docs))
+    assert text.lang_id(docs).equals(text.LangId()(docs))
+    # repeat call hits the worker cache and stays identical
+    assert dedup.minhash_batch(docs).equals(dedup.minhash_batch(docs))

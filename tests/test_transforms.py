@@ -114,3 +114,21 @@ def test_remap_list_struct_with_default():
     out = tf.remap_list_struct(_nested(), "docs", "lang", {"en": "E"}, default="other")
     docs = out.column("docs").to_pylist()
     assert [d["lang"] for d in docs[0]] == ["E", "other", "other"]
+
+
+def test_word_match_clamp():
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.stages import transforms
+
+    b = pa.table(
+        {
+            "v": pa.array(
+                ["big merge day", "spark and merge", "nothing here", None, "windowless"],
+                pa.string(),
+            )
+        }
+    )
+    out = transforms.word_match_clamp(b, "v", ("spark", "merge", "window"), "other", "hit")
+    # first-in-domain-order priority; whole-word only; null -> default
+    assert out.column("hit").to_pylist() == ["merge", "spark", "other", "other", "other"]
