@@ -148,3 +148,36 @@ def test_reapply_is_all_noop():
     s2, counts = delta.merge_partition(s1, events, spec)
     assert s2.equals(s1)
     assert counts["adds"] == counts["updates"] == counts["deletes"] == 0
+
+
+# ---- property-based: arbitrary event streams vs the dict oracle -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_op = st.sampled_from(["upsert", "delete"])
+_conv = st.sampled_from(["c1", "c2", "hot"])
+_turn = st.integers(min_value=0, max_value=3)
+_text = st.one_of(
+    st.none(), st.text(alphabet="abβ☃ ", min_size=0, max_size=6)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_op, _conv, _turn, _text), min_size=0, max_size=40))
+def test_merge_matches_oracle_property(rows):
+    """Any LSN-ordered event stream (unicode/empty/null texts, repeated
+    keys, delete-then-upsert-then-delete chains) replays to the dict
+    oracle's final state — and re-applying is a pure no-op."""
+    spec = transcripts_spec()
+    lake = _lake().cast(spec.schema)  # _lake()'s all-None tool infers null type
+    ev_rows = [_ev(i + 1, op, c, t, txt) for i, (op, c, t, txt) in enumerate(rows)]
+    if ev_rows:
+        events = _events(ev_rows)
+    else:
+        events = _events([_ev(1, "upsert", "c1", 0, "x")]).slice(0, 0)
+    state, _ = delta.merge_partition(lake, events, spec)
+    assert state.equals(cg.oracle_replay(lake, events))
+    state2, counts = delta.merge_partition(state, events, spec)
+    assert state2.equals(state)
+    assert counts["adds"] == counts["updates"] == counts["deletes"] == 0
