@@ -23,6 +23,8 @@ SPOT = [
     "ann_topk",
     "sessionize",
     "hourly_rollup",
+    "word_match_domain",
+    "falsy_normalize",
 ]
 
 
