@@ -97,8 +97,12 @@ def run_bench() -> dict:
     spec = transcripts_spec()
     lake = cg.gen_transcripts(N_CONVS, seed=42)
     cdc.init_lake(lake, lake_dir, spec, num_partitions=N_PARTITIONS)
+    # chunk count is FIXED (not a function of NUM_CPUS) so the --scaling
+    # legs replay byte-identical inputs: chunk size changes how much the
+    # per-block combiner collapses, which would otherwise skew the
+    # two-parallelism comparison
     paths = cg.gen_wal_chunks(
-        N_EVENTS, N_CONVS, wal_dir, num_chunks=max(8, NUM_CPUS),
+        N_EVENTS, N_CONVS, wal_dir, num_chunks=32,
         seed=43, noop_frac=0.05,
     )
     import pyarrow.parquet as _pq
