@@ -110,6 +110,18 @@ def run_bench() -> dict:
     n_events = sum(_pq.read_metadata(p).num_rows for p in paths)
     del lake
 
+    # ---- untimed warmup: spin up Ray worker processes + a writer actor
+    # pool on a scratch lake so the timed headline measures SUSTAINED
+    # throughput (the target metric), not first-execution process spawn
+    warm_dir = os.path.join(work, "warm_lake")
+    warm_lake = cg.gen_transcripts(500, seed=7)
+    cdc.init_lake(warm_lake, warm_dir, spec, num_partitions=8)
+    warm_paths = cg.gen_wal_chunks(
+        50_000, 500, os.path.join(work, "warm_wal"), num_chunks=8, seed=8
+    )
+    cdc.replay(warm_dir, warm_paths, spec)
+    del warm_lake
+
     # ---- timed headline: the replay pipeline
     t0 = time.perf_counter()
     # writer-pool size left to replay()'s default: min(16, P//4, cpus-1) —
