@@ -91,14 +91,14 @@ _WORKER_CACHE: dict = {}
 def _cached(cls, *args):
     """Per-worker-process instance cache — build-once state under plain
     map_batches tasks (see pipelines/queries.py:_cached; duplicated here to
-    keep the functions package standalone)."""
-    key = (cls.__qualname__,) + tuple(
-        a.hex() if hasattr(a, "hex") else a for a in args
-    )
-    inst = _WORKER_CACHE.get(key)
-    if inst is None:
-        inst = _WORKER_CACHE[key] = cls(*args)
-    return inst
+    keep the functions package standalone). Bounded to one entry per class:
+    a new broadcast evicts the previous run's pinned copy."""
+    key = tuple(a.hex() if hasattr(a, "hex") else a for a in args)
+    slot = _WORKER_CACHE.get(cls.__qualname__)
+    if slot is None or slot[0] != key:
+        slot = (key, cls(*args))
+        _WORKER_CACHE[cls.__qualname__] = slot
+    return slot[1]
 
 
 def topk_cosine(ds, query, k: int = 10, id_col: str = "vec_id"):

@@ -92,9 +92,12 @@ class LangId:
         low = pc.utf8_lower(batch.column("text"))
         scores = np.zeros((batch.num_rows, len(self.LANGS)), dtype=np.int64)
         for j, lang in enumerate(self.LANGS):
-            scores[:, j] = pc.count_substring_regex(low, self.pats[lang]).to_numpy(
-                zero_copy_only=False
-            )
+            # count_substring_regex is null for null text — fill 0 BEFORE the
+            # int cast (a raw NaN cast produces garbage scores) so null text
+            # falls through to the no-hit 'und' branch below.
+            scores[:, j] = pc.fill_null(
+                pc.count_substring_regex(low, self.pats[lang]), 0
+            ).to_numpy(zero_copy_only=False)
         best = scores.argmax(axis=1)
         pred = np.array(self.LANGS, dtype=object)[best]
         pred[scores.max(axis=1) == 0] = "und"

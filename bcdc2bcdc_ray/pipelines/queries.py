@@ -109,15 +109,18 @@ def _cached(cls, *args):
     across tasks — the task-pool analog of actor-pool ``__init__`` state.
     Right when the state is cheap to build (a broadcast ``ray.get`` resolve,
     a small index): plain tasks skip the actor pool's per-execution spin-up.
-    ObjectRefs key by hex so a new broadcast invalidates the cache entry."""
-    key = (cls.__qualname__,) + tuple(
+    ObjectRefs key by hex so a new broadcast invalidates the cache entry.
+    Bounded: ONE entry per class — a new run's broadcast evicts the previous
+    run's pinned copy, so long-lived workers never accumulate stale state."""
+    key = tuple(
         a.hex() if hasattr(a, "hex") else (tuple(a) if isinstance(a, list) else a)
         for a in args
     )
-    inst = _WORKER_CACHE.get(key)
-    if inst is None:
-        inst = _WORKER_CACHE[key] = cls(*args)
-    return inst
+    slot = _WORKER_CACHE.get(cls.__qualname__)
+    if slot is None or slot[0] != key:
+        slot = (key, cls(*args))
+        _WORKER_CACHE[cls.__qualname__] = slot
+    return slot[1]
 
 
 def _collect(ds) -> pa.Table:
@@ -174,48 +177,55 @@ def _events_user_spec() -> TableSpec:
     )
 
 
-def _events_halves(sf_dir: str):
-    """Split events at max(event_id)/2: lower half = current state, upper
-    half = the incoming change batch (delete when event_type == 'error')."""
+def _delta_joined_ds(sf_dir: str, finish):
+    """Distributed delta classification of the upper event-stream half
+    against the lower-half state — NO driver-side materialization.
+
+    One pass: per-block partial LWW on each half (combiner), ONE bucketed
+    shuffle on hash(user_id), then per bucket: final LWW per half →
+    ``delta.classify_delta`` → ``finish(joined, schema, spec)``. The only
+    driver-side value is the scalar split point (``ds.max``)."""
     key = ("user_id",)
+    spec = _events_user_spec()
+    state_cols = [f.name for f in spec.schema]
     ds = _read(sf_dir, "events")
     m = int(ds.max("event_id")) // 2
 
-    def lower(b):
-        return delta.reduce_lww(
+    def pre(b: pa.Table) -> pa.Table:
+        # per-block combiner: collapse each half to ≤1 row per key before
+        # the shuffle (the same pre-reduce pattern as the CDC replay)
+        lo = delta.reduce_lww(
             b.filter(pc.less_equal(b.column("event_id"), m)), key, "event_id"
         )
-
-    def upper(b):
-        return delta.reduce_lww(
+        hi = delta.reduce_lww(
             b.filter(pc.greater(b.column("event_id"), m)), key, "event_id"
         )
+        lo = lo.append_column("__half", pa.array(np.zeros(lo.num_rows, np.int8)))
+        hi = hi.append_column("__half", pa.array(np.ones(hi.num_rows, np.int8)))
+        return pa.concat_tables([lo, hi])
 
-    def final(g):
-        return delta.reduce_lww(g, key, "event_id")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        half = g.column("__half")
+        base = delta.reduce_lww(
+            g.filter(pc.equal(half, 0)), key, "event_id"
+        ).select(state_cols)
+        inc = delta.reduce_lww(g.filter(pc.equal(half, 1)), key, "event_id")
+        events = (
+            inc.select(state_cols)
+            .append_column("lsn", inc.column("event_id"))
+            .append_column(
+                "op",
+                pc.if_else(
+                    pc.equal(inc.column("event_type"), "error"), "delete", "upsert"
+                ),
+            )
+        )
+        joined, schema = delta.classify_delta(base, events, spec)
+        return finish(joined, schema, spec)
 
-    base = _collect(
-        _bucketed_map_groups(
-            ds.map_batches(lower, batch_format="pyarrow"), key, final
-        )
+    return _bucketed_map_groups(
+        ds.map_batches(pre, batch_format="pyarrow"), key, per_bucket
     )
-    inc = _collect(
-        _bucketed_map_groups(
-            ds.map_batches(upper, batch_format="pyarrow"), key, final
-        )
-    )
-    spec = _events_user_spec()
-    state_cols = [f.name for f in spec.schema]
-    current = base.select(state_cols)
-    events = inc.select(state_cols).append_column(
-        "lsn", inc.column("event_id")
-    ).append_column(
-        "op",
-        pc.if_else(
-            pc.equal(inc.column("event_type"), "error"), "delete", "upsert"
-        ),
-    )
-    return current, events, spec
 
 
 _OP_NAMES = {
@@ -255,18 +265,28 @@ _DELTA_CTE = """
 """
 
 
+# vectorized int8 op code → name (dictionary take, no Python row loop)
+_OP_NAME_ARR = np.empty(5, dtype=object)
+for _code, _name in _OP_NAMES.items():
+    _OP_NAME_ARR[_code] = _name
+
+
+def _ops_named(joined: pa.Table, schema: pa.Schema, spec) -> pa.Table:
+    codes = joined.column(delta.OP_COL).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "user_id": joined.column("user_id"),
+            "op": pa.array(_OP_NAME_ARR[codes], pa.string()),
+        }
+    )
+
+
 @q("cdc_delta_classify", _DELTA_CTE + "SELECT user_id, op FROM classified")
 def cdc_delta_classify(sf_dir: str):
     """ADD/UPDATE/DELETE/NOOP/KEEP classification (J1–J3 + D4) of the upper
-    half of the event stream against the lower-half state."""
-    current, events, spec = _events_halves(sf_dir)
-    joined, _ = delta.classify_delta(current, events, spec)
-    ops = [
-        _OP_NAMES[c] for c in joined.column(delta.OP_COL).to_pylist()
-    ]
-    return pa.table(
-        {"user_id": joined.column("user_id"), "op": pa.array(ops, pa.string())}
-    )
+    half of the event stream against the lower-half state — bucketed
+    distributed classify, op names via dictionary take."""
+    return _delta_joined_ds(sf_dir, _ops_named)
 
 
 @q(
@@ -274,11 +294,24 @@ def cdc_delta_classify(sf_dir: str):
     _DELTA_CTE + "SELECT op, count(*) AS n FROM classified GROUP BY op",
 )
 def cdc_delta_counts(sf_dir: str):
-    """Per-op delta counters — the reference's update report (A2)."""
-    t = cdc_delta_classify(sf_dir)
-    vc = t.column("op").to_pandas().value_counts()
-    return pa.table(
-        {"op": pa.array(vc.index, pa.string()), "n": pa.array(vc.to_numpy(), pa.int64())}
+    """Per-op delta counters — the reference's update report (A2). Partial
+    counts per bucket, then one tiny groupby sum."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(joined: pa.Table, schema: pa.Schema, spec) -> pa.Table:
+        codes = joined.column(delta.OP_COL).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "op": pa.array(_OP_NAME_ARR[uniq], pa.string()),
+                "pn": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        _delta_joined_ds(sf_dir, partial_counts)
+        .groupby("op")
+        .aggregate(Sum("pn", alias_name="n"))
     )
 
 
@@ -296,10 +329,9 @@ def cdc_delta_counts(sf_dir: str):
     """,
 )
 def cdc_merge_apply(sf_dir: str):
-    """Full merge: apply the classified delta → the new state table."""
-    current, events, spec = _events_halves(sf_dir)
-    joined, schema = delta.classify_delta(current, events, spec)
-    return delta.apply_delta(joined, schema, spec)
+    """Full merge: apply the classified delta → the new state table (each
+    bucket applies its own slice; the union of buckets is the state)."""
+    return _delta_joined_ds(sf_dir, delta.apply_delta)
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +403,10 @@ def pricing_summary(sf_dir: str):
                 "qty": qty, "base_cents": base, "disc_cents": disc,
             }
         ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            # count_all (not a column count) so the partial matches SQL
+            # count(*) semantics even if a value column ever carries nulls
             [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
-             ("qty", "count")]
+             ([], "count_all")]
         )
         return part
 
@@ -383,7 +417,7 @@ def pricing_summary(sf_dir: str):
             Sum("qty_sum", alias_name="sum_qty"),
             Sum("base_cents_sum", alias_name="sum_base_cents"),
             Sum("disc_cents_sum", alias_name="sum_disc_cents"),
-            Sum("qty_count", alias_name="count_order"),
+            Sum("count_all", alias_name="count_order"),
         )
     )
 
@@ -402,20 +436,27 @@ def top_orders(sf_dir: str):
 
 
 class _BroadcastJoin:
-    """Actor-pool broadcast hash join: the small side is ray.put once and
-    resolved once per actor (J5 dimension-remap pattern)."""
+    """Broadcast hash join: the small side is ray.put once and resolved once
+    per worker (J5 dimension-remap pattern). The per-batch join is Arrow's
+    own hash join — zero pandas round-trip in the batch path."""
 
     def __init__(self, small_ref, small_key: str, batch_key: str, take_cols: list):
         import ray
 
         small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
-        self.small = small.set_index(small_key)[take_cols]
+        if not isinstance(small, pa.Table):
+            small = pa.Table.from_pandas(small, preserve_index=False)
+        self.small = small.select([small_key] + list(take_cols))
+        self.small_key = small_key
         self.on = batch_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = df.join(self.small, on=self.on, how="inner")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return batch.join(
+            self.small,
+            keys=[self.on],
+            right_keys=[self.small_key],
+            join_type="inner",
+        )
 
 
 @q(
@@ -431,7 +472,7 @@ def order_customer_join(sf_dir: str):
 
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
+    )
     ref = ray.put(cust)
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     out = ds.map_batches(
@@ -613,9 +654,9 @@ def falsy_normalize(sf_dir: str):
     "word_match_domain",
     """
     SELECT doc_id,
-           CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 'spark'
-                WHEN list_contains(string_split(text, ' '), 'merge') THEN 'merge'
-                WHEN list_contains(string_split(text, ' '), 'window') THEN 'window'
+           CASE WHEN regexp_matches(text, '\\b(spark)\\b') THEN 'spark'
+                WHEN regexp_matches(text, '\\b(merge)\\b') THEN 'merge'
+                WHEN regexp_matches(text, '\\b(window)\\b') THEN 'window'
                 ELSE 'other' END AS engine_word
     FROM documents
     """,
@@ -730,8 +771,16 @@ def minhash_lsh_pairs(sf_dir: str):
     )
 
     def distinct_count(g: pa.Table) -> pa.Table:
+        # select output columns BY NAME: pyarrow versions differ on whether
+        # group_by emits key or aggregate columns first
         out = g.group_by(["a", "b"]).aggregate([("a", "count")])
-        return out.rename_columns(["a", "b", "n_buckets"])
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "n_buckets": out.column("a_count"),
+            }
+        )
 
     return _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
 
@@ -753,8 +802,16 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
     def distinct_count(g: pa.Table) -> pa.Table:
+        # select output columns BY NAME: pyarrow versions differ on whether
+        # group_by emits key or aggregate columns first
         out = g.group_by(["a", "b"]).aggregate([("a", "count")])
-        return out.rename_columns(["a", "b", "n_buckets"])
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "n_buckets": out.column("a_count"),
+            }
+        )
 
     distinct = _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
     texts = pq.read_table(
@@ -852,7 +909,7 @@ def quality_score(sf_dir: str):
         FROM documents
     )
     SELECT doc_id,
-           CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+           CASE WHEN en IS NULL OR (en = 0 AND de = 0 AND fr = 0 AND es = 0) THEN 'und'
                 WHEN en >= de AND en >= fr AND en >= es THEN 'en'
                 WHEN de >= fr AND de >= es THEN 'de'
                 WHEN fr >= es THEN 'fr'
@@ -963,7 +1020,7 @@ def alt_key_latest_state(sf_dir: str):
     )
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
+    )
     ref = ray.put(cust)
     joined = latest.map_batches(
         lambda b: _cached(_BroadcastJoin, ref, "c_custkey", "user_id", ["c_name"])(b),
@@ -1141,14 +1198,15 @@ def hourly_rollup(sf_dir: str):
         )
 
     def agg_bucket(g: pa.Table) -> pa.Table:
+        # count_all = SQL count(*) (a value-column count would skip nulls)
         out = g.group_by(["user_id", "hour"]).aggregate(
-            [("cents", "count"), ("cents", "sum")]
+            [([], "count_all"), ("cents", "sum")]
         )
         return pa.table(
             {
                 "user_id": out.column("user_id"),
                 "hour": pc.cast(out.column("hour"), pa.timestamp("us")),
-                "n": out.column("cents_count"),
+                "n": out.column("count_all"),
                 "value_cents": out.column("cents_sum"),
             }
         )

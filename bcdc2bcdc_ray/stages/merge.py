@@ -59,6 +59,17 @@ LINEAGE_SCHEMA = pa.schema(
 )
 
 
+def _in_ray_worker() -> bool:
+    """True only inside a Ray worker process (actor/task), never the driver."""
+    try:
+        import ray
+        from ray._private import worker as _rw
+
+        return ray.is_initialized() and _rw.global_worker.mode == _rw.WORKER_MODE
+    except Exception:
+        return False
+
+
 def partition_path(lake_dir: str, pid: int) -> str:
     return os.path.join(lake_dir, f"part-{pid:05d}.parquet")
 
@@ -80,9 +91,12 @@ class MergeWriter:
         # sized to the MACHINE, so N concurrent actors × machine-width acero
         # joins oversubscribe the node ~N× (measured 3-20× per-call inflation
         # at 16 actors / 32 cores). Pin this actor's Arrow pools to its own
-        # CPU budget.
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
+        # CPU budget — but ONLY inside a Ray worker process: the calls are
+        # process-global, and a MergeWriter built on the driver (tests,
+        # direct use) must not throttle Arrow for everything that follows.
+        if _in_ray_worker():
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         self.lake_dir = lake_dir
         self.spec = spec
         self.store = ManifestStore(lake_dir)
