@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # some oracles read synthesized fixture parquet from a stable path (the
+    # flagship replay family) — make sure those files exist before any SQL
+    # is handed out, whichever side the driver runs first
+    _ensure_flagship_fixture()
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
@@ -1222,22 +1226,104 @@ def hourly_rollup(sf_dir: str):
 # Flagship CDC replay on synthesized transcripts + multimodal plumbing
 # ---------------------------------------------------------------------------
 
+# The flagship inputs are synthesized (BASELINE.json input_hint payload), so
+# the DuckDB oracle can't read them from the driver's sf_dir views. Instead
+# both sides read the SAME deterministic fixture parquet from a stable path:
+# the Ray query replays it through the engine, the oracle SQL re-derives the
+# final table relationally (LWW + falsy-canonical NOOP retention).
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "bcdc2bcdc_ray_fixtures", "v1")
+_FLAGSHIP_LAKE = os.path.join(_FIXTURE_DIR, "transcripts_lake.parquet")
+_FLAGSHIP_WAL = os.path.join(_FIXTURE_DIR, "transcripts_wal.parquet")
+_FLAGSHIP_LAKE_REMAP = os.path.join(_FIXTURE_DIR, "transcripts_lake_remap.parquet")
 
-@q("transcripts_replay")  # the flagship engine, rows-only (stateful pipeline)
+
+def _ensure_flagship_fixture() -> None:
+    """Write the deterministic flagship fixture parquet files if absent
+    (atomic; seeded generators → byte-stable content)."""
+    from .. import changegen as cg
+    from ..state.manifest import atomic_write_parquet
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if not os.path.exists(_FLAGSHIP_LAKE):
+        atomic_write_parquet(cg.gen_transcripts(400, seed=42), _FLAGSHIP_LAKE)
+    if not os.path.exists(_FLAGSHIP_WAL):
+        atomic_write_parquet(
+            cg.gen_change_events(8000, 400, seed=43, noop_frac=0.05), _FLAGSHIP_WAL
+        )
+    if not os.path.exists(_FLAGSHIP_LAKE_REMAP):
+        atomic_write_parquet(
+            _remap_tool_hook(cg.gen_transcripts(400, seed=42)), _FLAGSHIP_LAKE_REMAP
+        )
+
+
+def _replay_oracle_sql(lake_path: str, wal_path: str, tool_expr: str = "tool") -> str:
+    """DuckDB re-derivation of the engine's single-replay semantics
+    (reference behavior certified: getDelta CKANData.py:1468-1502 + apply
+    CKANUpdate.py:67-83): per key take the max-LSN WAL event; delete drops
+    the row; an upsert canonically equal to the current row (falsy forms
+    '' / 'None' → null on text/tool — the Diff.py:55-67 both-falsy rule)
+    is a NOOP that KEEPS the current raw row; otherwise the event payload
+    wins. ``tool_expr`` lets the remap variant apply the id-remap LUT to the
+    incoming events (J5, applyIdRemapping CKANData.py:420-455)."""
+    return f"""
+    WITH lake AS (SELECT * FROM read_parquet('{lake_path}')),
+    ev0 AS (SELECT lsn, op, conv_id, turn_idx, role, text, {tool_expr} AS tool, ts
+            FROM read_parquet('{wal_path}')),
+    ev AS (SELECT * FROM ev0
+           QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                                      ORDER BY lsn DESC) = 1),
+    j AS (
+        SELECT coalesce(l.conv_id, e.conv_id) AS conv_id,
+               coalesce(l.turn_idx, e.turn_idx) AS turn_idx,
+               l.conv_id IS NOT NULL AS has_l, e.conv_id IS NOT NULL AS has_e,
+               e.op AS e_op,
+               l.role AS l_role, l.text AS l_text, l.tool AS l_tool, l.ts AS l_ts,
+               e.role AS e_role, e.text AS e_text, e.tool AS e_tool, e.ts AS e_ts
+        FROM lake l FULL OUTER JOIN ev e
+          ON l.conv_id = e.conv_id AND l.turn_idx = e.turn_idx
+    ),
+    decided AS (
+        SELECT *,
+               CASE WHEN NOT has_e THEN 'keep'
+                    WHEN e_op = 'delete' THEN 'drop'
+                    WHEN has_l
+                         AND l_role IS NOT DISTINCT FROM e_role
+                         AND nullif(nullif(l_text, ''), 'None')
+                             IS NOT DISTINCT FROM nullif(nullif(e_text, ''), 'None')
+                         AND nullif(nullif(l_tool, ''), 'None')
+                             IS NOT DISTINCT FROM nullif(nullif(e_tool, ''), 'None')
+                         AND l_ts IS NOT DISTINCT FROM e_ts
+                    THEN 'keep'
+                    ELSE 'take_e' END AS d
+        FROM j
+    )
+    SELECT conv_id, turn_idx,
+           CASE WHEN d = 'take_e' THEN e_role ELSE l_role END AS role,
+           CASE WHEN d = 'take_e' THEN e_text ELSE l_text END AS text,
+           CASE WHEN d = 'take_e' THEN e_tool ELSE l_tool END AS tool,
+           CASE WHEN d = 'take_e' THEN e_ts ELSE l_ts END AS ts
+    FROM decided
+    WHERE d <> 'drop' AND NOT (d = 'keep' AND NOT has_l)
+    """
+
+
+@q("transcripts_replay", _replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL))
 def transcripts_replay(sf_dir: str):
-    """Full CDC pipeline on the mandated transcripts payload: synthesize the
-    lake + WAL deterministically, replay, return the merged table. The e2e
-    correctness gate for this lives in tests (oracle dict replay)."""
+    """Full CDC pipeline on the mandated transcripts payload: replay the
+    deterministic fixture WAL against the fixture lake, return the merged
+    table. Driver-oracle-checked against the relational LWW re-derivation;
+    the pytest dict-oracle e2e suite covers the stateful axes (exactly-once,
+    resume, evolution)."""
     from .. import changegen as cg
     from ..spec import transcripts_spec
     from . import cdc
 
+    _ensure_flagship_fixture()
     spec = transcripts_spec()
     with tempfile.TemporaryDirectory(prefix="txr_") as tmp:
         lake_dir = os.path.join(tmp, "lake")
-        lake = cg.gen_transcripts(400, seed=42)
-        cdc.init_lake(lake, lake_dir, spec, num_partitions=16)
-        events = cg.gen_change_events(8000, 400, seed=43, noop_frac=0.05)
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec)
         return cdc.read_lake_table(lake_dir)
@@ -1256,7 +1342,17 @@ def _remap_tool_hook(batch: pa.Table) -> pa.Table:
     return transforms.value_map(batch, "tool", _TOOL_REMAP)
 
 
-@q("transcripts_replay_remap")  # rows-only (stateful pipeline)
+_TOOL_REMAP_SQL = (
+    "CASE tool "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _TOOL_REMAP.items())
+    + " ELSE tool END"
+)
+
+
+@q(
+    "transcripts_replay_remap",
+    _replay_oracle_sql(_FLAGSHIP_LAKE_REMAP, _FLAGSHIP_WAL, _TOOL_REMAP_SQL),
+)
 def transcripts_replay_remap(sf_dir: str):
     """J5 — FK id-remap inside the CDC replay (the reference's
     applyIdRemapping, CKANData.py:420-455 / src2DestRemap DataCache.py:384-437):
@@ -1275,12 +1371,14 @@ def transcripts_replay_remap(sf_dir: str):
         falsy_null_columns=("text", "tool"),
         on_compare=(_remap_tool_hook,),
     )
+    _ensure_flagship_fixture()
     with tempfile.TemporaryDirectory(prefix="txrm_") as tmp:
         lake_dir = os.path.join(tmp, "lake")
         # the destination lake is already in dest-id space
-        lake = _remap_tool_hook(cg.gen_transcripts(400, seed=42))
-        cdc.init_lake(lake, lake_dir, spec, num_partitions=16)
-        events = cg.gen_change_events(8000, 400, seed=43, noop_frac=0.05)
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE_REMAP), lake_dir, spec, num_partitions=16
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec)
         return cdc.read_lake_table(lake_dir)

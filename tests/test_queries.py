@@ -25,6 +25,7 @@ SPOT = [
     "hourly_rollup",
     "word_match_domain",
     "falsy_normalize",
+    "transcripts_replay",  # the flagship — relational LWW oracle
 ]
 
 
@@ -72,8 +73,6 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
         "simhash_signatures",
         "embedding_neardup",
         "rolling_fingerprint",
-        "transcripts_replay",
-        "transcripts_replay_remap",
         "multimodal_decode",
         "ann_topk_lsh",
     }
