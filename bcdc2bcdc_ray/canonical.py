@@ -29,12 +29,195 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from pandas.util import hash_pandas_object
 
 HASH_COL = "__content_hash"
 
+# Name+version of the self-owned hash function. Written into every lake's
+# _meta.json: the lake's PHYSICAL partition layout is a function of this
+# hash, so a lake can only be merged in place by an engine using the same
+# version (replay refuses on mismatch rather than silently mis-routing).
+# v2 = poly64/splitmix64 below; v1 was pandas SipHash (dropped: it tied the
+# on-disk layout to a third-party library's hash stability across upgrades).
+HASH_VERSION = "poly64-v2"
+
 _NULL_SENTINEL = np.uint64(0x9E3779B97F4A7C15)  # fixed odd constant for null rows
 _MIX = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime_2, used as column mixer
+
+# ---------------------------------------------------------------------------
+# Self-owned vectorized value hashing (no pandas/third-party hash in the
+# on-disk layout path). Strings: polynomial rolling hash mod 2^64 with the
+# odd FNV-64 prime as base — odd ⇒ invertible mod 2^64, which is what makes
+# the O(n) vectorized prefix construction below possible — finalized with a
+# splitmix64-style mixer. Numerics: bit-pattern + splitmix64.
+# ---------------------------------------------------------------------------
+
+_POLY_B = np.uint64(0x100000001B3)  # FNV-64 prime, odd
+_POLY_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_POLY_CHUNK = 1 << 22  # bound temp arrays to ~4M bytes × 8B × 4 ≈ 128 MB
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mixer)."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+_POW_CACHE: dict = {}
+
+
+def _pow_tables(n: int, base: np.uint64 = _POLY_B) -> tuple[np.ndarray, np.ndarray]:
+    """Cached position-only tables per base: powB[k] = B^k, binv_pow[k] = B^-k
+    (mod 2^64), grown geometrically and sliced per call."""
+    slot = _POW_CACHE.get(int(base))
+    cap = slot["cap"] if slot else 0
+    if n + 1 > cap:
+        cap = max(n + 1, 2 * cap, 1 << 16)
+        base_inv = np.uint64(pow(int(base), -1, 1 << 64))  # base must be odd
+        with np.errstate(over="ignore"):
+            powB = np.empty(cap, np.uint64)
+            powB[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(cap - 1, base, np.uint64), out=powB[1:])
+            binv = np.empty(cap, np.uint64)
+            binv[0] = np.uint64(1)
+            np.multiply.accumulate(
+                np.full(cap - 1, base_inv, np.uint64), out=binv[1:]
+            )
+        _POW_CACHE[int(base)] = {"cap": cap, "powB": powB, "binv": binv}
+    slot = _POW_CACHE[int(base)]
+    return slot["powB"], slot["binv"]
+
+
+def prefix_poly(
+    data: np.ndarray, base: np.uint64 = _POLY_B
+) -> tuple[np.ndarray, np.ndarray]:
+    """Prefix polynomial hashes of a uint8 buffer, all mod 2^64.
+
+    Returns (H, powB) with ``H[k]`` = poly of the first k bytes
+    (H[k] = H[k-1]*B + data[k-1]) and ``powB[k]`` = B^k. The recurrence is
+    computed WITHOUT a Python loop: since B is odd (invertible mod 2^64),
+    H[k] = B^(k-1) * cumsum(data[t] * B^-t). Any segment's poly then falls
+    out of two gathers: poly[i:j) = H[j] - H[i] * powB[j-i].
+    """
+    n = len(data)
+    powB, binv_pow = _pow_tables(n, base)
+    with np.errstate(over="ignore"):
+        C = np.empty(n + 1, np.uint64)
+        C[0] = np.uint64(0)
+        np.cumsum(data.astype(np.uint64) * binv_pow[:n], out=C[1:])
+        H = np.empty(n + 1, np.uint64)
+        H[0] = np.uint64(0)
+        H[1:] = powB[:n] * C[1:]
+    return H, powB
+
+
+def poly_hash_segments(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    base: np.uint64 = _POLY_B,
+) -> np.ndarray:
+    """Polynomial hash of each byte segment ``data[starts[i]:ends[i])`` —
+    vectorized via prefix hashes, processed in bounded-memory chunks aligned
+    to segment boundaries (a 128 MB string block never materializes >~130 MB
+    of temporaries)."""
+    out = np.empty(len(starts), np.uint64)
+    if len(starts) == 0:
+        return out
+    i = 0
+    n_seg = len(starts)
+    while i < n_seg:
+        chunk_base = starts[i]
+        # offsets are monotonic → largest j with ends[j-1] <= chunk start + CHUNK
+        j = int(np.searchsorted(ends, chunk_base + _POLY_CHUNK, side="right"))
+        j = max(j, i + 1)
+        lo, hi = int(starts[i]), int(ends[j - 1])
+        H, powB = prefix_poly(data[lo:hi], base)
+        s = (starts[i:j] - lo).astype(np.int64)
+        e = (ends[i:j] - lo).astype(np.int64)
+        with np.errstate(over="ignore"):
+            out[i:j] = H[e] - H[s] * powB[e - s]
+        i = j
+    return out
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data_uint8, starts, ends) views of a (large_)string array's buffers."""
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype, count=arr.offset + len(arr) + 1)[
+        arr.offset :
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    return data, offs[:-1], offs[1:]
+
+
+def hash_string_array(arr: pa.Array) -> np.ndarray:
+    """uint64 hash per string value (nulls hashed as empty; caller applies
+    the null sentinel). Length is mixed in so '' and '\\0' differ."""
+    data, starts, ends = _string_buffers(arr)
+    h = poly_hash_segments(data, starts, ends)
+    return splitmix64(h ^ splitmix64((ends - starts).astype(np.uint64)))
+
+
+def _hash_one_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 per value — self-owned (stable across processes,
+    machines AND library upgrades; the lake's partition layout depends on it)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            arr = col.chunk(0)
+        else:
+            arr = col.combine_chunks()
+    else:
+        arr = col
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.dictionary_decode()
+        t = arr.type
+    nulls: np.ndarray | None = None
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        h = hash_string_array(arr)
+    elif pa.types.is_floating(t):
+        x = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
+        nan = np.isnan(x)
+        if nan.any():
+            nulls = nan if nulls is None else (nulls | nan)
+            x[nan] = 0.0
+        x[x == 0.0] = 0.0  # -0.0 → +0.0 (canonical equality)
+        h = splitmix64(x.view(np.uint64))
+    elif pa.types.is_boolean(t):
+        h = splitmix64(
+            arr.cast(pa.uint8()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+    elif (
+        pa.types.is_integer(t)
+        or pa.types.is_temporal(t)
+    ):
+        if pa.types.is_unsigned_integer(t):
+            x = arr.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        else:
+            x = (
+                arr.cast(pa.int64(), safe=False)
+                if not pa.types.is_temporal(t)
+                else pc.cast(arr, pa.int64(), safe=False)
+            ).to_numpy(zero_copy_only=False).view(np.uint64)
+        h = splitmix64(x)
+    else:
+        # exotic types (decimal, binary, nested): canonical string form
+        h = hash_string_array(pc.cast(arr, pa.string()))
+    if nulls is not None and nulls.any():
+        h = h.copy()
+        h[nulls] = _NULL_SENTINEL
+    return h
 
 
 def falsy_to_null(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
@@ -67,19 +250,6 @@ def pad_missing_columns(batch: pa.Table, schema: pa.Schema) -> pa.Table:
         if fld.name not in batch.column_names:
             batch = batch.append_column(fld.name, pa.nulls(n, type=fld.type))
     return batch
-
-
-def _hash_one_column(col: pa.ChunkedArray) -> np.ndarray:
-    """Deterministic uint64 per value. SipHash-1-3 via pandas (C kernel,
-    fixed key → stable across processes/machines)."""
-    s = col.to_pandas()
-    # hash_pandas_object hashes NaN/None deterministically, but distinct
-    # null-ish forms (None vs NaT vs NaN) can differ — normalize via isna.
-    h = hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64, copy=True)
-    na = s.isna().to_numpy()
-    if na.any():
-        h[na] = _NULL_SENTINEL
-    return h
 
 
 def content_hash(

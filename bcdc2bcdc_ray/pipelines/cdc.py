@@ -51,10 +51,20 @@ def init_lake(
     """Seed the lake: hash-partition the initial table by conv_id and write
     one file per partition. Partition assignment must match AssignPartition
     exactly (same hash, same modulus) — co-partitioning invariant."""
+    from ..canonical import HASH_VERSION
+
     os.makedirs(lake_dir, exist_ok=True)
     with open(os.path.join(lake_dir, "_meta.json"), "w") as f:
         json.dump(
-            {"num_partitions": num_partitions, "key": list(spec.key), "name": spec.name},
+            {
+                "num_partitions": num_partitions,
+                "key": list(spec.key),
+                "name": spec.name,
+                # partition layout is a function of this hash — replay
+                # refuses a lake written with a different hash version
+                # rather than silently mis-routing keys
+                "hash": HASH_VERSION,
+            },
             f,
         )
     pids = partition_ids(table, [spec.key[0]], num_partitions)
@@ -162,6 +172,15 @@ def replay(
     spec = spec or transcripts_spec()
     meta = lake_meta(lake_dir)
     P = meta["num_partitions"]
+    from ..canonical import HASH_VERSION
+
+    lake_hash = meta.get("hash", HASH_VERSION)
+    if lake_hash != HASH_VERSION:
+        raise ValueError(
+            f"lake {lake_dir} was partitioned with hash '{lake_hash}' but this "
+            f"engine uses '{HASH_VERSION}' — re-init or migrate the lake "
+            "(partition assignment would silently mis-route keys otherwise)"
+        )
     store = ManifestStore(lake_dir)
 
     from ..sources import wal as wal_src

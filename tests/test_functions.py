@@ -87,6 +87,49 @@ def test_minhash_deterministic_across_instances():
     ).all()
 
 
+def test_vectorized_signatures_match_scalar_reference():
+    """The batch kernels (flat tokenize → shifted-fold shingles → segmented
+    reduceat) must be bit-identical to the per-row scalar reference paths,
+    including the edge cases: null, empty, whitespace-only, <n-word docs."""
+    texts = [
+        BASE, NEAR, FAR, "one two", "single", "", None, "   ",
+        "a b c d e f g", "xxx",
+    ]
+    batch = _docs(texts)
+    mh = dedup.MinHasher(64, 3)
+    got = mh(batch).column("minhash").to_pylist()
+    exp = [[int(x) for x in mh.signature(t)] for t in texts]
+    assert got == exp
+    sh = dedup.SimHasher()
+    assert sh(batch).column("simhash").to_pylist() == [sh.simhash(t) for t in texts]
+
+
+def test_shingle_sets_and_grouped_jaccard():
+    batch = _docs([BASE, NEAR, FAR, "one two"])
+    sets = dedup.shingle_set_batch(batch)
+    # unique + sorted per doc
+    for lst in sets.column("shingles").to_pylist():
+        assert lst == sorted(set(lst))
+    # co-located pair rows → exact jaccard equals the scalar reference
+    sh = sets.column("shingles").combine_chunks()
+    rows = pa.table(
+        {
+            "a": pa.array([0, 0, 0, 0], pa.int64()),
+            "b": pa.array([1, 1, 2, 2], pa.int64()),
+            "doc_id": pa.array([0, 1, 0, 2], pa.int64()),
+            "shingles": sh.take(pa.array([0, 1, 0, 2])),
+        }
+    )
+    out = dedup.jaccard_pairs_grouped(rows, 0.0)
+    got = dict(zip(zip(out.column("a").to_pylist(), out.column("b").to_pylist()),
+                   out.column("jaccard").to_pylist()))
+    assert abs(got[(0, 1)] - dedup.jaccard_ngram(BASE, NEAR)) < 1e-12
+    assert abs(got[(0, 2)] - dedup.jaccard_ngram(BASE, FAR)) < 1e-12
+    # threshold filters
+    out2 = dedup.jaccard_pairs_grouped(rows, 0.5)
+    assert out2.num_rows == 1
+
+
 def test_lsh_bands_bucket_near_dups_together():
     mh = dedup.MinHasher(num_perm=64)
     t = mh(_docs([BASE, NEAR, FAR]))

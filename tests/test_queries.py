@@ -69,7 +69,6 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
         "minhash_lsh_pairs",
-        "ngram_jaccard_pairs",
         "simhash_signatures",
         "embedding_neardup",
         "rolling_fingerprint",
