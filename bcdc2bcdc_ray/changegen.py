@@ -244,6 +244,59 @@ def gen_wal_chunks(
     return paths
 
 
+TOOLS_SCHEMA = pa.schema(
+    [
+        ("tool_id", pa.string()),
+        ("dest_name", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def gen_tool_dim() -> pa.Table:
+    """Initial tools dimension table (the small 'users/groups' analog that
+    must merge BEFORE the fact table — reference FK ordering,
+    ``/root/reference/bin/runBCDC2BCDC.py:286-289``)."""
+    return pa.table(
+        {
+            "tool_id": pa.array(list(_TOOLS), pa.string()),
+            "dest_name": pa.array([f"pending-{t}" for t in _TOOLS], pa.string()),
+            "ts": pa.array(
+                np.full(len(_TOOLS), _BASE_TS_US, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def gen_tool_events(n_events: int = 64, lsn_start: int = 1) -> pa.Table:
+    """Deterministic upsert-only change events for the tools dimension:
+    each tool's dest_name is rewritten several times; the max-LSN upsert
+    wins (LWW), so the final dimension state — and the id-remap LUT derived
+    from it (``DataCache.py:143-189`` addData) — is a pure function of this
+    stream."""
+    lsn = np.arange(lsn_start, lsn_start + n_events, dtype=np.int64)
+    tools = np.array(_TOOLS)[(lsn - lsn_start) % len(_TOOLS)]
+    dest = np.array([f"dst-{t}-{l}" for t, l in zip(tools, lsn)], dtype=object)
+    return pa.table(
+        {
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(["upsert"] * n_events, pa.string()),
+            "tool_id": pa.array(tools, pa.string()),
+            "dest_name": pa.array(dest, pa.string()),
+            "ts": pa.array(_BASE_TS_US + lsn * 1_000_000, pa.timestamp("us")),
+        }
+    )
+
+
+def final_tool_lut(dim: pa.Table, events: pa.Table) -> dict:
+    """Dict-oracle LWW over the dim stream: tool_id → final dest_name."""
+    lut = dict(zip(dim.column("tool_id").to_pylist(), dim.column("dest_name").to_pylist()))
+    ev = sorted(events.to_pylist(), key=lambda r: r["lsn"])
+    for r in ev:
+        lut[r["tool_id"]] = r["dest_name"]
+    return lut
+
+
 def oracle_replay(
     lake: pa.Table,
     events: pa.Table,

@@ -115,6 +115,59 @@ def read_lake(lake_dir: str):
     return rd.read_parquet(paths)
 
 
+def derive_dup_ignores(
+    ds,
+    derive_fn,
+    key_col: str,
+    min_count: int = 2,
+    n_buckets: int = 16,
+) -> frozenset:
+    """Two-pass runtime-discovered ignore set — the reference's
+    duplicate-email pre-scan feeding CachedIgnores
+    (``/root/reference/bcdc2bcdc/DataCache.py:559-586`` +
+    ``CKANData.py:1582-1637``; SURVEY §2.3 ST4, §2.7 D3): records whose
+    derived dup-key is shared by ≥ ``min_count`` records are ALL marked
+    ignored, and the returned key set feeds the same run's
+    ``TableSpec.ignore_keys`` (state-ordering dependency: this pass runs
+    BEFORE the replay, mirroring ``runBCDC2BCDC.py:71``).
+
+    ``derive_fn``: ``pa.Table -> pa.Table`` with columns
+    ``[key_col, "dup_key"]`` (it also prunes — e.g. keep only turn 0).
+    Distributed: derive per batch → ONE bucketed shuffle on hash(dup_key) →
+    per-bucket vectorized group-count + semi-join → tiny driver-side set
+    (the ignore set is small by construction; it broadcasts into the spec)."""
+    import pyarrow.compute as pc_
+
+    from ..canonical import key_hash
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = derive_fn(b)
+        return t.append_column(
+            "__b",
+            pa.array((key_hash(t, ["dup_key"]) % n_buckets).astype("int32")),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        counts = g.group_by(["dup_key"]).aggregate([([], "count_all")])
+        bad = counts.filter(
+            pc_.greater_equal(counts.column("count_all"), min_count)
+        ).column("dup_key")
+        mask = pc_.is_in(g.column("dup_key"), value_set=bad.combine_chunks())
+        return g.filter(mask).select([key_col])
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    keys: set = set()
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            keys.update(b.column(key_col).to_pylist())
+    return frozenset(keys)
+
+
 class AssignPartition:
     """map_batches fn: add ``__part = hash(conv_id) % P`` and drop events at
     or below their partition's committed watermark (cheap resume filter; the

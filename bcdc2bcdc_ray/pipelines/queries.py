@@ -1339,6 +1339,9 @@ _FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "bcdc2bcdc_ray_fixtures", "v1
 _FLAGSHIP_LAKE = os.path.join(_FIXTURE_DIR, "transcripts_lake.parquet")
 _FLAGSHIP_WAL = os.path.join(_FIXTURE_DIR, "transcripts_wal.parquet")
 _FLAGSHIP_LAKE_REMAP = os.path.join(_FIXTURE_DIR, "transcripts_lake_remap.parquet")
+_TOOLS_LAKE = os.path.join(_FIXTURE_DIR, "tools_lake.parquet")
+_TOOLS_WAL = os.path.join(_FIXTURE_DIR, "tools_wal.parquet")
+_FLAGSHIP_LAKE_2T = os.path.join(_FIXTURE_DIR, "transcripts_lake_2t.parquet")
 
 
 def _ensure_flagship_fixture() -> None:
@@ -1358,9 +1361,26 @@ def _ensure_flagship_fixture() -> None:
         atomic_write_parquet(
             _remap_tool_hook(cg.gen_transcripts(400, seed=42)), _FLAGSHIP_LAKE_REMAP
         )
+    if not os.path.exists(_TOOLS_LAKE):
+        atomic_write_parquet(cg.gen_tool_dim(), _TOOLS_LAKE)
+    if not os.path.exists(_TOOLS_WAL):
+        atomic_write_parquet(cg.gen_tool_events(64), _TOOLS_WAL)
+    if not os.path.exists(_FLAGSHIP_LAKE_2T):
+        # the destination transcripts lake is already in FINAL dim-LUT space
+        lut = cg.final_tool_lut(cg.gen_tool_dim(), cg.gen_tool_events(64))
+        atomic_write_parquet(
+            transforms.value_map(cg.gen_transcripts(400, seed=42), "tool", lut),
+            _FLAGSHIP_LAKE_2T,
+        )
 
 
-def _replay_oracle_sql(lake_path: str, wal_path: str, tool_expr: str = "tool") -> str:
+def _replay_oracle_sql(
+    lake_path: str,
+    wal_path: str,
+    tool_expr: str = "tool",
+    ev_where: str = "",
+    ev0_override: str | None = None,
+) -> str:
     """DuckDB re-derivation of the engine's single-replay semantics
     (reference behavior certified: getDelta CKANData.py:1468-1502 + apply
     CKANUpdate.py:67-83): per key take the max-LSN WAL event; delete drops
@@ -1368,11 +1388,16 @@ def _replay_oracle_sql(lake_path: str, wal_path: str, tool_expr: str = "tool") -
     '' / 'None' → null on text/tool — the Diff.py:55-67 both-falsy rule)
     is a NOOP that KEEPS the current raw row; otherwise the event payload
     wins. ``tool_expr`` lets the remap variant apply the id-remap LUT to the
-    incoming events (J5, applyIdRemapping CKANData.py:420-455)."""
+    incoming events (J5, applyIdRemapping CKANData.py:420-455); ``ev_where``
+    injects the runtime-ignore filter (M9/ST4); ``ev0_override`` replaces
+    the whole incoming-events subquery (the two-table derived-LUT join)."""
+    ev0 = ev0_override or (
+        f"SELECT lsn, op, conv_id, turn_idx, role, text, {tool_expr} AS tool, ts"
+        f" FROM read_parquet('{wal_path}'){ev_where}"
+    )
     return f"""
     WITH lake AS (SELECT * FROM read_parquet('{lake_path}')),
-    ev0 AS (SELECT lsn, op, conv_id, turn_idx, role, text, {tool_expr} AS tool, ts
-            FROM read_parquet('{wal_path}')),
+    ev0 AS ({ev0}),
     ev AS (SELECT * FROM ev0
            QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
                                       ORDER BY lsn DESC) = 1),
@@ -1484,6 +1509,139 @@ def transcripts_replay_remap(sf_dir: str):
         )
         events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec)
+        return cdc.read_lake_table(lake_dir)
+
+
+_IGNORE_WHERE = f"""
+ WHERE conv_id NOT IN (
+     SELECT conv_id FROM (
+         SELECT conv_id,
+                count(*) OVER (
+                    PARTITION BY regexp_replace(text, ' #[0-9]+$', '')
+                ) AS c
+         FROM read_parquet('{_FLAGSHIP_LAKE}') WHERE turn_idx = 0
+     ) WHERE c >= 2)
+"""
+
+
+@q(
+    "derived_ignore_replay",
+    _replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL, ev_where=_IGNORE_WHERE),
+)
+def derived_ignore_replay(sf_dir: str):
+    """ST4 — the runtime-discovered ignore set wired into the replay (the
+    reference's two-pass CachedIgnores flow: duplicate-email pre-scan
+    ``CKANData.py:1582-1637`` populates ``DataCache.py:559-586``, consulted
+    by later stages; order matters — SURVEY §3.1c).
+
+    Pass 1 (distributed): scan the LAKE's turn-0 rows, derive a dup-key by
+    stripping the row-unique '#tag' suffix; conversations sharing a base
+    sentence are ALL marked ignored (D3 'drop all members').
+    Pass 2: replay the WAL with ``transcripts_spec(ignore_keys=derived)`` —
+    ignored conversations are untouched by any event."""
+    import ray.data as rd
+
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+
+    def derive(b: pa.Table) -> pa.Table:
+        t0 = b.filter(pc.equal(b.column("turn_idx"), 0))
+        dup_key = pc.replace_substring_regex(t0.column("text"), r" #[0-9]+$", "")
+        return pa.table({"conv_id": t0.column("conv_id"), "dup_key": dup_key})
+
+    lake_ds = rd.read_parquet(_FLAGSHIP_LAKE)
+    ignores = cdc.derive_dup_ignores(lake_ds, derive, "conv_id", min_count=2)
+    spec = transcripts_spec(ignore_keys=ignores)
+    with tempfile.TemporaryDirectory(prefix="txig_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec)
+        return cdc.read_lake_table(lake_dir)
+
+
+_TWO_TABLE_EV0 = f"""
+    SELECT w.lsn, w.op, w.conv_id, w.turn_idx, w.role, w.text,
+           coalesce(d.dest_name, w.tool) AS tool, w.ts
+    FROM read_parquet('{_FLAGSHIP_WAL}') w
+    LEFT JOIN (
+        SELECT coalesce(e.tool_id, l.tool_id) AS tool_id,
+               coalesce(e.dest_name, l.dest_name) AS dest_name
+        FROM read_parquet('{_TOOLS_LAKE}') l
+        FULL OUTER JOIN (
+            SELECT tool_id, dest_name FROM read_parquet('{_TOOLS_WAL}')
+            QUALIFY row_number() OVER (PARTITION BY tool_id
+                                       ORDER BY lsn DESC) = 1
+        ) e ON l.tool_id = e.tool_id
+    ) d ON w.tool = d.tool_id
+"""
+
+
+@q(
+    "two_table_replay",
+    _replay_oracle_sql(_FLAGSHIP_LAKE_2T, _FLAGSHIP_WAL, ev0_override=_TWO_TABLE_EV0),
+)
+def two_table_replay(sf_dir: str):
+    """Multi-table run with FK ordering and a DERIVED LUT (the reference's
+    users→groups→orgs→packages sequencing, ``runBCDC2BCDC.py:286-289``, with
+    LUTs registered from fetched data, ``DataCache.py:143-189`` addData):
+
+    1. merge the small ``tools`` DIMENSION table first (its own lake, its
+       own WAL, the full CDC machinery);
+    2. build the id-remap LUT from the dimension's POST-MERGE lake state —
+       not from a hardcoded table;
+    3. replay transcripts with an ``on_compare`` hook consuming that LUT,
+       so the fact lake stays entirely in final dim-name space."""
+    from .. import changegen as cg
+    from ..spec import TableSpec, TRANSCRIPTS_SCHEMA
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    with tempfile.TemporaryDirectory(prefix="tx2t_") as tmp:
+        # stage 1: dimension merge (dims before facts)
+        dim_spec = TableSpec(
+            name="tools",
+            schema=cg.TOOLS_SCHEMA,
+            key=("tool_id",),
+            compare_columns=("dest_name", "ts"),
+        )
+        dim_dir = os.path.join(tmp, "tools_lake")
+        cdc.init_lake(pq.read_table(_TOOLS_LAKE), dim_dir, dim_spec, num_partitions=4)
+        dim_paths = cg.write_wal_chunks(
+            pq.read_table(_TOOLS_WAL), os.path.join(tmp, "tools_wal"), num_chunks=2
+        )
+        cdc.replay(dim_dir, dim_paths, dim_spec)
+        # stage 2: LUT from the dimension's post-merge state
+        dim_state = cdc.read_lake_table(dim_dir)
+        lut = dict(
+            zip(
+                dim_state.column("tool_id").to_pylist(),
+                dim_state.column("dest_name").to_pylist(),
+            )
+        )
+
+        def remap_hook(batch: pa.Table) -> pa.Table:
+            return transforms.value_map(batch, "tool", lut)
+
+        # stage 3: fact replay through the derived LUT
+        spec = TableSpec(
+            name="transcripts_2t",
+            schema=TRANSCRIPTS_SCHEMA,
+            key=("conv_id", "turn_idx"),
+            compare_columns=("role", "text", "tool", "ts"),
+            falsy_null_columns=("text", "tool"),
+            on_compare=(remap_hook,),
+        )
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE_2T), lake_dir, spec, num_partitions=16)
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
         cdc.replay(lake_dir, paths, spec)
         return cdc.read_lake_table(lake_dir)
 

@@ -268,3 +268,73 @@ def test_wal_chunk_stats(tmp_path):
     s0, s1 = wal_src.chunk_stats(paths[0]), wal_src.chunk_stats(paths[1])
     assert s0.lsn_hi < s1.lsn_lo and s0.rows + s1.rows >= 1000
     assert wal_src.list_wal_chunks(str(tmp_path / "w")) == paths
+
+
+def test_derived_ignores_two_pass(ray_session, dirs):
+    """ST4 — runtime-discovered ignore set feeds the SAME run's replay
+    (reference CachedIgnores flow, DataCache.py:559-586 + the invariant in
+    tests/test_CKANData.py:74-105: no changed key is in the ignore list)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec0, lake, events, paths = _setup(lake_dir, wal_dir)
+
+    def derive(b: pa.Table) -> pa.Table:
+        t0 = b.filter(pc.equal(b.column("turn_idx"), 0))
+        dk = pc.replace_substring_regex(t0.column("text"), r" #[0-9]+$", "")
+        return pa.table({"conv_id": t0.column("conv_id"), "dup_key": dk})
+
+    ignores = cdc.derive_dup_ignores(rd.from_arrow(lake), derive, "conv_id")
+    assert ignores  # the 512-sentence pool guarantees collisions at 120 convs
+    spec = transcripts_spec(ignore_keys=ignores)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    assert final.equals(cg.oracle_replay(lake, events, ignore_keys=ignores))
+    # the invariant: ignored conversations' rows are untouched by any event
+    for conv in list(ignores)[:5]:
+        want = lake.filter(pc.equal(lake.column("conv_id"), conv))
+        got = final.filter(pc.equal(final.column("conv_id"), conv))
+        assert got.equals(want.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]))
+
+
+def test_two_table_replay_derived_lut(ray_session, tmp_path):
+    """Dims merge before facts; the fact replay's LUT comes from the dim's
+    POST-MERGE lake state (runBCDC2BCDC.py:286-289 + DataCache.py:143-189)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.spec import TableSpec, TRANSCRIPTS_SCHEMA
+    from bcdc2bcdc_ray.stages import transforms
+
+    dim = cg.gen_tool_dim()
+    dim_ev = cg.gen_tool_events(48)
+    dim_spec = TableSpec(
+        name="tools", schema=cg.TOOLS_SCHEMA, key=("tool_id",),
+        compare_columns=("dest_name", "ts"),
+    )
+    dim_dir = str(tmp_path / "dim")
+    cdc.init_lake(dim, dim_dir, dim_spec, num_partitions=2)
+    dim_paths = cg.write_wal_chunks(dim_ev, str(tmp_path / "dimwal"), num_chunks=2)
+    cdc.replay(dim_dir, dim_paths, dim_spec)
+    dim_state = cdc.read_lake_table(dim_dir)
+    lut = dict(zip(dim_state.column("tool_id").to_pylist(),
+                   dim_state.column("dest_name").to_pylist()))
+    # the engine-derived LUT equals the dict-oracle LWW over the dim stream
+    assert lut == cg.final_tool_lut(dim, dim_ev)
+
+    lake = transforms.value_map(cg.gen_transcripts(80, seed=42), "tool", lut)
+    events = cg.gen_change_events(2000, 80, seed=7)
+    spec = TableSpec(
+        name="t2t", schema=TRANSCRIPTS_SCHEMA, key=("conv_id", "turn_idx"),
+        compare_columns=("role", "text", "tool", "ts"),
+        falsy_null_columns=("text", "tool"),
+        on_compare=(lambda b: transforms.value_map(b, "tool", lut),),
+    )
+    lake_dir = str(tmp_path / "lake")
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    paths = cg.write_wal_chunks(events, str(tmp_path / "wal"), num_chunks=4)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    oracle = cg.oracle_replay(lake, transforms.value_map(events, "tool", lut))
+    assert final.equals(oracle)
