@@ -142,24 +142,66 @@ class HyperplaneLSH:
             out = (out << 1) | int(b)
         return out
 
+    def probe_buckets(self, vec: np.ndarray, probes: int) -> list[int]:
+        """Multiprobe sequence (Lv et al. '07): the query's bucket plus the
+        buckets reached by flipping the LOWEST-|margin| hyperplane bits —
+        near-misses across a hyperplane the query barely cleared are the
+        likeliest home of missed neighbors. Returns ≤ ``probes`` bucket ids
+        ordered by increasing flipped-margin cost."""
+        from itertools import combinations
+
+        proj = np.asarray(vec, dtype=np.float64) @ self.h  # (bits,)
+        nbits = proj.shape[0]
+        base = self.bucket_of(vec)
+        margins = np.abs(proj)
+        # enumerate flip subsets of the smallest-margin bits, cheapest first
+        cand: list[tuple[float, tuple[int, ...]]] = []
+        small = np.argsort(margins)[: min(nbits, 12)]
+        for r in range(1, len(small) + 1):
+            for comb in combinations(small, r):
+                cand.append((float(margins[list(comb)].sum()), comb))
+            if len(cand) >= 4 * probes:
+                break
+        cand.sort()
+        out = [base]
+        for _, comb in cand[: max(0, probes - 1)]:
+            b = base
+            for bit in comb:
+                # bit index counts from the most-significant position
+                b ^= 1 << (nbits - 1 - int(bit))
+            out.append(b)
+        return out
+
 
 def topk_cosine_lsh(
-    ds, query, dim: int, bits: int = 2, k: int = 10, id_col: str = "vec_id", seed: int = 7
+    ds,
+    query,
+    dim: int,
+    bits: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    seed: int = 7,
+    probes: int = 1,
 ):
     """IVF/LSH-bucketed ANN (the scale path): bucket every vector with the
-    deterministic hyperplane hash, scan ONLY the query's bucket, then run the
-    brute-force top-k over that ~N/2^bits slice. Trades recall (vectors just
-    across a hyperplane are missed) for a 2^bits scan reduction; production
-    probes neighboring buckets for higher recall."""
+    deterministic hyperplane hash, scan only the query's ``probes`` most
+    promising buckets (multiprobe: the query's own bucket + lowest-margin
+    bit flips), then brute-force top-k over that ~probes·N/2^bits slice.
+    ``probes`` trades scan fraction for recall — the pytest recall gate
+    pins ≥ 0.9 vs the exact scan on the fixture at the default used by the
+    ann_topk_lsh query."""
     import pyarrow.compute as pc
 
     lsh = HyperplaneLSH(dim, bits, seed)
-    qb = lsh.bucket_of(query)
+    probe = pa.array(lsh.probe_buckets(query, probes), pa.int64())
     bucketed = ds.map_batches(
         lambda b: _cached(HyperplaneLSH, dim, bits, seed)(b),
         batch_format="pyarrow",
     )
     in_bucket = bucketed.map_batches(
-        lambda b: b.filter(pc.equal(b.column("bucket"), qb)), batch_format="pyarrow"
+        lambda b: b.filter(
+            pc.fill_null(pc.is_in(b.column("bucket"), value_set=probe), False)
+        ),
+        batch_format="pyarrow",
     )
     return topk_cosine(in_bucket, query, k=k, id_col=id_col)

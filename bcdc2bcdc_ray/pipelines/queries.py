@@ -1085,8 +1085,12 @@ def ann_topk(sf_dir: str):
 
 @q("ann_topk_lsh")  # rows-only (approximate — bucket recall is data-dependent)
 def ann_topk_lsh(sf_dir: str):
-    """IVF/LSH-bucketed ANN: scan only the query's hyperplane bucket
-    (~N/2^bits of the data), then brute-force top-10 inside it."""
+    """IVF/LSH-bucketed ANN with multiprobe: scan the query's bucket plus
+    its lowest-margin bit-flip neighbors (~probes·N/2^bits of the data),
+    then brute-force top-10 inside the slice. probes=3 holds recall ≥ 0.9
+    vs the exact scan on the fixture (pinned by the pytest recall gate);
+    production tunes (bits, probes) to corpus size — at bits=8+, 3 probes
+    scan ~1% of the data."""
     qtab = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
@@ -1096,7 +1100,7 @@ def ann_topk_lsh(sf_dir: str):
     )
     dim = len(qvec)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    top = similarity.topk_cosine_lsh(ds, qvec, dim, bits=2, k=10)
+    top = similarity.topk_cosine_lsh(ds, qvec, dim, bits=2, k=10, probes=3)
     return top.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
 
 

@@ -338,3 +338,41 @@ def test_two_table_replay_derived_lut(ray_session, tmp_path):
     final = cdc.read_lake_table(lake_dir)
     oracle = cg.oracle_replay(lake, transforms.value_map(events, "tool", lut))
     assert final.equals(oracle)
+
+
+def test_partition_split_merge_roundtrip(ray_session, dirs):
+    """Lake maintenance: split (P→2P) mid-replay preserves correctness and
+    watermarks; merge (2P→P) after completion keeps the table identical and
+    the lake exactly-once (min-watermark re-application is all NOOPs)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=8)
+    cdc.replay(lake_dir, paths[:3], spec)
+    cdc.split_partitions(lake_dir)
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == 16
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    assert final.equals(cg.oracle_replay(lake, events))
+
+    cdc.merge_partitions(lake_dir)
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == 8
+    assert cdc.read_lake_table(lake_dir).equals(final)
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
+    assert cdc.read_lake_table(lake_dir).equals(final)
+
+
+def test_compact_targets_partition_size(ray_session, dirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=16)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    # tiny target → split up; huge target → merge down; table invariant
+    p_up = cdc.compact(lake_dir, target_bytes=1 << 10)
+    assert p_up >= 16
+    p_down = cdc.compact(lake_dir, target_bytes=1 << 30)
+    assert p_down == 1
+    assert cdc.read_lake_table(lake_dir).equals(final)

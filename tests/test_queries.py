@@ -84,3 +84,14 @@ def test_entry_smoke(ray_session):
     t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(_to_pandas(res))
     assert t.num_rows > 0
     assert {"conv_id", "turn_idx", "text"} <= set(t.schema.names)
+
+
+def test_ann_lsh_recall_gate(ray_session):
+    """The approximate ANN path has a quantified quality gate: multiprobe
+    LSH top-10 recall vs the exact brute-force top-10 must be >= 0.9 at the
+    ann_topk_lsh query's default (bits=2, probes=3)."""
+    import __ray_entry__ as e
+
+    exact = set(e.queries()["ann_topk"](SF).to_pandas()["vec_id"])
+    approx = set(e.queries()["ann_topk_lsh"](SF).to_pandas()["vec_id"])
+    assert len(exact & approx) / len(exact) >= 0.9
