@@ -1,20 +1,23 @@
-"""Multimodal (image/audio/video) column stages — real plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) column stages.
 
 Treats media as opaque ``binary`` payload columns with typed metadata
 (media_type, width/height or sample_rate, byte length). The Ray-side shape —
 actor-pool ``map_batches`` with small batches (large rows!), Arrow binary
-columns end-to-end, schema'd outputs — is real and tested; only the codec
-kernels are stubs, because no image/audio libraries exist in this container.
+columns end-to-end, schema'd outputs — is real and tested.
 
-Stub policy (per project brief): ``DecodeImage(strict=True)`` raises
-``NotImplementedError`` exactly where a real decoder (PIL/libjpeg) would be
-invoked; ``strict=False`` (default, used by tests) substitutes a
-DETERMINISTIC fake decode — feature values derived from the payload bytes —
-so downstream plumbing (schema, batching, actor signatures) is exercised
-honestly.
+Codec policy: formats parseable with numpy alone are decoded FOR REAL —
+binary PPM (P6) images, PCM16 WAV audio, and a documented raw-frame video
+container (``RV01``) — including a real nearest-neighbor resize and real
+frame sampling. Formats that genuinely require external codec libraries
+(png/jpeg/mp4 — not present in this container) raise ``NotImplementedError``
+under ``strict=True`` exactly where PIL/ffmpeg would be invoked, or fall
+back to deterministic byte-stat features under ``strict=False`` so the
+plumbing stays exercised.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -23,81 +26,248 @@ import pyarrow.compute as pc
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
-        ("media_type", pa.string()),  # "image/png" | "audio/wav" | ...
+        ("media_type", pa.string()),  # "image/x-portable-pixmap" | "audio/wav" | ...
         ("payload", pa.binary()),
         ("meta_width", pa.int32()),
         ("meta_height", pa.int32()),
     ]
 )
 
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs (real, tested)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Header: magic, whitespace-separated
+    width/height/maxval (comments unsupported — this is a data-plane codec,
+    not a general file reader), single whitespace byte, raw RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload[2:].split(maxsplit=3)
+    w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    header_len = len(payload) - w * h * 3
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=header_len)
+    return pix.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Real nearest-neighbor resize via numpy index gather (no PIL)."""
+    sh, sw = pixels.shape[:2]
+    yi = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xi = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return pixels[yi[:, None], xi[None, :]]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAVE PCM16 file."""
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono → (sample_rate, int16 samples). Walks RIFF
+    chunks, so extra chunks (LIST etc.) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → the RV01 raw-frame container:
+    magic 'RV01', <u2 w, <u2 h, <u4 n_frames, then raw RGB frames."""
+    n, h, w, _ = frames.shape
+    return b"RV01" + struct.pack("<HHI", w, h, n) + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawvideo(payload: bytes) -> np.ndarray:
+    """RV01 container → (n, h, w, 3) uint8 frame stack."""
+    if payload[:4] != b"RV01":
+        raise ValueError("not an RV01 payload")
+    w, h, n = struct.unpack("<HHI", payload[4:12])
+    pix = np.frombuffer(payload, dtype=np.uint8, count=n * h * w * 3, offset=12)
+    return pix.reshape(n, h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fixture generator
+# ---------------------------------------------------------------------------
+
 
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic fake media payloads for tests (no external data)."""
+    """Deterministic VALID media payloads (no external data): PPM images,
+    PCM16 WAVs, RV01 raw videos, round-robin."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
-                for sz in rng.integers(64, 4096, n)]
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(pix))
+            types.append("image/x-portable-pixmap")
+        elif kind == 1:
+            w = h = 0
+            samples = rng.integers(-32768, 32767, int(rng.integers(64, 2048))).astype(
+                np.int16
+            )
+            payloads.append(encode_wav(samples))
+            types.append("audio/wav")
+        else:
+            w, h = int(rng.integers(4, 12)), int(rng.integers(4, 12))
+            frames = rng.integers(
+                0, 256, (int(rng.integers(2, 30)), h, w, 3), dtype=np.uint8
+            )
+            payloads.append(encode_rawvideo(frames))
+            types.append("video/x-raw-rv01")
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
     return pa.table(
         {
-            "media_id": pa.array(np.arange(n), pa.int64()),
-            "media_type": pa.array(["image/png" if i % 2 == 0 else "audio/wav" for i in range(n)], pa.string()),
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "meta_width": pa.array(rng.integers(16, 512, n, dtype=np.int32), pa.int32()),
-            "meta_height": pa.array(rng.integers(16, 512, n, dtype=np.int32), pa.int32()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
+# ---------------------------------------------------------------------------
+# Actor-pool stages
+# ---------------------------------------------------------------------------
+
+
 class DecodeImage:
     """Actor-pool stage: decode + feature-extract an image payload column.
 
-    Real deployment: ``__init__`` loads the codec / model once per actor;
-    ``__call__`` decodes a SMALL batch (large binary rows → keep
-    ``batch_size`` low, e.g. 32–128, so batch × concurrency fits worker
-    heaps). Here the decode kernel is stubbed.
-    """
+    ``__init__`` is where a real deployment loads its codec/model once per
+    actor; batches stay SMALL (large binary rows → keep ``batch_size`` low,
+    e.g. 32–128, so batch × concurrency fits worker heaps). PPM payloads
+    decode for real; png/jpeg raise under ``strict=True`` (no codec libs in
+    this container) or byte-stat-fallback otherwise."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # real version: self.codec = PIL/torchvision loaded once per actor
 
-    def _decode_stub(self, payload: bytes) -> tuple[int, float]:
+    def _features(self, media_type: str, payload: bytes) -> tuple[int, float, int, int]:
+        if media_type == "image/x-portable-pixmap":
+            pix = decode_ppm(payload)
+            return len(payload), float(pix.mean()), pix.shape[1], pix.shape[0]
         if self.strict:
             raise NotImplementedError(
-                "image decode requires an image codec library (PIL/libjpeg), "
-                "not available in this container — plumbing only"
+                f"decode of {media_type} requires an image codec library "
+                "(PIL/libjpeg), not available in this container"
             )
-        # deterministic fake: byte stats stand in for decoded-pixel stats
         a = np.frombuffer(payload, dtype=np.uint8)
-        return len(a), float(a.mean()) if len(a) else 0.0
+        return len(a), float(a.mean()) if len(a) else 0.0, -1, -1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sizes, means = [], []
-        for v in batch.column("payload").to_pylist():
-            s, m = self._decode_stub(v or b"")
+        sizes, means, ws, hs = [], [], [], []
+        for mt, v in zip(
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            s, m, w, h = self._features(mt, v or b"")
             sizes.append(s)
             means.append(m)
+            ws.append(w)
+            hs.append(h)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "n_bytes": pa.array(sizes, pa.int64()),
                 "mean_intensity": pa.array(means, pa.float64()),
-                "meta_width": batch.column("meta_width"),
-                "meta_height": batch.column("meta_height"),
+                "decoded_width": pa.array(ws, pa.int32()),
+                "decoded_height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+class DecodeAudio:
+    """Actor-pool stage: PCM16 WAV → (sample_rate, n_samples, rms)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, rms = [], [], []
+        for mt, v in zip(
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mt == "audio/wav":
+                r, s = decode_wav(v)
+                rates.append(r)
+                counts.append(len(s))
+                rms.append(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))) if len(s) else 0.0)
+            elif self.strict:
+                raise NotImplementedError(f"decode of {mt} requires an audio codec")
+            else:
+                rates.append(-1)
+                counts.append(len(v or b""))
+                rms.append(0.0)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
             }
         )
 
 
 class ResizeImage:
-    """Stubbed resize stage — validates/propagates metadata, fakes pixels."""
+    """REAL nearest-neighbor resize for PPM payloads (numpy index gather),
+    re-encoded as PPM; non-PPM types raise under strict."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("resize requires an image library")
+        out = []
+        for mt, v in zip(
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mt == "image/x-portable-pixmap":
+                out.append(encode_ppm(resize_nearest(decode_ppm(v), self.w, self.h)))
+            elif self.strict:
+                raise NotImplementedError(f"resize of {mt} requires an image library")
+            else:
+                out.append(v)
         n = batch.num_rows
+        batch = batch.set_column(
+            batch.column_names.index("payload"), "payload", pa.array(out, pa.binary())
+        )
         batch = batch.set_column(
             batch.column_names.index("meta_width"), "meta_width",
             pa.array([self.w] * n, pa.int32()),
@@ -109,23 +279,31 @@ class ResizeImage:
 
 
 class SampleFrames:
-    """Video frame-sampling stub: emits one row per sampled frame index —
-    the flat_map-shaped explode a real frame sampler produces."""
+    """REAL frame sampling for RV01 raw videos: emits one row per sampled
+    frame (the flat_map-shaped explode) with the frame's mean intensity."""
 
     def __init__(self, every_n: int = 10, strict: bool = False):
         self.every_n, self.strict = every_n, strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("frame sampling requires a video codec")
-        ids, frames = [], []
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ids, frames, means = [], [], []
+        for mid, mt, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
         ):
-            n_frames = max(1, len(payload or b"") // 256)  # fake frame count
-            for f in range(0, n_frames, self.every_n):
-                ids.append(mid)
-                frames.append(f)
+            if mt == "video/x-raw-rv01":
+                stack = decode_rawvideo(payload)
+                for f in range(0, stack.shape[0], self.every_n):
+                    ids.append(mid)
+                    frames.append(f)
+                    means.append(float(stack[f].mean()))
+            elif self.strict:
+                raise NotImplementedError(f"frame sampling of {mt} requires a video codec")
         return pa.table(
-            {"media_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int32()),
+                "frame_mean": pa.array(means, pa.float64()),
+            }
         )

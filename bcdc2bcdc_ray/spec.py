@@ -85,6 +85,16 @@ class TableSpec:
     # hook lists.
     on_compare: tuple[Callable, ...] = ()
     on_apply: tuple[Callable, ...] = ()
+    # ADD-conflict policy (the reference's username-conflict retry-rename,
+    # ``CKANUpdate.py:153-189``): a string column that must stay unique
+    # within a partition's state. ADD rows colliding with existing rows (or
+    # earlier ADDs) on this column are renamed — by ``on_add_conflict(value,
+    # taken_set) -> new_value`` if given, else by numeric suffixing.
+    # Partitioning assumption: uniqueness is enforced PER PARTITION (the
+    # reference enforces per instance); co-locate by this column if global
+    # uniqueness is required.
+    add_conflict_column: Optional[str] = None
+    on_add_conflict: Optional[Callable] = None
 
     def compare_cols(self) -> tuple[str, ...]:
         if self.compare_columns is not None:

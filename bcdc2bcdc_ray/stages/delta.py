@@ -161,7 +161,61 @@ def apply_delta(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa
                 joined.column(fld.name),
             )
     out = pa.table(cols, schema=data_schema).filter(keep_row)
+    if spec.add_conflict_column and spec.add_conflict_column in out.column_names:
+        ops_kept = joined.column(OP_COL).filter(keep_row)
+        out = _resolve_add_conflicts(out, ops_kept, spec)
     return out.sort_by([(k, "ascending") for k in spec.key])
+
+
+def _resolve_add_conflicts(out: pa.Table, ops: pa.ChunkedArray, spec: TableSpec) -> pa.Table:
+    """ADD-conflict resolution (the reference's username-conflict
+    retry-rename, ``/root/reference/bcdc2bcdc/CKANUpdate.py:153-189``):
+    an ADD whose ``add_conflict_column`` value collides with an existing
+    row's — or an earlier ADD's — gets a new value from the policy hook
+    (default: smallest free ``value-k`` numeric suffix). Vectorized
+    pre-filter; Python only touches the (rare) conflicting rows."""
+    col = spec.add_conflict_column
+    vals = out.column(col)
+    op_np = ops.to_numpy(zero_copy_only=False) if isinstance(ops, pa.ChunkedArray) else np.asarray(ops)
+    is_add = op_np == ADD
+    if not is_add.any():
+        return out
+    existing = vals.filter(pa.array(~is_add))
+    conflict = pc.fill_null(
+        pc.is_in(vals, value_set=existing.combine_chunks()), False
+    ).to_numpy(zero_copy_only=False)
+    # duplicates among the ADDs themselves (first occurrence keeps the name)
+    vl = vals.to_pylist()
+    seen: set = set()
+    dup_add = np.zeros(len(vl), dtype=bool)
+    for i in np.flatnonzero(is_add):
+        v = vl[i]
+        if v is None:
+            continue
+        if v in seen:
+            dup_add[i] = True
+        seen.add(v)
+    conflicted = np.flatnonzero(is_add & (conflict | dup_add))
+    if len(conflicted) == 0:
+        return out
+    taken = {v for v in vl if v is not None}
+    resolver = spec.on_add_conflict
+    for i in conflicted:
+        v = vl[i]
+        if v is None:
+            continue
+        if resolver is not None:
+            nv = resolver(v, taken)
+        else:
+            k = 1
+            while f"{v}-{k}" in taken:
+                k += 1
+            nv = f"{v}-{k}"
+        vl[i] = nv
+        taken.add(nv)
+    return out.set_column(
+        out.column_names.index(col), col, pa.array(vl, type=vals.type)
+    )
 
 
 def delta_counts(joined: pa.Table) -> dict:

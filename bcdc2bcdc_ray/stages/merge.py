@@ -86,7 +86,7 @@ class MergeWriter:
     partition merge per call. State (spec, manifest store) built once per
     actor in ``__init__``."""
 
-    def __init__(self, lake_dir: str, spec: TableSpec):
+    def __init__(self, lake_dir: str, spec: TableSpec, dry_run: bool = False):
         # Each writer actor reserves 1 CPU; Arrow's default thread pool is
         # sized to the MACHINE, so N concurrent actors × machine-width acero
         # joins oversubscribe the node ~N× (measured 3-20× per-call inflation
@@ -99,6 +99,7 @@ class MergeWriter:
             pa.set_io_thread_count(2)
         self.lake_dir = lake_dir
         self.spec = spec
+        self.dry_run = dry_run  # classify + count, write nothing
         self.store = ManifestStore(lake_dir)
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -130,17 +131,18 @@ class MergeWriter:
         new_state, counts = delta.merge_partition(current, events, self.spec)
         lsn_hi = int(pc.max(events.column("lsn")).as_py())
 
-        atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
-        self.store.commit(
-            PartitionManifest(
-                partition=pid,
-                lsn_hi=max(lsn_hi, wm),
-                rows=new_state.num_rows,
-                counts=counts,
-                schema_names=list(new_state.schema.names),
-                data_file=f"part-{pid:05d}.parquet",
+        if not self.dry_run:
+            atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
+            self.store.commit(
+                PartitionManifest(
+                    partition=pid,
+                    lsn_hi=max(lsn_hi, wm),
+                    rows=new_state.num_rows,
+                    counts=counts,
+                    schema_names=list(new_state.schema.names),
+                    data_file=f"part-{pid:05d}.parquet",
+                )
             )
-        )
         return pa.table(
             {
                 "partition": [pid],

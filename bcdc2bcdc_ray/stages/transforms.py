@@ -246,6 +246,56 @@ def remap_list_struct(
     return _set(batch, col, _rebuild_list(arr, new_flat, parent))
 
 
+def fill_defaults_list_struct(
+    batch: pa.Table, col: str, field: str, default: object
+) -> pa.Table:
+    """M3 DEEP variant — required-defaults fill INSIDE a ``list<struct>``
+    column (the reference's DataPopulator walks defaults into lists of
+    structs, ``/root/reference/bcdc2bcdc/CKANData.py:1789-1885``): null
+    ``field`` values of every list element become ``default``. Vectorized:
+    flatten once, one ``fill_null`` on the child, struct+list rebuilt around
+    it with the original offsets."""
+    arr = _as_list_array(batch.column(col))
+    flat = pc.list_flatten(arr)
+    parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    st = flat.type
+    cols, names = [], []
+    for i in range(st.num_fields):
+        f = st.field(i)
+        names.append(f.name)
+        child = pc.struct_field(flat, f.name)
+        if f.name == field:
+            child = pc.fill_null(child, default)
+        if isinstance(child, pa.ChunkedArray):
+            child = child.combine_chunks()
+        cols.append(child)
+    new_flat = pa.StructArray.from_arrays(cols, names=names)
+    return _set(batch, col, _rebuild_list(arr, new_flat, parent))
+
+
+def json_rename_key(batch: pa.Table, col: str, old: str, new: str) -> pa.Table:
+    """M16 — the full more_info canonicalizer composition
+    (``/root/reference/bcdc2bcdc/CustomTransformers.py:715-765`` fixMoreInfo):
+    destringify the JSON column, RENAME ``old`` → ``new`` where present,
+    re-stringify canonically (sorted keys, fixed separators). Per-row parse
+    by nature (C-dispatched pandas map); run under an actor pool on hot
+    paths."""
+    s = batch.column(col).to_pandas()
+
+    def fix(v):
+        if v is None:
+            return None
+        try:
+            d = json.loads(v)
+        except ValueError:
+            return v
+        if isinstance(d, dict) and old in d:
+            d[new] = d.pop(old)
+        return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+    return _set(batch, col, pa.array(s.map(fix), pa.string()))
+
+
 def canonical_json(batch: pa.Table, col: str) -> pa.Table:
     """M16 — canonical re-serialization (sorted keys, fixed separators) of a
     stringified-JSON column (``CustomTransformers.py:739-764``)."""

@@ -376,3 +376,88 @@ def test_compact_targets_partition_size(ray_session, dirs):
     p_down = cdc.compact(lake_dir, target_bytes=1 << 30)
     assert p_down == 1
     assert cdc.read_lake_table(lake_dir).equals(final)
+
+
+def test_protected_lake_guard_and_dry_run(ray_session, dirs):
+    """Do-not-write guard (reference CKAN.py:431-460 checkUrl) + dry-run:
+    a protected lake refuses mutation; dry_run classifies and counts but
+    writes nothing."""
+    import pytest as _pytest
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    before = cdc.read_lake_table(lake_dir)
+    cdc.mark_protected(lake_dir)
+    with _pytest.raises(cdc.ProtectedLakeError):
+        cdc.replay(lake_dir, paths, spec)
+    # dry run is allowed: full classify report, zero writes
+    rep = cdc.replay(lake_dir, paths, spec, dry_run=True)
+    assert rep["adds"] > 0 and rep["partitions_touched"] > 0
+    assert cdc.read_lake_table(lake_dir).equals(before)
+    assert ManifestStore(lake_dir).watermarks() == {}
+    # force override applies for real
+    rep2 = cdc.replay(lake_dir, paths, spec, force=True)
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+    # dry-run counters predicted the real apply exactly
+    assert (rep["adds"], rep["updates"], rep["deletes"]) == (
+        rep2["adds"], rep2["updates"], rep2["deletes"])
+
+
+def test_audit_sink_written(ray_session, dirs, tmp_path):
+    import json as _json
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    audit = str(tmp_path / "audit")
+    rep = cdc.replay(lake_dir, paths, spec, audit_dir=audit)
+    with open(os.path.join(audit, "replay_transcripts.json")) as f:
+        saved = _json.load(f)
+    assert saved["adds"] == rep["adds"] and saved["events"] == rep["events"]
+    assert len(saved["lineage"]) == rep["partitions_touched"]
+
+
+def test_add_conflict_retry_rename():
+    """ADD-conflict policy (reference CKANUpdate.py:153-189 username
+    retry-rename): an ADD colliding on the alt-unique column gets the
+    smallest free numeric suffix; a custom hook overrides."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.spec import TableSpec
+    from bcdc2bcdc_ray.stages import delta
+
+    schema = pa.schema(
+        [("uid", pa.int64()), ("name", pa.string()), ("v", pa.int64())]
+    )
+    spec = TableSpec(
+        name="users", schema=schema, key=("uid",),
+        add_conflict_column="name",
+    )
+    current = pa.table(
+        {"uid": pa.array([1, 2], pa.int64()),
+         "name": pa.array(["alice", "bob"], pa.string()),
+         "v": pa.array([0, 0], pa.int64())})
+    events = pa.table(
+        {"uid": pa.array([3, 4, 5], pa.int64()),
+         "name": pa.array(["alice", "carol", "carol"], pa.string()),
+         "v": pa.array([1, 1, 1], pa.int64()),
+         "lsn": pa.array([10, 11, 12], pa.int64()),
+         "op": pa.array(["upsert"] * 3, pa.string())})
+    new_state, counts = delta.merge_partition(current, events, spec)
+    names = dict(zip(new_state.column("uid").to_pylist(),
+                     new_state.column("name").to_pylist()))
+    assert names[1] == "alice" and names[3] == "alice-1"  # renamed ADD
+    assert {names[4], names[5]} == {"carol", "carol-1"}  # dup within ADDs
+    assert counts["adds"] == 3
+
+    spec2 = TableSpec(
+        name="users", schema=schema, key=("uid",),
+        add_conflict_column="name",
+        on_add_conflict=lambda v, taken: f"{v}@alt",
+    )
+    new2, _ = delta.merge_partition(current, events, spec2)
+    names2 = dict(zip(new2.column("uid").to_pylist(), new2.column("name").to_pylist()))
+    assert names2[3] == "alice@alt"

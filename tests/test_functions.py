@@ -218,31 +218,79 @@ def test_hyperplane_lsh_deterministic():
 # ---- multimodal ----------------------------------------------------------
 
 
-def test_decode_stub_deterministic():
-    media = multimodal.synth_media_table(8)
-    out1 = multimodal.DecodeImage()(media)
-    out2 = multimodal.DecodeImage()(media)
-    assert out1.equals(out2)
-    assert out1.column("n_bytes").to_pylist() == [
-        len(p) for p in media.column("payload").to_pylist()
-    ]
+def test_ppm_codec_roundtrip_and_real_decode():
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(pix)) == pix).all()
+    media = multimodal.synth_media_table(9)
+    out = multimodal.DecodeImage(strict=False)(media)
+    # PPM rows decode for REAL: width/height come from the pixel data
+    ppm_rows = [i for i, t in enumerate(media.column("media_type").to_pylist())
+                if t == "image/x-portable-pixmap"]
+    for i in ppm_rows:
+        pixels = multimodal.decode_ppm(media.column("payload")[i].as_py())
+        assert out.column("decoded_width")[i].as_py() == pixels.shape[1]
+        assert out.column("decoded_height")[i].as_py() == pixels.shape[0]
+        assert abs(out.column("mean_intensity")[i].as_py() - pixels.mean()) < 1e-9
 
 
-def test_decode_strict_raises():
+def test_wav_codec_and_audio_features():
+    samples = (np.sin(np.arange(800) * 0.1) * 10000).astype(np.int16)
+    payload = multimodal.encode_wav(samples, 8000)
+    rate, got = multimodal.decode_wav(payload)
+    assert rate == 8000 and (got == samples).all()
+    media = multimodal.synth_media_table(9)
+    out = multimodal.DecodeAudio()(media)
+    wav_rows = [i for i, t in enumerate(media.column("media_type").to_pylist())
+                if t == "audio/wav"]
+    for i in wav_rows:
+        r, s = multimodal.decode_wav(media.column("payload")[i].as_py())
+        assert out.column("sample_rate")[i].as_py() == r
+        assert out.column("n_samples")[i].as_py() == len(s)
+
+
+def test_decode_strict_raises_on_external_codec_formats():
     import pytest
 
-    media = multimodal.synth_media_table(2)
+    media = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image/png"], pa.string()),
+            "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+            "meta_width": pa.array([1], pa.int32()),
+            "meta_height": pa.array([1], pa.int32()),
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
     with pytest.raises(NotImplementedError):
         multimodal.DecodeImage(strict=True)(media)
 
 
-def test_resize_and_frames():
-    media = multimodal.synth_media_table(4)
-    out = multimodal.ResizeImage(64, 64)(media)
-    assert set(out.column("meta_width").to_pylist()) == {64}
+def test_real_resize_and_frame_sampling():
+    rng = np.random.default_rng(1)
+    pix = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    up = multimodal.resize_nearest(pix, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == pix[0, 0]).all() and (up[3, 3] == pix[1, 1]).all()
+    media = multimodal.synth_media_table(9)
+    out = multimodal.ResizeImage(16, 16)(media)
+    for i, t in enumerate(out.column("media_type").to_pylist()):
+        if t == "image/x-portable-pixmap":
+            assert multimodal.decode_ppm(out.column("payload")[i].as_py()).shape == (16, 16, 3)
     frames = multimodal.SampleFrames(every_n=3)(media)
-    assert frames.column_names == ["media_id", "frame_idx"]
-    assert frames.num_rows >= 4
+    assert frames.column_names == ["media_id", "frame_idx", "frame_mean"]
+    vid_ids = {m for m, t in zip(media.column("media_id").to_pylist(),
+                                 media.column("media_type").to_pylist())
+               if t == "video/x-raw-rv01"}
+    assert set(frames.column("media_id").to_pylist()) <= vid_ids
+    # sampled frame means are the REAL per-frame pixel means
+    first_vid = min(vid_ids)
+    stack = multimodal.decode_rawvideo(
+        media.column("payload")[first_vid].as_py()
+    )
+    sel = frames.filter(pa.compute.equal(frames.column("media_id"), first_vid))
+    for fi, fm in zip(sel.column("frame_idx").to_pylist(), sel.column("frame_mean").to_pylist()):
+        assert abs(fm - stack[fi].mean()) < 1e-9
 
 
 # ---- bucketed / worker-cached variants -----------------------------------

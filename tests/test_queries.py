@@ -73,6 +73,8 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
         "embedding_neardup",
         "rolling_fingerprint",
         "multimodal_decode",
+        "multimodal_audio",
+        "multimodal_frames",
         "ann_topk_lsh",
     }
 
