@@ -73,7 +73,14 @@ def _read(sf_dir: str, table: str, columns=None):
     except OSError:
         size = 0
     n_blocks = max(min(cpus, 16), size // (128 << 20), 1)
-    return rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
+    ds = rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
+    # the driver's parquet carries pandas schema metadata, which Ray's
+    # schema-dedup can't hash (it warns on every reduce task) — strip it at
+    # the read (fused into the first map stage, zero extra passes)
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None) if b.schema.metadata else b,
+        batch_format="pyarrow",
+    )
 
 
 def _bucketed_map_groups(ds, key_cols, fn, n_buckets: int | None = None):
@@ -599,14 +606,48 @@ def value_map_lang(sf_dir: str):
     """,
 )
 def domain_clamp_lang(sf_dir: str):
-    """M12 — enum-domain validation with default."""
+    """M12 + S7/ST3 — enum-domain validation with default, with the domain
+    loaded from a JSON SIDE-INPUT file once per worker (the scheming-reader
+    pattern: domains fetched once per run and held as stage state,
+    ``/root/reference/bcdc2bcdc/CKANScheming.py:17-75`` +
+    ``runBCDC2BCDC.py:203-216``) — not an inline constant."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    domains_path = _ensure_scheming_fixture()
 
-    def f(b: pa.Table) -> pa.Table:
-        b = transforms.domain_clamp(b, "lang", ("en", "fr", "de"), "other")
-        return pa.table({"doc_id": b.column("doc_id"), "lang_clamped": b.column("lang")})
+    class DomainClamp:
+        def __init__(self, path: str, field: str):
+            import json as _json
 
-    return ds.map_batches(f, batch_format="pyarrow")
+            with open(path) as fh:  # loaded ONCE per worker (ST3)
+                self.domain = tuple(_json.load(fh)[field]["allowed"])
+            self.default = "other"
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = transforms.domain_clamp(b, "lang", self.domain, self.default)
+            return pa.table(
+                {"doc_id": b.column("doc_id"), "lang_clamped": b.column("lang")}
+            )
+
+    return ds.map_batches(
+        lambda b: _cached(DomainClamp, domains_path, "lang")(b),
+        batch_format="pyarrow",
+    )
+
+
+def _ensure_scheming_fixture() -> str:
+    """Write the scheming-domain side-input JSON (S7 analog of the remote
+    scheming fetch) to the stable fixture dir; loaded per worker by the
+    consuming stage."""
+    import json as _json
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "scheming_domains.json")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"lang": {"allowed": ["en", "fr", "de"]}}, fh)
+        os.replace(tmp, path)
+    return path
 
 
 @q(
@@ -1195,6 +1236,163 @@ def alt_key_latest_state(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@q(
+    "alt_key_delta",
+    """
+    WITH dest AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+                   + CASE WHEN c_custkey % 3 = 0 THEN 1000 ELSE 0 END AS bal_cents
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+    ),
+    src AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT coalesce(s.c_name, d.c_name) AS c_name,
+           CASE WHEN d.c_name IS NULL THEN 'ADD'
+                WHEN s.bal_cents = d.bal_cents THEN 'NOOP'
+                ELSE 'UPDATE' END AS op,
+           d.c_custkey AS dest_custkey
+    FROM src s FULL OUTER JOIN dest d ON s.c_name = d.c_name
+    """,
+)
+def alt_key_delta(sf_dir: str):
+    """J4 FULL — the alternate-key delta with LUT remap (the reference's
+    users-by-email path, ``CKANData.py:1650-1759`` + ``calcEmailLut``
+    ``CKANData.py:1689-1700``): src and dest are compared keyed on the
+    ALTERNATE unique column (c_name, the email analog), classified
+    ADD/UPDATE/NOOP by content, and every output row carries the DEST-side
+    primary id resolved through the alt-key↔id LUT — exactly the remap the
+    reference needs so updates land on destination ids.
+
+    Distributed: both sides tagged per batch, ONE bucketed shuffle on
+    hash(alt key), per-bucket vectorized classify + LUT gather."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    import ray
+
+    has_orders_ref = ray.put(pc.unique(orders.column("o_custkey")))
+
+    class Tag:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(b.column("c_acctbal"), 100),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            src = pa.table(
+                {
+                    "c_name": b.column("c_name"),
+                    "c_custkey": b.column("c_custkey"),
+                    "bal_cents": cents,
+                    "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            )
+            in_dest = pc.fill_null(
+                pc.is_in(b.column("c_custkey"), value_set=self.keys), False
+            )
+            perturb = pc.if_else(
+                pc.equal(
+                    pa.array(
+                        b.column("c_custkey").to_numpy(zero_copy_only=False) % 3
+                    ),
+                    0,
+                ),
+                1000,
+                0,
+            )
+            dest = pa.table(
+                {
+                    "c_name": b.column("c_name"),
+                    "c_custkey": b.column("c_custkey"),
+                    "bal_cents": pc.add(cents, perturb),
+                    "__side": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            ).filter(in_dest)
+            return pa.concat_tables([src, dest])
+
+    tagged = ds.map_batches(
+        lambda b: _cached(Tag, has_orders_ref)(b), batch_format="pyarrow"
+    )
+
+    def classify(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        s = g.filter(pc.equal(side, 0))
+        d = g.filter(pc.equal(side, 1))
+        d = d.rename_columns(["c_name", "dest_custkey", "d_bal", "__side"]).drop_columns(
+            ["__side"]
+        )
+        j = s.drop_columns(["__side", "c_custkey"]).join(
+            d, keys=["c_name"], join_type="full outer"
+        )
+        has_d = pc.is_valid(j.column("dest_custkey"))
+        same = pc.fill_null(pc.equal(j.column("bal_cents"), j.column("d_bal")), False)
+        op = pc.if_else(
+            pc.invert(has_d), "ADD", pc.if_else(same, "NOOP", "UPDATE")
+        )
+        return pa.table(
+            {
+                "c_name": j.column("c_name"),
+                "op": op,
+                "dest_custkey": j.column("dest_custkey"),
+            }
+        )
+
+    return _bucketed_map_groups(tagged, ["c_name"], classify)
+
+
+@q(
+    "dup_group_drop",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE (lang, source) NOT IN (
+        SELECT (lang, source) FROM documents
+        GROUP BY lang, source HAVING count(*) >= 2)
+    """,
+)
+def dup_group_drop(sf_dir: str):
+    """D3 composed end-to-end — duplicate-group DROP (the reference drops
+    ALL members of a duplicate-email group, ``CKANData.py:1620-1637``):
+    detect groups ≥ 2 on (lang, source), broadcast the (small) dup-group
+    key set, anti-filter the corpus in place — no shuffle of survivors."""
+    import ray
+
+    from ..canonical import key_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    groups = dup_groups(sf_dir)  # (lang, source, n) — the detection half
+    gt = _collect(groups)
+    # broadcast the dup-group key set as one uint64 hash per group
+    if gt is None or gt.num_rows == 0:
+        bad = np.empty(0, np.uint64)
+    else:
+        bad = key_hash(gt, ["lang", "source"])
+    bad_ref = ray.put(np.unique(bad))
+
+    class DropDupGroups:
+        def __init__(self, r):
+            self.bad = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h = key_hash(b, ["lang", "source"])
+            keep = ~np.isin(h, self.bad)
+            return b.filter(pa.array(keep))
+
+    return ds.map_batches(
+        lambda b: _cached(DropDupGroups, bad_ref)(b), batch_format="pyarrow"
+    )
 
 
 @q(
