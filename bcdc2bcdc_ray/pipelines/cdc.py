@@ -85,6 +85,16 @@ def init_lake(
             },
             f,
         )
+    # persist per-row content hashes + the column list they cover: replays
+    # then classify against stored hashes instead of re-hashing the lake
+    from ..canonical import HASH_COL, add_content_hash
+    from ..stages.delta import _compare_columns
+
+    cmp_cols = _compare_columns(table.schema, spec)
+    table = add_content_hash(table, cmp_cols, spec.falsy_null_columns, HASH_COL)
+    table = table.replace_schema_metadata(
+        {b"hash_cols": json.dumps(list(cmp_cols)).encode()}
+    )
     pids = partition_ids(table, [spec.key[0]], num_partitions)
     order = np.argsort(pids, kind="stable")
     sorted_tbl = table.take(order)
@@ -104,12 +114,17 @@ def read_lake_table(lake_dir: str) -> pa.Table:
     """Driver-side full read (tests / small results only): unify partition
     schemas (evolution may have touched only some partitions) and return one
     key-sorted table."""
+    from ..canonical import HASH_COL
+
     meta = lake_meta(lake_dir)
     parts = []
     for pid in range(meta["num_partitions"]):
         p = partition_path(lake_dir, pid)
         if os.path.exists(p):
             t = pq.read_table(p)
+            if HASH_COL in t.column_names:  # internal column, not user data
+                t = t.drop_columns([HASH_COL])
+            t = t.replace_schema_metadata(None)
             if t.num_rows:
                 parts.append(t)
     if not parts:
@@ -121,8 +136,11 @@ def read_lake_table(lake_dir: str) -> pa.Table:
 
 
 def read_lake(lake_dir: str):
-    """Streaming read of the lake as a Ray Dataset (scale path)."""
+    """Streaming read of the lake as a Ray Dataset (scale path). Drops the
+    internal persisted-hash column."""
     import ray.data as rd
+
+    from ..canonical import HASH_COL
 
     meta = lake_dir and lake_meta(lake_dir)
     paths = [
@@ -130,7 +148,13 @@ def read_lake(lake_dir: str):
         for pid in range(meta["num_partitions"])
         if os.path.exists(partition_path(lake_dir, pid))
     ]
-    return rd.read_parquet(paths)
+
+    def strip(b: pa.Table) -> pa.Table:
+        if HASH_COL in b.column_names:
+            b = b.drop_columns([HASH_COL])
+        return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+    return rd.read_parquet(paths).map_batches(strip, batch_format="pyarrow")
 
 
 def split_partitions(lake_dir: str) -> None:
@@ -254,6 +278,7 @@ def compact(lake_dir: str, target_bytes: int = 256 << 20) -> int:
     average is under target/3 (and P > 1). Returns the final partition
     count. The split/merge steps preserve watermarks, so replay/resume
     carry straight through maintenance."""
+    prev_avg = None
     for _ in range(32):  # bounded: each step is a ×2/÷2
         meta = lake_meta(lake_dir)
         P = meta["num_partitions"]
@@ -263,9 +288,16 @@ def compact(lake_dir: str, target_bytes: int = 256 << 20) -> int:
             if os.path.exists(partition_path(lake_dir, pid))
         )
         avg = total / max(P, 1)
-        if avg > 1.5 * target_bytes:
+        if avg > 1.5 * target_bytes and P < (1 << 20):
+            # progress guard: parquet files have a ~2 KB floor (footer +
+            # metadata), so a tiny target can become unreachable — stop
+            # when a split no longer shrinks the average meaningfully
+            if prev_avg is not None and avg > 0.75 * prev_avg:
+                break
+            prev_avg = avg
             split_partitions(lake_dir)
         elif avg < target_bytes / 3 and P > 1:
+            prev_avg = avg
             merge_partitions(lake_dir)
         else:
             break
@@ -328,7 +360,12 @@ def derive_dup_ignores(
 class AssignPartition:
     """map_batches fn: add ``__part = hash(conv_id) % P`` and drop events at
     or below their partition's committed watermark (cheap resume filter; the
-    MergeWriter re-checks authoritatively)."""
+    MergeWriter re-checks authoritatively).
+
+    Also precomputes the incoming content hash here — the WIDE, whole-
+    cluster-parallel stage — for non-evolved, hook-free batches, so the
+    CPU-pinned writer actors classify without hashing (stages/delta.py
+    consumes ``PRE_HASH_COL`` after validating the compare set)."""
 
     def __init__(self, spec: TableSpec, num_partitions: int, watermarks: dict):
         self.spec = spec
@@ -338,6 +375,13 @@ class AssignPartition:
         for pid, w in watermarks.items():
             wm[pid] = w
         self.wm = wm
+        from ..canonical import add_content_hash
+        from ..stages.delta import PRE_HASH_COL, _compare_columns
+
+        self._cmp = _compare_columns(spec.schema, spec)
+        self._spec_data_cols = set(spec.schema.names)
+        self._add_hash = add_content_hash
+        self._pre_col = PRE_HASH_COL
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids = partition_ids(batch, [self.spec.key[0]], self.P)
@@ -345,9 +389,24 @@ class AssignPartition:
         if PART_COL in batch.column_names:
             batch = batch.drop_columns([PART_COL])
         batch = batch.append_column(PART_COL, pa.array(pids, pa.int64()))
-        if keep.all():
-            return batch
-        return batch.filter(pa.array(keep))
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        data_cols = {
+            c for c in batch.column_names
+            if c not in ("lsn", "op", PART_COL) and not c.startswith("__")
+        }
+        # PREHASH_DISABLE=1 is a bench/debug knob (A/B measured the pre-hash
+        # worth ~10% of replay wall at sf0.1 — it moves incoming-side hashing
+        # off the CPU-pinned writer actors onto the wide map stage)
+        if (
+            not self.spec.on_compare
+            and data_cols == self._spec_data_cols
+            and os.environ.get("PREHASH_DISABLE", "") != "1"
+        ):
+            batch = self._add_hash(
+                batch, self._cmp, self.spec.falsy_null_columns, self._pre_col
+            )
+        return batch
 
 
 def replay(

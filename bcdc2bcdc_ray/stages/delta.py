@@ -30,11 +30,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..canonical import add_content_hash
+from ..canonical import HASH_COL, add_content_hash
 from ..spec import TableSpec
 from . import evolve
 
 OP_COL = "__op"
+PRE_HASH_COL = "__h_inc_pre"  # precomputed incoming hash (AssignPartition)
 META_COLS = ("lsn", "op")
 
 # op codes (int8 for cheap masks)
@@ -91,24 +92,66 @@ def classify_delta(
     (SURVEY §7 step 6).
     """
     key = list(spec.key)
+    # stored-hash fast path: lake partitions persist the content hash of
+    # every row (written by apply) plus the column list it covers in schema
+    # metadata — re-hashing the (large) current side on every replay was the
+    # single biggest CPU cost of the merge. The stored hash is reused only
+    # when its column list matches this merge's compare set (schema
+    # evolution invalidates it → recompute once, persist the new hashes).
+    stored_hashes = None
+    stored_cols = None
+    if HASH_COL in current.column_names:
+        meta = current.schema.metadata or {}
+        hc = meta.get(b"hash_cols")
+        if hc is not None:
+            import json as _json
+
+            stored_cols = _json.loads(hc)
+        stored_hashes = current.column(HASH_COL)
+        current = current.drop_columns([HASH_COL])
+    # incoming-side fast path: AssignPartition precomputes the content hash
+    # in the WIDE map stage (whole-cluster parallel) for non-evolved,
+    # hook-free batches; reuse it here instead of hashing inside the
+    # (CPU-pinned) writer actor. Valid only when this merge's compare set
+    # equals the spec-level one — i.e. no new columns arrived in the group.
+    pre_hashes = None
+    if PRE_HASH_COL in events_lww.column_names:
+        pre_hashes = events_lww.column(PRE_HASH_COL)
+        events_lww = events_lww.drop_columns([PRE_HASH_COL])
     ev_data = events_lww.drop_columns(
         [c for c in ("op",) if c in events_lww.column_names]
     )
     data_schema = evolve.unify(
         current.schema,
-        pa.schema([f for f in ev_data.schema if f.name not in ("lsn",)]),
+        pa.schema(
+            [
+                f
+                for f in ev_data.schema
+                if f.name != "lsn" and not f.name.startswith("__")
+            ]
+        ),
     )
     data_schema = pa.schema([f for f in data_schema if f.name != "lsn"])
 
     cur = evolve.conform(current, data_schema)
     cmp_cols = _compare_columns(data_schema, spec)
-    cur = add_content_hash(cur, cmp_cols, spec.falsy_null_columns, "__h_cur")
+    if stored_hashes is not None and stored_cols == list(cmp_cols):
+        cur = cur.append_column("__h_cur", stored_hashes)
+    else:
+        cur = add_content_hash(cur, cmp_cols, spec.falsy_null_columns, "__h_cur")
 
     inc = evolve.conform(
         events_lww.drop_columns([c for c in ("op", "lsn") if c in events_lww.column_names]),
         data_schema,
     )
-    inc = add_content_hash(inc, cmp_cols, spec.falsy_null_columns, "__h_inc")
+    if (
+        pre_hashes is not None
+        and pre_hashes.null_count == 0
+        and list(cmp_cols) == list(_compare_columns(spec.schema, spec))
+    ):
+        inc = inc.append_column("__h_inc", pre_hashes)
+    else:
+        inc = add_content_hash(inc, cmp_cols, spec.falsy_null_columns, "__h_inc")
     # carry op + lsn through, renamed so the join can't collide
     inc = inc.append_column("__ev_del", pc.equal(events_lww.column("op"), "delete"))
     inc = inc.append_column("__lsn", events_lww.column("lsn"))
@@ -234,17 +277,57 @@ def delta_counts(joined: pa.Table) -> dict:
     }
 
 
+def apply_delta_with_hash(
+    joined: pa.Table, data_schema: pa.Schema, spec: TableSpec
+) -> pa.Table:
+    """apply_delta + the persisted-hash column: every output row carries its
+    content hash (ADD/UPDATE take the incoming hash, KEEP/NOOP the current
+    one — zero extra hashing) and the schema metadata records which columns
+    the hash covers, so the next replay's classify skips re-hashing the
+    whole current side."""
+    import json as _json
+
+    op = joined.column(OP_COL)
+    take_inc = pc.is_in(op, value_set=pa.array([ADD, UPDATE], pa.int8()))
+    row_hash = pc.if_else(take_inc, joined.column("__h_inc"), joined.column("__h_cur"))
+    # rebuild apply_delta's row selection so the hash rows align
+    keep_row = pc.invert(pc.is_in(op, value_set=pa.array([DELETE], pa.int8())))
+    keep_row = pc.and_(
+        keep_row, pc.or_(pc.is_valid(joined.column("__h_cur")), take_inc)
+    )
+    out = apply_delta(joined, data_schema, spec)
+    # apply_delta sorts by key; sort the hash rows identically
+    cmp_cols = _compare_columns(data_schema, spec)
+    hsel = pa.table(
+        {k: joined.column(k) for k in spec.key} | {HASH_COL: row_hash}
+    ).filter(keep_row).sort_by([(k, "ascending") for k in spec.key])
+    out = out.append_column(HASH_COL, hsel.column(HASH_COL))
+    return out.replace_schema_metadata(
+        {b"hash_cols": _json.dumps(list(cmp_cols)).encode()}
+    )
+
+
 def merge_partition(
-    current: pa.Table, events: pa.Table, spec: TableSpec
+    current: pa.Table, events: pa.Table, spec: TableSpec, persist_hash: bool = False
 ) -> tuple[pa.Table, dict]:
     """One partition's full merge: ignore-filter → LWW reduce → classify →
-    apply. Returns (new_state sorted by key, counters)."""
+    apply. Returns (new_state sorted by key, counters).
+
+    ``persist_hash=True`` (the merge writer's path) keeps the internal
+    ``__content_hash`` column + its schema metadata on the output so the
+    NEXT replay classifies against stored hashes instead of re-hashing the
+    whole current side."""
     events = filter_ignored(events, spec)
     for hook in spec.on_compare:
         events = hook(events)
     lww = reduce_lww(events, spec.key)
     joined, data_schema = classify_delta(current, lww, spec)
-    new_state = apply_delta(joined, data_schema, spec)
-    for hook in spec.on_apply:
-        new_state = hook(new_state)
+    if persist_hash and not spec.on_apply:
+        new_state = apply_delta_with_hash(joined, data_schema, spec)
+    else:
+        # post-merge hooks may mutate payload columns → a stored hash would
+        # go stale; plain output (hash recomputed on the next replay)
+        new_state = apply_delta(joined, data_schema, spec)
+        for hook in spec.on_apply:
+            new_state = hook(new_state)
     return new_state, delta_counts(joined)

@@ -128,7 +128,9 @@ class MergeWriter:
             )
 
         current = read_partition(self.lake_dir, pid, self.spec.schema)
-        new_state, counts = delta.merge_partition(current, events, self.spec)
+        new_state, counts = delta.merge_partition(
+            current, events, self.spec, persist_hash=True
+        )
         lsn_hi = int(pc.max(events.column("lsn")).as_py())
 
         if not self.dry_run:

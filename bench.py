@@ -51,9 +51,12 @@ QUERY_NAMES = [
     "token_count",
     "lang_id",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "ann_topk",
     "exact_dedup",
     "sessionize",
+    "cdc_delta_classify",
+    "alt_key_delta",
 ]
 
 

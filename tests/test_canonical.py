@@ -60,3 +60,19 @@ def test_partition_ids_stable_and_bounded():
     # reasonably balanced: no partition > 3x the mean
     counts = np.bincount(p1, minlength=32)
     assert counts.max() < 3 * counts.mean()
+
+
+def test_content_hash_of_sliced_batches_matches_full():
+    """Ray map batches are zero-copy block slices; pyarrow-16's if_else
+    corrupts some sliced string inputs (compacted buffer, un-rebased
+    offsets). canonicalize compacts first — hashes of any slice must equal
+    the corresponding rows of the full-table hash."""
+    from bcdc2bcdc_ray import changegen as cg
+
+    ev = cg.gen_change_events(50_000, 2_000, seed=43)
+    full = canonical.content_hash(ev, ["role", "text", "tool", "ts"], ("text", "tool"))
+    for off, ln in [(13_000, 24_000), (0, 10), (49_990, 10), (1, 49_999)]:
+        hs = canonical.content_hash(
+            ev.slice(off, ln), ["role", "text", "tool", "ts"], ("text", "tool")
+        )
+        assert (hs == full[off : off + ln]).all()

@@ -461,3 +461,42 @@ def test_add_conflict_retry_rename():
     new2, _ = delta.merge_partition(current, events, spec2)
     names2 = dict(zip(new2.column("uid").to_pylist(), new2.column("name").to_pylist()))
     assert names2[3] == "alice@alt"
+
+
+def test_mixed_evolution_single_replay(ray_session, dirs):
+    """One replay whose WAL mixes non-evolved chunks (which get the wide-
+    stage precomputed hash) and evolved chunks (which must NOT — their
+    compare set differs): the classify fallback has to keep the final
+    state exactly equal to the dict oracle."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(100, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    plain = cg.gen_change_events(1500, 100, seed=43)
+    evolved = cg.gen_change_events(1500, 100, seed=44, lsn_start=10_000, evolved=True)
+    paths = cg.write_wal_chunks(plain, wal_dir, num_chunks=3)
+    paths += cg.write_wal_chunks(evolved, wal_dir + "_ev", num_chunks=3)
+    cdc.replay(lake_dir, paths, spec)
+    final = cdc.read_lake_table(lake_dir)
+    assert final.schema.field("turn_idx").type == pa.int64()
+    assert "lang" in final.schema.names
+
+    # oracle: pad the plain events to the evolved schema, replay the union
+    import pyarrow.compute as pc
+    plain_ev = plain.append_column(
+        "lang", pa.nulls(plain.num_rows, pa.string())
+    ).set_column(
+        plain.column_names.index("turn_idx"), "turn_idx",
+        pc.cast(plain.column("turn_idx"), pa.int64()),
+    )
+    lake_ev = lake.append_column(
+        "lang", pa.nulls(lake.num_rows, pa.string())
+    ).set_column(
+        lake.column_names.index("turn_idx"), "turn_idx",
+        pc.cast(lake.column("turn_idx"), pa.int64()),
+    )
+    all_ev = pa.concat_tables([plain_ev, evolved]).sort_by("lsn")
+    oracle = cg.oracle_replay(lake_ev, all_ev)
+    assert final.equals(oracle)
