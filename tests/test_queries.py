@@ -97,3 +97,15 @@ def test_ann_lsh_recall_gate(ray_session):
     exact = set(e.queries()["ann_topk"](SF).to_pandas()["vec_id"])
     approx = set(e.queries()["ann_topk_lsh"](SF).to_pandas()["vec_id"])
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_embedding_neardup_recall_gate(ray_session):
+    """The banded-LSH near-dup path must find >= 0.9 of the exact quadratic
+    baseline's pairs (OR-amplification recall gate; single-band was 0.41)."""
+    import __ray_entry__ as e
+
+    exact = e.queries()["embedding_neardup_exact"](SF).to_pandas()
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    approx = e.queries()["embedding_neardup"](SF)
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert len(exact_pairs & approx_pairs) / max(len(exact_pairs), 1) >= 0.9
