@@ -216,6 +216,7 @@ def gen_wal_chunks(
     out_dir: str,
     num_chunks: int = 8,
     seed: int = 43,
+    lsn_offset: int = 0,
     **kwargs,
 ) -> list[str]:
     """Generate + write the WAL chunk-by-chunk, never holding more than one
@@ -236,7 +237,7 @@ def gen_wal_chunks(
         if hi <= lo:
             continue
         chunk = gen_change_events(
-            hi - lo, n_convs, seed=seed + i, lsn_start=lo + 1, **kwargs
+            hi - lo, n_convs, seed=seed + i, lsn_start=lsn_offset + lo + 1, **kwargs
         )
         p = os.path.join(out_dir, f"wal-{i:05d}.parquet")
         pq.write_table(chunk, p)
