@@ -994,9 +994,102 @@ def ngram_jaccard_pairs(sf_dir: str):
     return dedup.jaccard_pairs_grouped(rows, 0.35)
 
 
-@q("simhash_signatures")  # rows-only
+# -- bit-exact SQL oracles for the hash-signature kernels ---------------------
+# DuckDB has no crc32 and no byte accessor, but both are expressible:
+# bytes via get_bit over CAST(encode(s) AS BITSTRING) (MSB-first), crc32 via
+# the standard 0xEDB88320 reflected table embedded as a list literal folded
+# with list_reduce. This keeps the engine's vectorized kernels honest against
+# an independently-computed reference, not a Python reimplementation.
+
+
+def _crc32_table_literal() -> str:
+    t = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        t.append(c)
+    return "[" + ",".join(map(str, t)) + "]"
+
+
+def _sql_byte_at(bs: str, idx: str) -> str:
+    """SQL expression: byte value at 0-based index ``idx`` of BITSTRING
+    ``bs`` (BITSTRING bit 0 = MSB of the first byte)."""
+    return "+".join(
+        f"get_bit({bs},CAST(({idx})*8+{b} AS INTEGER))*{1 << (7 - b)}"
+        for b in range(8)
+    )
+
+
+_U64_MOD = 1 << 64
+_ROLL_POW = [pow(257, k, _U64_MOD) for k in range(8)]  # B=257, window=8
+
+_ROLLING_FP_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, CAST(encode(text) AS BITSTRING) AS bs,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    byts AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i -> {_sql_byte_at('bs', 'i')}) AS bl
+      FROM b
+    )
+    SELECT doc_id,
+      CAST(CASE
+        WHEN n = 0 THEN 0
+        WHEN n < 8 THEN list_reduce(
+            list_prepend(CAST(0 AS HUGEINT), bl),
+            (acc, x) -> (acc * 257 + x) % {_U64_MOD})
+        ELSE list_aggregate(list_transform(range(0, n - 7), p ->
+            (CAST(bl[p+1] AS HUGEINT)*{_ROLL_POW[7]} + bl[p+2]*{_ROLL_POW[6]}
+             + bl[p+3]*{_ROLL_POW[5]} + bl[p+4]*{_ROLL_POW[4]}
+             + bl[p+5]*{_ROLL_POW[3]} + bl[p+6]*{_ROLL_POW[2]}
+             + bl[p+7]*{_ROLL_POW[1]} + bl[p+8]) % {_U64_MOD}), 'min')
+      END AS UBIGINT) AS rfp
+    FROM byts
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH tab AS (SELECT {_crc32_table_literal()} AS T),
+    words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    crcs AS (
+      SELECT doc_id,
+        xor(list_reduce(
+          list_prepend(CAST(4294967295 AS BIGINT),
+            list_transform(range(0, octet_length(encode(w))),
+              i -> {_sql_byte_at("CAST(encode(w) AS BITSTRING)", 'i')})),
+          (acc, x) -> xor(acc >> 8, T[(xor(acc, x) & 255) + 1])),
+          4294967295) AS h
+      FROM words, tab
+    ),
+    expanded AS (
+      SELECT doc_id, k, ((h >> k) & 1) AS bit
+      FROM crcs CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
+    ),
+    votes AS (
+      SELECT doc_id, k,
+             CASE WHEN 2*sum(bit) > count(*)
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END AS v
+      FROM expanded GROUP BY doc_id, k
+    ),
+    sig AS (SELECT doc_id, sum(v) AS s FROM votes GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS UBIGINT) AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+@q("simhash_signatures", _SIMHASH_ORACLE)
 def simhash_signatures(sf_dir: str):
-    """SimHash 64-bit signatures per document (near-dup by Hamming ≤ k)."""
+    """SimHash 64-bit signatures per document (near-dup by Hamming ≤ k).
+    Oracle: crc32-per-word + bit-majority vote recomputed entirely in SQL
+    (word hashes are crc32 < 2^32, so bits 32-63 never win a vote and the
+    SQL only needs k < 32)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
     return out.map_batches(
@@ -1224,8 +1317,11 @@ def fingerprint_md5(sf_dir: str):
     )
 
 
-@q("rolling_fingerprint")  # rows-only (python-side rolling hash)
+@q("rolling_fingerprint", _ROLLING_FP_ORACLE)
 def rolling_fingerprint_q(sf_dir: str):
+    """Min rolling Karp-Rabin hash over byte windows (w=8, B=257, mod 2^64).
+    Oracle: the same polynomial recomputed in SQL over bytes extracted with
+    get_bit on the BITSTRING view of encode(text), HUGEINT mod-2^64."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda b: text.rolling_fingerprint(b).select(["doc_id", "rfp"]),

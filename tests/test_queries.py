@@ -26,6 +26,8 @@ SPOT = [
     "word_match_domain",
     "falsy_normalize",
     "transcripts_replay",  # the flagship — relational LWW oracle
+    "simhash_signatures",  # crc32+bit-vote recomputed in SQL
+    "rolling_fingerprint",  # Karp-Rabin poly recomputed in SQL
 ]
 
 
@@ -68,14 +70,12 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
     # every SQL-expressible op has an oracle; the non-SQL set is the known one
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
-        "minhash_lsh_pairs",
-        "simhash_signatures",
-        "embedding_neardup",
-        "rolling_fingerprint",
-        "multimodal_decode",
+        "minhash_lsh_pairs",  # approximate — gated by recall tests instead
+        "embedding_neardup",  # approximate — recall gate vs exact baseline
+        "multimodal_decode",  # binary codec, not SQL-expressible
         "multimodal_audio",
         "multimodal_frames",
-        "ann_topk_lsh",
+        "ann_topk_lsh",  # approximate — recall gate vs ann_topk
     }
 
 
