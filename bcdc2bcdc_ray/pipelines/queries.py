@@ -1330,6 +1330,177 @@ def rolling_fingerprint_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) + order statistics + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, r.o_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_orders(sf_dir: str):
+    """As-of join: each event picks the same user's most recent order at or
+    before the event timestamp (LEFT semantics; ties on orderdate broken by
+    max o_orderkey — a bare SQL ASOF is ambiguous on duplicate timestamps,
+    so the oracle dedupes first). One co-bucketed shuffle of the union,
+    segmented-cummax kernel per bucket (stages/joins.py)."""
+    from ..stages import joins
+
+    left = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    right = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    return joins.asof_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey"],
+        right_tiebreak="o_orderkey",
+        n_buckets=min(_cpus(), 16),
+    )
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT a.event_id AS a, b.event_id AS b FROM events a JOIN events b
+    ON a.user_id = b.user_id
+       AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_events(sf_dir: str):
+    """Range (interval) join: event pairs by the same user within ±1 hour —
+    the stream-correlation primitive (near-duplicate submissions, burst
+    detection). Composite-searchsorted kernel per co-bucketed group; the
+    cartesian expansion never leaves the bucket (stages/joins.py)."""
+    from ..stages import joins
+
+    us_hour = 3_600_000_000
+    left = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        lambda b: b.rename_columns(["a", "ts", "user_id"]), batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        lambda b: b.rename_columns(["b", "ts", "user_id"]), batch_format="pyarrow"
+    )
+    return joins.range_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["a"],
+        right_cols=["b"],
+        lower_offset=-us_hour,
+        upper_offset=us_hour,
+        n_buckets=min(_cpus(), 16),
+    )
+
+
+@q(
+    "group_quantiles_events",
+    """
+    SELECT event_type,
+      quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS q25,
+      quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS q50,
+      quantile_disc(CAST(round(value*100) AS BIGINT), 0.9) AS q90
+    FROM events GROUP BY event_type
+    """,
+)
+def group_quantiles_events(sf_dir: str):
+    """EXACT per-group quantiles via a distributed value histogram: the
+    shuffle moves (group, value, count) partials — O(distinct values), never
+    raw rows — then each group's cumulative histogram is walked once.
+    Values are int cents (float-determinism policy); quantile index matches
+    DuckDB quantile_disc (ceil(q*n)-1). functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def addcents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(b.column("value"), 100),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"event_type": b.column("event_type"), "cents": cents})
+
+    return sketch.group_quantiles(
+        ds.map_batches(addcents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        [0.25, 0.5, 0.9],
+        ["q25", "q50", "q90"],
+    )
+
+
+@q(
+    "hash_sample_docs",
+    None,  # oracle SQL generated below (splitmix64 re-expressed in SQL)
+)
+def hash_sample_docs(sf_dir: str):
+    """Deterministic Bernoulli sampling by splitmix64(doc_id) < p·2^64 —
+    reproducible across runs and cluster shapes, no RNG state, no shuffle
+    (a pure per-batch filter). Oracle recomputes the identical mixer in
+    SQL (UBIGINT xor/shift + HUGEINT mul-mod-2^64). functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sketch.hash_sample(ds, "doc_id", 0.25)
+
+
+def _install_hash_sample_oracle():
+    from ..functions import sketch
+
+    fn, _ = _REGISTRY["hash_sample_docs"]
+    # p=0.25 → threshold 2^62 exactly
+    _REGISTRY["hash_sample_docs"] = (
+        fn,
+        f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {sketch.splitmix64_sql('doc_id')}
+              < CAST(4611686018427387904 AS UBIGINT)
+        """,
+    )
+
+
+_install_hash_sample_oracle()
+
+
+@q(
+    "group_topk_docs",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id) <= 3
+    """,
+)
+def group_topk_docs(sf_dir: str):
+    """Per-group top-k (largest 3 docs per language; ties by doc_id) with a
+    per-batch partial top-k combiner — the shuffle moves at most
+    k·groups·blocks rows, never the dataset. functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return sketch.group_topk(ds, "lang", "n_chars", "doc_id", 3)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 

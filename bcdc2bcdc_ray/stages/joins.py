@@ -1,0 +1,295 @@
+"""Temporal joins Ray Data lacks natively: as-of join and range (interval)
+join, built as ONE co-bucketed shuffle + a vectorized per-bucket kernel.
+
+The reference engine has only equality joins (src⋈dest delta candidates,
+``/root/reference/bcdc2bcdc/CKANData.py:1468-1502`` — SURVEY §2.6); these
+extend the join family to the time-ordered lookups a training-data /
+event-stream pipeline needs (attach the latest dimension state as of an
+event, window-correlate two event streams).
+
+Scale design (the documented partitioning assumption):
+- both inputs are normalized to a COMMON schema (side tag, int64 key,
+  int64 time, tiebreak, null-padded payload) and unioned — Ray then needs
+  only ONE hash-bucket shuffle of the union instead of co-partitioning two
+  datasets separately;
+- the bucket is a pure function of the join key (``canonical.key_hash``),
+  so a key's left and right rows always land in the same bucket — the
+  kernel never needs cross-bucket state;
+- per bucket the kernel is numpy-vectorized (lexsort + segmented cummax /
+  searchsorted), one Python call per bucket, never per row or per key;
+- skew: a single hot KEY concentrates in one bucket — same contract as
+  every hash join; salt upstream if one key dominates (the CDC engine's
+  ``salt=`` pattern applies unchanged).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..canonical import key_hash
+
+_SENTINEL_TB = np.int64(-(1 << 62))
+
+
+def _as_int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Timestamps/ints → comparable int64 (timestamp[us] casts losslessly)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    elif col.type != pa.int64():
+        col = col.cast(pa.int64())
+    return col
+
+
+def _normalize_side(
+    batch: pa.Table,
+    side: int,
+    key: str,
+    ts: str,
+    keep: list[tuple[str, pa.DataType]],
+    tiebreak: str | None,
+) -> pa.Table:
+    """Project one input onto the common union schema: ``__side`` /
+    ``__k`` / ``__t`` / ``__tb`` + every payload column (null-padded where
+    the column belongs to the other side)."""
+    n = batch.num_rows
+    cols: dict[str, pa.Array] = {
+        "__side": pa.array(np.full(n, side, np.int8)),
+        "__k": _as_int64(batch.column(key)),
+        "__t": _as_int64(batch.column(ts)),
+        "__tb": (
+            _as_int64(batch.column(tiebreak))
+            if tiebreak and tiebreak in batch.column_names
+            else pa.array(np.full(n, _SENTINEL_TB, np.int64))
+        ),
+    }
+    for name, typ in keep:
+        if name in batch.column_names:
+            col = batch.column(name)
+            cols[name] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        else:
+            cols[name] = pa.nulls(n, typ)
+    return pa.table(cols)
+
+
+def _cobucket(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str | None,
+    n_buckets: int,
+):
+    """Union both sides under the common schema and shuffle ONCE on the
+    key-hash bucket. Returns (grouped, payload schema info)."""
+    lschema, rschema = left.schema(), right.schema()
+
+    def typ(schema, name):
+        return schema.base_schema.field(name).type if hasattr(
+            schema, "base_schema"
+        ) else schema.field(name).type
+
+    keep = [(c, typ(lschema, c)) for c in left_cols] + [
+        (c, typ(rschema, c)) for c in right_cols
+    ]
+    lnorm = left.map_batches(
+        lambda b: _normalize_side(b, 1, left_key, left_ts, keep, None),
+        batch_format="pyarrow",
+    )
+    rnorm = right.map_batches(
+        lambda b: _normalize_side(b, 0, right_key, right_ts, keep, right_tiebreak),
+        batch_format="pyarrow",
+    )
+    both = lnorm.union(rnorm)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b", pa.array((key_hash(b, ["__k"]) % n_buckets).astype("int32"))
+        )
+
+    return both.map_batches(tag, batch_format="pyarrow").groupby("__b")
+
+
+def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(0, np.int64)
+    change = np.empty(len(sorted_keys), bool)
+    change[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=change[1:])
+    return np.flatnonzero(change).astype(np.int64)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+    n_buckets: int = 16,
+):
+    """For every left row, attach the right row of the same key with the
+    greatest ``right_ts`` <= ``left_ts`` (ties on ``right_ts`` broken by
+    max ``right_tiebreak`` — deterministic, unlike a bare SQL ASOF on
+    duplicate timestamps). LEFT-join semantics: unmatched left rows keep
+    null payload.
+
+    Kernel: lexsort the bucket by (key, t, side, tiebreak) with right rows
+    ordered before left rows at equal t (so an exactly-equal timestamp
+    matches), then one segmented ``np.maximum.accumulate`` finds each left
+    row's most recent right predecessor — no per-key loop.
+    """
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        k = g.column("__k").to_numpy(zero_copy_only=False)
+        t = g.column("__t").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        tb = g.column("__tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, side, t, k))
+        ks, sides = k[order], side[order]
+        pos = np.arange(len(ks), dtype=np.int64)
+        src = np.where(sides == 0, pos, np.int64(-1))
+        last_right = np.maximum.accumulate(src)
+        starts = _segment_starts(ks)
+        seg_len = np.diff(np.append(starts, len(ks)))
+        seg_start = np.repeat(starts, seg_len)
+        valid = last_right >= seg_start
+        left_rows = np.flatnonzero(sides == 1)
+        match = np.where(valid[left_rows], last_right[left_rows], np.int64(-1))
+        sorted_tbl = g.take(pa.array(order))
+        out: dict[str, pa.Array] = {}
+        lidx = pa.array(left_rows)
+        for c in left_cols:
+            out[c] = sorted_tbl.column(c).take(lidx)
+        midx = pa.array(
+            np.where(match >= 0, match, 0), type=pa.int64()
+        )
+        null_mask = pa.array(match < 0)
+        for c in right_cols:
+            taken = sorted_tbl.column(c).take(midx)
+            out[c] = pc.if_else(null_mask, pa.nulls(len(match), taken.type), taken)
+        return pa.table(out)
+
+    grouped = _cobucket(
+        left,
+        right,
+        left_key=left_key,
+        right_key=right_key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        right_tiebreak=right_tiebreak,
+        n_buckets=n_buckets,
+    )
+    return grouped.map_groups(per_bucket, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    lower_offset: int,
+    upper_offset: int,
+    n_buckets: int = 16,
+):
+    """Inner interval join: emit (left, right) for every right row of the
+    same key with ``left_ts + lower_offset <= right_ts <= left_ts +
+    upper_offset`` (offsets in the time column's native int64 unit, e.g.
+    microseconds for timestamp[us]).
+
+    Kernel: right rows sorted by (key, t); each left row's matching span is
+    two composite searchsorteds (segment index × dense time rank — no
+    per-key loop); the cartesian expansion is a segmented arange. Output
+    size is data-dependent — keep the window tight; the expansion never
+    leaves the bucket.
+    """
+    lo_off = np.int64(lower_offset)
+    hi_off = np.int64(upper_offset)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        k = g.column("__k").to_numpy(zero_copy_only=False)
+        t = g.column("__t").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        rmask = side == 0
+        lmask = ~rmask
+        rk, rt = k[rmask], t[rmask]
+        lk, lt = k[lmask], t[lmask]
+        rorder = np.lexsort((rt, rk))
+        rk, rt = rk[rorder], rt[rorder]
+        rrows = np.flatnonzero(rmask)[rorder]
+        lrows = np.flatnonzero(lmask)
+        empty = {
+            **{c: pa.nulls(0, g.schema.field(c).type) for c in left_cols},
+            **{c: pa.nulls(0, g.schema.field(c).type) for c in right_cols},
+        }
+        if len(rk) == 0 or len(lk) == 0:
+            return pa.table(empty)
+        # dense segment index per right row + dense time rank → composite
+        # int64 search key (seg * span + rank) that keeps (key, t) order
+        starts = _segment_starts(rk)
+        key_vals = rk[starts]
+        seg_of_right = np.cumsum(
+            np.concatenate([[0], (rk[1:] != rk[:-1]).astype(np.int64)])
+        )
+        times_uniq = np.unique(np.concatenate([rt, lt + lo_off, lt + hi_off]))
+        span = np.int64(len(times_uniq) + 2)
+        comp_r = seg_of_right * span + np.searchsorted(times_uniq, rt)
+        seg_of_left = np.searchsorted(key_vals, lk)
+        has_key = (seg_of_left < len(key_vals)) & (
+            key_vals[np.minimum(seg_of_left, len(key_vals) - 1)] == lk
+        )
+        lo_rank = np.searchsorted(times_uniq, lt + lo_off, side="left")
+        hi_rank = np.searchsorted(times_uniq, lt + hi_off, side="right")
+        lob = np.searchsorted(comp_r, seg_of_left * span + lo_rank, side="left")
+        hib = np.searchsorted(comp_r, seg_of_left * span + hi_rank, side="left")
+        counts = np.where(has_key, hib - lob, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(empty)
+        off = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        expand_left = np.repeat(np.arange(len(lk)), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+        expand_right = np.repeat(lob, counts) + within
+        lsel = pa.array(lrows[expand_left])
+        rsel = pa.array(rrows[expand_right])
+        out: dict[str, pa.Array] = {}
+        for c in left_cols:
+            out[c] = g.column(c).take(lsel)
+        for c in right_cols:
+            out[c] = g.column(c).take(rsel)
+        return pa.table(out)
+
+    grouped = _cobucket(
+        left,
+        right,
+        left_key=left_key,
+        right_key=right_key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        right_tiebreak=None,
+        n_buckets=n_buckets,
+    )
+    return grouped.map_groups(per_bucket, batch_format="pyarrow")

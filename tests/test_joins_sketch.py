@@ -1,0 +1,204 @@
+"""Unit tests for the temporal joins (stages/joins.py) and order-statistic /
+sampling primitives (functions/sketch.py) — edge cases the sf-fixture parity
+checks can't hit: timestamp ties, empty sides, window boundaries, duplicate
+values in quantile histograms."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from bcdc2bcdc_ray.canonical import splitmix64
+from bcdc2bcdc_ray.functions import sketch
+from bcdc2bcdc_ray.stages import joins
+
+
+def _ds(table: pa.Table, blocks: int = 2):
+    return rd.from_arrow(table).repartition(blocks)
+
+
+def test_asof_basic_ties_and_unmatched(ray_session):
+    left = pa.table(
+        {
+            "lid": [1, 2, 3, 4],
+            "k": [10, 10, 10, 99],
+            "t": [5, 10, 3, 7],
+        }
+    )
+    # key 10: rights at t=4 (r1), t=10 (r2a, r2b — tie, max tiebreak wins)
+    right = pa.table(
+        {
+            "rid": [100, 200, 201],
+            "k": [10, 10, 10],
+            "t": [4, 10, 10],
+        }
+    )
+    out = joins.asof_join(
+        _ds(left),
+        _ds(right),
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["lid"],
+        right_cols=["rid"],
+        right_tiebreak="rid",
+        n_buckets=2,
+    ).to_pandas()
+    got = dict(zip(out["lid"], out["rid"]))
+    assert got[1] == 100  # t=5 → latest right at t=4
+    assert got[2] == 201  # t=10 → exact-equal match, tie → max rid
+    assert got[3] != got[3]  # t=3 precedes every right row → null (NaN)
+    assert got[4] != got[4]  # key 99 has no right rows → null
+
+
+def test_asof_unmatched_is_null(ray_session):
+    left = pa.table({"lid": [1], "k": [5], "t": [0]})
+    right = pa.table({"rid": [9], "k": [5], "t": [100]})
+    out = joins.asof_join(
+        _ds(left, 1),
+        _ds(right, 1),
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["lid"],
+        right_cols=["rid"],
+        n_buckets=2,
+    ).to_pandas()
+    assert len(out) == 1 and out["rid"].isna().all()
+
+
+def test_asof_matches_pandas_merge_asof_shape(ray_session):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    left = pa.table(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.integers(0, 12, n_l),
+            "t": rng.integers(0, 1000, n_l),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": np.arange(n_r) + 1000,
+            "k": rng.integers(0, 12, n_r),
+            "t": rng.integers(0, 1000, n_r),
+        }
+    )
+    out = (
+        joins.asof_join(
+            _ds(left, 3),
+            _ds(right, 2),
+            left_key="k",
+            right_key="k",
+            left_ts="t",
+            right_ts="t",
+            left_cols=["lid"],
+            right_cols=["rid"],
+            right_tiebreak="rid",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    # dict oracle: max (t, rid) right row at or before each left t
+    rk = right.column("k").to_numpy()
+    rt = right.column("t").to_numpy()
+    rid = right.column("rid").to_numpy()
+    for row in out.itertuples():
+        lk = left.column("k").to_numpy()[row.lid]
+        lt = left.column("t").to_numpy()[row.lid]
+        cand = [(rt[i], rid[i]) for i in range(n_r) if rk[i] == lk and rt[i] <= lt]
+        exp = max(cand)[1] if cand else None
+        if exp is None:
+            assert row.rid != row.rid  # NaN
+        else:
+            assert int(row.rid) == exp
+    assert len(out) == n_l
+
+
+def test_range_join_window_boundaries_inclusive(ray_session):
+    left = pa.table({"a": [1], "k": [7], "t": [100]})
+    right = pa.table({"b": [10, 20, 30, 40], "k": [7] * 4, "t": [89, 90, 110, 111]})
+    out = joins.range_join(
+        _ds(left, 1),
+        _ds(right, 1),
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["a"],
+        right_cols=["b"],
+        lower_offset=-10,
+        upper_offset=10,
+        n_buckets=2,
+    ).to_pandas()
+    assert sorted(out["b"]) == [20, 30]  # both bounds inclusive
+
+
+def test_range_join_empty_result_keeps_schema(ray_session):
+    left = pa.table({"a": [1], "k": [7], "t": [0]})
+    right = pa.table({"b": [10], "k": [8], "t": [0]})
+    out = joins.range_join(
+        _ds(left, 1),
+        _ds(right, 1),
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["a"],
+        right_cols=["b"],
+        lower_offset=-10,
+        upper_offset=10,
+        n_buckets=2,
+    )
+    assert out.count() == 0
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, 2000)
+    v = rng.integers(-50, 50, 2000)
+    ds = _ds(pa.table({"g": g, "v": v}), 4)
+    out = (
+        sketch.group_quantiles(ds, "g", "v", [0.25, 0.5, 0.9], ["q25", "q50", "q90"])
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    for row in out.itertuples():
+        vals = np.sort(v[g == row.g])
+        for q, got in ((0.25, row.q25), (0.5, row.q50), (0.9, row.q90)):
+            exp = vals[int(np.ceil(q * len(vals))) - 1]  # quantile_disc
+            assert got == exp, (row.g, q, got, exp)
+
+
+def test_group_topk_deterministic_with_ties(ray_session):
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "g": ["x"] * 4 + ["y"] * 2,
+            "score": [9, 9, 9, 1, 5, 5],
+        }
+    )
+    out = (
+        sketch.group_topk(_ds(t, 3), "g", "score", "id", 2)
+        .to_pandas()
+        .sort_values(["g", "id"], ignore_index=True)
+    )
+    # group x: three score-9 ties → ids 1,2 win (tiebreak asc); group y: both
+    assert out[out["g"] == "x"]["id"].tolist() == [1, 2]
+    assert out[out["g"] == "y"]["id"].tolist() == [5, 6]
+
+
+def test_hash_sample_matches_direct_mixer(ray_session):
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "x": ids * 2})
+    out = sketch.hash_sample(_ds(t, 3), "doc_id", 0.25).to_pandas()
+    thr = np.uint64(1 << 62)
+    exp = ids[splitmix64(ids.astype(np.uint64)) < thr]
+    assert sorted(out["doc_id"]) == sorted(exp.tolist())
+    # deterministic: a second run returns the identical sample
+    out2 = sketch.hash_sample(_ds(t, 5), "doc_id", 0.25).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])

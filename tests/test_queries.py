@@ -28,6 +28,11 @@ SPOT = [
     "transcripts_replay",  # the flagship — relational LWW oracle
     "simhash_signatures",  # crc32+bit-vote recomputed in SQL
     "rolling_fingerprint",  # Karp-Rabin poly recomputed in SQL
+    "asof_join_orders",  # co-bucketed as-of join vs DuckDB ASOF
+    "range_join_events",  # interval join vs inequality-join SQL
+    "group_quantiles_events",  # histogram quantile vs quantile_disc
+    "hash_sample_docs",  # splitmix64 mixer recomputed in SQL
+    "group_topk_docs",  # partial top-k vs QUALIFY row_number
 ]
 
 
