@@ -57,6 +57,9 @@ QUERY_NAMES = [
     "sessionize",
     "cdc_delta_classify",
     "alt_key_delta",
+    "asof_join_orders",
+    "range_join_events",
+    "group_quantiles_events",
 ]
 
 
