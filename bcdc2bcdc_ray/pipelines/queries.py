@@ -73,13 +73,15 @@ def _read(sf_dir: str, table: str, columns=None):
     except OSError:
         size = 0
     n_blocks = max(min(cpus, 16), size // (128 << 20), 1)
-    ds = rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
     # the driver's parquet carries pandas schema metadata, which Ray's
-    # schema-dedup can't hash (it warns on every reduce task) — strip it at
-    # the read (fused into the first map stage, zero extra passes)
-    return ds.map_batches(
-        lambda b: b.replace_schema_metadata(None) if b.schema.metadata else b,
-        batch_format="pyarrow",
+    # schema-dedup can't hash (it warns on every read/reduce task) — hand
+    # read_parquet a metadata-stripped schema so blocks are born clean
+    file_schema = pq.read_schema(path)
+    stripped = pa.schema([f.remove_metadata() for f in file_schema]).remove_metadata()
+    if columns:
+        stripped = pa.schema([stripped.field(c) for c in columns])
+    return rd.read_parquet(
+        path, columns=columns, schema=stripped, override_num_blocks=n_blocks
     )
 
 
