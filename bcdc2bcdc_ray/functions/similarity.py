@@ -238,3 +238,181 @@ def topk_cosine_lsh(
         batch_format="pyarrow",
     )
     return topk_cosine(in_bucket, query, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    mat: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit-normalized vectors (cosine
+    metric: assign by max dot product, centroid = renormalized mean).
+    Pure numpy, meant for a bounded driver-side SAMPLE — never the full
+    dataset. Empty clusters re-seed to the worst-assigned point."""
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    rng = np.random.default_rng(seed)
+    n = len(unit)
+    k = min(n_centroids, n)
+    cent = unit[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sims = unit @ cent.T  # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, unit)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # re-seed dead centroids to the points the quantizer serves worst
+            worst = np.argsort(best)[: int(empty.sum())]
+            new[empty] = unit[worst]
+            counts[empty] = 1
+        cn = np.linalg.norm(new, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cent = new / cn
+    return cent
+
+
+class IVFAssign:
+    """map_batches callable: append ``ivf_list`` — the nearest-centroid id
+    of each embedding (one BLAS matmul per batch against the broadcast
+    centroid matrix, resolved once per worker)."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        c = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+        self.cent = np.asarray(c, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((mat / norms) @ self.cent.T, axis=1)
+        return batch.append_column("ivf_list", pa.array(assign.astype(np.int32)))
+
+
+def _ivf_sample(ds, id_col: str, p: float) -> np.ndarray:
+    """Deterministic bounded training sample: splitmix64(id) < p·2^64.
+    Driver materializes ONLY this slice (choose p so the sample stays ~1e5
+    rows at the target scale)."""
+    from ..canonical import splitmix64
+
+    thr = np.uint64(int(p * float(1 << 64)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.filter(pa.array(splitmix64(ids) < thr))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow")
+    tbls = [b for b in sample.iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        return np.zeros((0, 0))
+    return _to_matrix(pa.concat_tables(tbls).column("embedding"))
+
+
+def topk_cosine_ivf(
+    ds,
+    query,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    seed: int = 11,
+    sample_p: float = 0.25,
+):
+    """IVF ANN: train a k-means coarse quantizer on a deterministic hash
+    sample, assign every vector to its nearest centroid per batch, scan
+    only the ``nprobe`` centroid lists nearest the query (~nprobe/n_centroids
+    of the data), brute-force top-k over that slice. The second approximate
+    scale path next to hyperplane LSH — data-adaptive buckets, better
+    recall/scan-fraction on clustered embeddings."""
+    import pyarrow.compute as pc
+    import ray
+
+    sample = _ivf_sample(ds, id_col, sample_p)
+    cent = train_ivf_centroids(sample, n_centroids, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    probe_lists = np.argsort(-(cent @ qu))[: min(nprobe, len(cent))].astype(np.int32)
+    probe = pa.array(probe_lists, pa.int32())
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        lambda b: _cached(IVFAssign, cref)(b), batch_format="pyarrow"
+    )
+    in_lists = assigned.map_batches(
+        lambda b: b.filter(
+            pc.fill_null(pc.is_in(b.column("ivf_list"), value_set=probe), False)
+        ),
+        batch_format="pyarrow",
+    )
+    return topk_cosine(in_lists, query, k=k, id_col=id_col)
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 11,
+    sample_p: float = 0.25,
+) -> np.ndarray:
+    """Persist an IVF index as centroid-partitioned parquet
+    (``out_dir/ivf_list=<i>/``) plus the centroid matrix. At scale this is
+    the real win: a later search READS only the probed partitions from
+    storage — file-level pruning, no full scan, no assignment pass."""
+    import json
+    import os
+
+    sample = _ivf_sample(ds, id_col, sample_p)
+    cent = train_ivf_centroids(sample, n_centroids, seed=seed)
+    import ray
+
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        lambda b: _cached(IVFAssign, cref)(b), batch_format="pyarrow"
+    )
+    assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), cent)
+    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        json.dump({"n_centroids": int(len(cent)), "seed": seed}, f)
+    return cent
+
+
+def search_ivf_index(out_dir: str, query, nprobe: int = 4, k: int = 10,
+                     id_col: str = "vec_id"):
+    """Search a persisted IVF index reading ONLY the nprobe nearest
+    partitions (directory-level pruning)."""
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(out_dir, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    import glob
+
+    probe = np.argsort(-(cent @ qu))[: min(nprobe, len(cent))]
+    paths = [
+        f
+        for i in probe
+        for f in sorted(
+            glob.glob(os.path.join(out_dir, f"ivf_list={int(i)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return None
+    ds = rd.read_parquet(paths)
+    return topk_cosine(ds, query, k=k, id_col=id_col)

@@ -81,6 +81,7 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
         "multimodal_audio",
         "multimodal_frames",
         "ann_topk_lsh",  # approximate — recall gate vs ann_topk
+        "ann_topk_ivf",  # approximate — recall gate + index roundtrip
     }
 
 
@@ -102,6 +103,39 @@ def test_ann_lsh_recall_gate(ray_session):
     exact = set(e.queries()["ann_topk"](SF).to_pandas()["vec_id"])
     approx = set(e.queries()["ann_topk_lsh"](SF).to_pandas()["vec_id"])
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ann_ivf_recall_gate_and_index_roundtrip(ray_session, tmp_path):
+    """The IVF path's quality gate: top-10 recall >= 0.9 vs the exact scan
+    at the ann_topk_ivf defaults, and the PERSISTED centroid-partitioned
+    index returns the identical result via directory-level read pruning."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from bcdc2bcdc_ray.functions import similarity
+    from bcdc2bcdc_ray.pipelines.queries import _read
+
+    exact = set(e.queries()["ann_topk"](SF).to_pandas()["vec_id"])
+    approx_df = e.queries()["ann_topk_ivf"](SF).to_pandas()
+    approx = set(approx_df["vec_id"])
+    assert len(exact & approx) / len(exact) >= 0.9
+
+    qtab = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        qtab.filter(pc.equal(qtab.column("vec_id"), 0)).column("embedding")[0].as_py()
+    )
+    ds = _read(SF, "embeddings", columns=["vec_id", "embedding"])
+    idx_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(ds, idx_dir, n_centroids=8)
+    hit = similarity.search_ivf_index(idx_dir, qvec, nprobe=5, k=10)
+    got = sorted(hit.to_pandas()["vec_id"])
+    live = sorted(
+        similarity.topk_cosine_ivf(ds, qvec, n_centroids=8, nprobe=5, k=10)
+        .to_pandas()["vec_id"]
+    )
+    assert got == live  # same centroids/seed → identical probed slice
 
 
 def test_embedding_neardup_recall_gate(ray_session):
