@@ -2290,14 +2290,17 @@ def two_table_replay(sf_dir: str):
     2. build the id-remap LUT from the dimension's POST-MERGE lake state —
        not from a hardcoded table;
     3. replay transcripts with an ``on_compare`` hook consuming that LUT,
-       so the fact lake stays entirely in final dim-name space."""
+       so the fact lake stays entirely in final dim-name space.
+
+    Runs through the generic FK-ordered orchestrator (``pipelines/sync.py``
+    run_sync): tables are DECLARED with depends_on/exports/imports and the
+    orchestrator topo-sorts, threads the derived LUT, and replays."""
     from .. import changegen as cg
     from ..spec import TableSpec, TRANSCRIPTS_SCHEMA
-    from . import cdc
+    from . import cdc, sync
 
     _ensure_flagship_fixture()
     with tempfile.TemporaryDirectory(prefix="tx2t_") as tmp:
-        # stage 1: dimension merge (dims before facts)
         dim_spec = TableSpec(
             name="tools",
             schema=cg.TOOLS_SCHEMA,
@@ -2309,34 +2312,38 @@ def two_table_replay(sf_dir: str):
         dim_paths = cg.write_wal_chunks(
             pq.read_table(_TOOLS_WAL), os.path.join(tmp, "tools_wal"), num_chunks=2
         )
-        cdc.replay(dim_dir, dim_paths, dim_spec)
-        # stage 2: LUT from the dimension's post-merge state
-        dim_state = cdc.read_lake_table(dim_dir)
-        lut = dict(
-            zip(
-                dim_state.column("tool_id").to_pylist(),
-                dim_state.column("dest_name").to_pylist(),
-            )
-        )
-
-        def remap_hook(batch: pa.Table) -> pa.Table:
-            return transforms.value_map(batch, "tool", lut)
-
-        # stage 3: fact replay through the derived LUT
-        spec = TableSpec(
+        fact_spec = TableSpec(
             name="transcripts_2t",
             schema=TRANSCRIPTS_SCHEMA,
             key=("conv_id", "turn_idx"),
             compare_columns=("role", "text", "tool", "ts"),
             falsy_null_columns=("text", "tool"),
-            on_compare=(remap_hook,),
         )
         lake_dir = os.path.join(tmp, "lake")
-        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE_2T), lake_dir, spec, num_partitions=16)
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE_2T), lake_dir, fact_spec, num_partitions=16
+        )
         paths = cg.write_wal_chunks(
             pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
         )
-        cdc.replay(lake_dir, paths, spec)
+        # declared fact-first: the orchestrator's topo sort runs dims first
+        sync.run_sync(
+            [
+                sync.SyncTable(
+                    spec=fact_spec,
+                    lake_dir=lake_dir,
+                    wal_paths=paths,
+                    depends_on=("tools",),
+                    imports={"tool": "tool_names"},
+                ),
+                sync.SyncTable(
+                    spec=dim_spec,
+                    lake_dir=dim_dir,
+                    wal_paths=dim_paths,
+                    exports={"tool_names": ("tool_id", "dest_name")},
+                ),
+            ]
+        )
         return cdc.read_lake_table(lake_dir)
 
 
