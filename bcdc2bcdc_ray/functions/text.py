@@ -45,6 +45,23 @@ def token_count(batch: pa.Table, col: str = "text", out: str = "n_tokens") -> pa
     return batch.append_column(out, pc.cast(pc.list_value_length(toks), pa.int64()))
 
 
+# GPT-2-style pretokenizer shape, restricted to RE2 syntax (no lookahead —
+# both pyarrow and DuckDB run RE2, so impl and oracle share it verbatim):
+# a token is an optional leading space + a letter run / digit run / other-run.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_token_count(
+    batch: pa.Table, col: str = "text", out: str = "n_bpe_tokens"
+) -> pa.Table:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-shaped
+    pretokenizer regex — the cheap LLM-token estimator (whitespace count
+    underestimates code/punctuation-heavy text). Matches DuckDB
+    ``len(regexp_extract_all(text, pattern))`` exactly."""
+    n = pc.count_substring_regex(batch.column(col), BPE_TOKEN_PATTERN)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
 def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
     """Length / alpha-ratio / punctuation-ratio quality features.
 

@@ -1258,6 +1258,21 @@ def token_count(sf_dir: str):
 
 
 @q(
+    "bpe_token_count",
+    rf"SELECT doc_id, len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}'))"
+    " AS n_bpe_tokens FROM documents",
+)
+def bpe_token_count_q(sf_dir: str):
+    """BPE-ish LLM-token estimator (GPT-2-shaped RE2 pretokenizer regex —
+    the same pattern string runs on both sides)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.bpe_token_count(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+@q(
     "quality_score",
     r"""
     SELECT doc_id,

@@ -33,6 +33,7 @@ SPOT = [
     "group_quantiles_events",  # histogram quantile vs quantile_disc
     "hash_sample_docs",  # splitmix64 mixer recomputed in SQL
     "group_topk_docs",  # partial top-k vs QUALIFY row_number
+    "bpe_token_count",  # shared RE2 pretokenizer pattern on both sides
 ]
 
 
