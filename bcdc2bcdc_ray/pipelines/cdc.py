@@ -587,3 +587,61 @@ def replay(
     if audit_dir:
         wal_src.write_audit_json(report, audit_dir, name=f"replay_{spec.name}")
     return report
+
+
+def follow(
+    lake_dir: str,
+    wal_dir: str,
+    spec: Optional[TableSpec] = None,
+    *,
+    max_rounds: int = 100,
+    idle_rounds_to_stop: int = 1,
+    poll_sleep_s: float = 0.0,
+    **replay_kwargs,
+) -> dict:
+    """Streaming tail-consumption mode (SURVEY §2.9): poll ``wal_dir`` for
+    chunks and replay whatever the committed watermarks haven't covered yet,
+    until ``idle_rounds_to_stop`` consecutive polls find nothing new (or
+    ``max_rounds``). Each round is one exactly-once ``replay`` — a chunk
+    that was fully applied is footer-stats-pruned on every later poll, so
+    an idle poll costs one directory listing + one metadata pass, no reads.
+
+    This is the micro-batch continuous-ingest shape: a producer appends
+    ordered chunk files; the follower keeps the lake at the WAL head. At
+    cluster scale the same loop runs as a driver-side supervisor — all the
+    actual work is the distributed replay pipeline.
+    """
+    from ..sources import wal as wal_src
+
+    spec = spec or transcripts_spec()
+    rounds = 0
+    idle = 0
+    totals = {"adds": 0, "updates": 0, "deletes": 0, "noops": 0, "events": 0}
+    last = None
+    while rounds < max_rounds and idle < idle_rounds_to_stop:
+        paths = wal_src.list_wal_chunks(wal_dir)
+        rep = replay(lake_dir, paths, spec, **replay_kwargs) if paths else {
+            "events": 0, "adds": 0, "updates": 0, "deletes": 0,
+            "noops": 0, "skipped": 0,
+        }
+        rounds += 1
+        # `events` reports the WHOLE listed WAL (pruned rows count into
+        # `skipped`) — a poll is idle iff nothing actually reached the merge
+        fresh = rep["events"] - rep.get("skipped", 0)
+        if fresh <= 0:
+            idle += 1
+        else:
+            idle = 0
+            last = rep
+            for k in ("adds", "updates", "deletes", "noops"):
+                totals[k] += rep.get(k, 0)
+            totals["events"] += fresh
+        if poll_sleep_s and idle < idle_rounds_to_stop:
+            import time
+
+            time.sleep(poll_sleep_s)
+    return {
+        "rounds": rounds,
+        "lsn_hi": (last or {}).get("lsn_hi", -1),
+        **totals,
+    }

@@ -500,3 +500,41 @@ def test_mixed_evolution_single_replay(ray_session, dirs):
     all_ev = pa.concat_tables([plain_ev, evolved]).sort_by("lsn")
     oracle = cg.oracle_replay(lake_ev, all_ev)
     assert final.equals(oracle)
+
+
+def test_follow_consumes_wal_tail_in_waves(ray_session, dirs):
+    """Streaming follow mode: wave 1 is applied, an idle poll stops the
+    loop cheaply; a second follow sees only wave 2 (watermark pruning) and
+    the final state equals the two-wave oracle."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, _ = _setup(lake_dir, wal_dir, n_events=2000)
+
+    rep1 = cdc.follow(lake_dir, wal_dir, spec, max_rounds=10)
+    # `events` counts rows that reached the merge (combiner-collapsed
+    # duplicate-LSN rows are excluded with the pruned ones)
+    assert 0 < rep1["events"] <= events.num_rows
+    assert rep1["rounds"] == 2  # one applying round + one idle poll
+
+    # wave 2 appears later, with a disjoint LSN range
+    max_lsn = max(events.column("lsn").to_pylist())
+    wave2_paths = cg.gen_wal_chunks(
+        1000, 120, wal_dir + "_w2", num_chunks=3, seed=99, lsn_offset=max_lsn
+    )
+    import pyarrow.parquet as pq
+
+    wave2 = pa.concat_tables([pq.read_table(p) for p in wave2_paths])
+    for i, p in enumerate(wave2_paths):  # land the new chunks in the tail dir
+        shutil.copy(p, os.path.join(wal_dir, f"wal-9{i:04d}.parquet"))
+
+    rep2 = cdc.follow(lake_dir, wal_dir, spec, max_rounds=10)
+    assert 0 < rep2["events"] <= wave2.num_rows  # wave 1 fully pruned
+    assert rep2["rounds"] == 2
+    final = cdc.read_lake_table(lake_dir)
+    oracle = cg.oracle_replay(cg.oracle_replay(lake, events), wave2)
+    assert final.equals(oracle)
+
+    # fully-idle follow: no new data → exactly idle_rounds_to_stop polls
+    rep3 = cdc.follow(lake_dir, wal_dir, spec, max_rounds=10)
+    assert rep3["rounds"] == 1 and rep3["events"] == 0
