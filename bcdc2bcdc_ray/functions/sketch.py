@@ -141,6 +141,124 @@ def hash_sample(ds, id_col: str, p: float):
     )
 
 
+# --- HyperLogLog distinct-count sketch (integer-exact estimator) -------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_WBITS = 64 - HLL_P  # 56 bits feed the leading-zero count
+_HLL_RHO_MAX = _HLL_WBITS + 1  # rho(w=0) = 57
+# alpha_m for m=256 as 2^-30 fixed point — the SAME integer constant feeds the
+# numpy estimator and the generated SQL, so the sketch is bit-exact end to end
+HLL_ALPHA_NUM = int(round(0.7213 / (1 + 1.079 / HLL_M) * (1 << 30)))
+# estimate = alpha * m^2 / Z with Z kept scaled by 2^rho_max so every term is
+# an integer; fold m^2 and both scale factors into one numerator (~2^103,
+# fits int128 on the SQL side, arbitrary-precision Python int here)
+_HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << _HLL_RHO_MAX)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length for uint64. No float round-trip — a
+    float64 conversion misrounds near power-of-two boundaries above 2^53,
+    which would corrupt rho for ~1/2000 hashes."""
+    v = w.copy()
+    bl = np.zeros(len(w), np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        bl[m] += np.uint64(s)
+        v[m] >>= np.uint64(s)
+    return bl + (v > 0)
+
+
+def hll_partial(batch: pa.Table, group: str, key: str) -> pa.Table:
+    """Per-batch HLL combiner: hash → (register idx, rho), max-reduce per
+    (group, idx) INSIDE the batch so the shuffle moves at most
+    groups×256 register rows per block, never raw keys. ``key`` must be a
+    non-null integer column (hash strings upstream)."""
+    h = splitmix64(batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64))
+    idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    rho = (_HLL_RHO_MAX - _bit_length_u64(h >> np.uint64(HLL_P))).astype(np.int64)
+    t = pa.table({group: batch.column(group), "__idx": idx, "__rho": rho})
+    out = t.group_by([group, "__idx"]).aggregate([("__rho", "max")])
+    return pa.table(
+        {
+            group: out.column(group),
+            "__idx": out.column("__idx"),
+            "__rho": out.column("__rho_max"),
+        }
+    )
+
+
+def hll_estimate_bucket(g: pa.Table, group: str) -> pa.Table:
+    """Collapse register partials → one (group, approx_distinct) row per
+    group in the bucket. Raw HLL estimator only, in exact integer math
+    (empty registers contribute 2^rho_max to the scaled harmonic sum)."""
+    gk = g.column(group).to_numpy(zero_copy_only=False)
+    idx = g.column("__idx").to_numpy(zero_copy_only=False)
+    rho = g.column("__rho").to_numpy(zero_copy_only=False)
+    order = np.lexsort((idx, gk))
+    gk, idx, rho = gk[order], idx[order], rho[order]
+    change = np.empty(len(gk), bool)
+    if len(gk):
+        change[0] = True
+        np.not_equal(gk[1:], gk[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(gk))
+    out_groups, out_est = [], []
+    for s, e in zip(starts, ends):
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, idx[s:e], rho[s:e])
+        z = sum(1 << int(_HLL_RHO_MAX - r) for r in regs)  # exceeds int64; python int
+        out_groups.append(gk[s])
+        out_est.append(_HLL_EST_NUM // ((1 << 30) * z))
+    return pa.table(
+        {
+            group: pa.array(out_groups, g.schema.field(group).type),
+            "approx_distinct": pa.array(out_est, pa.int64()),
+        }
+    )
+
+
+def hll_distinct(ds, group: str, key: str):
+    """Approximate COUNT(DISTINCT key) per group, HLL with m=256 registers:
+    per-batch register combiner → one bucketed shuffle of O(groups×256)
+    register rows → integer-exact raw estimator. ~6.5% relative error once
+    distinct(key) > ~2.5·m = 640 (below that the raw estimator overshoots;
+    we deliberately skip the ln()-based linear-counting correction so the
+    estimator stays bit-reproducible in integer math on both the numpy and
+    SQL sides). The reference's analytics stop at exact counters
+    (``/root/reference/bcdc2bcdc/CKANUpdate.py:214-233``); this is the
+    cardinality primitive that replaces a full distinct shuffle at 100 TB."""
+    from ..pipelines.queries import _bucketed_map_groups
+
+    part = ds.map_batches(
+        lambda b: hll_partial(b, group, key), batch_format="pyarrow"
+    )
+    return _bucketed_map_groups(part, [group], lambda g: hll_estimate_bucket(g, group))
+
+
+def hll_distinct_sql(table: str, group: str, key: str) -> str:
+    """DuckDB SQL computing ``hll_distinct`` bit-identically: same splitmix64,
+    rho via a generated 56-term bit-length comparison sum (no float log),
+    same 2^-30 fixed-point alpha and int128 integer division."""
+    bl = " + ".join(f"CAST(w >= {1 << k} AS BIGINT)" for k in range(_HLL_WBITS))
+    return f"""
+    WITH h AS (SELECT {group} AS grp, {splitmix64_sql(key)} AS h FROM {table}),
+    r AS (SELECT grp, CAST(h % {HLL_M} AS BIGINT) AS idx,
+                 CAST(h // {HLL_M} AS UBIGINT) AS w FROM h),
+    rr AS (SELECT grp, idx, {_HLL_RHO_MAX} - ({bl}) AS rho FROM r),
+    mx AS (SELECT grp, idx, max(rho) AS mr FROM rr GROUP BY grp, idx),
+    z AS (SELECT grp,
+                 CAST({HLL_M} - count(*) AS HUGEINT)
+                   * CAST({1 << _HLL_RHO_MAX} AS HUGEINT)
+                 + sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - mr)) AS z
+          FROM mx GROUP BY grp)
+    SELECT grp AS {group},
+           CAST(CAST('{_HLL_EST_NUM}' AS HUGEINT)
+                // (CAST({1 << 30} AS HUGEINT) * z) AS BIGINT) AS approx_distinct
+    FROM z
+    """
+
+
 # --- SQL re-expression of splitmix64 for the DuckDB oracle -------------------
 
 

@@ -1500,6 +1500,36 @@ _install_hash_sample_oracle()
 
 
 @q(
+    "hll_distinct_parts",
+    None,  # oracle SQL generated below (integer-exact HLL re-expressed in SQL)
+)
+def hll_distinct_parts(sf_dir: str):
+    """Approximate distinct part count per returnflag via an HLL sketch:
+    per-batch register combiner → shuffle of O(groups×256) register rows →
+    integer-exact raw estimator. Even the 'approximate' sketch gets a
+    hash-exact oracle because every step (splitmix64, rho, fixed-point
+    alpha, int128 division) is integer math on both sides.
+    functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    return sketch.hll_distinct(ds, "l_returnflag", "l_partkey")
+
+
+def _install_hll_oracle():
+    from ..functions import sketch
+
+    fn, _ = _REGISTRY["hll_distinct_parts"]
+    _REGISTRY["hll_distinct_parts"] = (
+        fn,
+        sketch.hll_distinct_sql("lineitem", "l_returnflag", "l_partkey"),
+    )
+
+
+_install_hll_oracle()
+
+
+@q(
     "group_topk_docs",
     """
     SELECT doc_id, lang, n_chars FROM documents

@@ -192,6 +192,40 @@ def test_group_topk_deterministic_with_ties(ray_session):
     assert out[out["g"] == "y"]["id"].tolist() == [5, 6]
 
 
+def test_bit_length_u64_exact_near_float_boundaries():
+    # values where a float64 round-trip misrounds the exponent
+    vals = np.array(
+        [0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 53) + 1, (1 << 56) - 1, 1 << 55],
+        dtype=np.uint64,
+    )
+    got = sketch._bit_length_u64(vals)
+    exp = [int(v).bit_length() for v in vals.tolist()]
+    assert got.tolist() == exp
+
+
+def test_hll_distinct_accuracy_and_determinism(ray_session):
+    # 50k distinct ids across 2 groups — deep in the raw-estimator regime;
+    # standard HLL error for m=256 is 1.04/sqrt(256) ≈ 6.5%
+    n = 50_000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"g": np.where(ids % 2 == 0, "a", "b"), "k": ids * 7 + 13})
+    out = (
+        sketch.hll_distinct(_ds(t, 6), "g", "k")
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]
+    for est in out["approx_distinct"]:
+        assert abs(est - n / 2) / (n / 2) < 0.15
+    # block layout must not change the estimate (register max is associative)
+    out2 = (
+        sketch.hll_distinct(_ds(t, 13), "g", "k")
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    assert out2["approx_distinct"].tolist() == out["approx_distinct"].tolist()
+
+
 def test_hash_sample_matches_direct_mixer(ray_session):
     ids = np.arange(1000, dtype=np.int64)
     t = pa.table({"doc_id": ids, "x": ids * 2})

@@ -34,6 +34,7 @@ SPOT = [
     "hash_sample_docs",  # splitmix64 mixer recomputed in SQL
     "group_topk_docs",  # partial top-k vs QUALIFY row_number
     "bpe_token_count",  # shared RE2 pretokenizer pattern on both sides
+    "hll_distinct_parts",  # integer-exact HLL sketch recomputed in SQL
 ]
 
 
