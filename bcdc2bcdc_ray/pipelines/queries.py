@@ -1391,6 +1391,45 @@ def asof_join_orders(sf_dir: str):
 
 
 @q(
+    "asof_join_orders_broadcast",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, r.o_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_orders_broadcast(sf_dir: str):
+    """Same as-of semantics as ``asof_join_orders`` via the broadcast fast
+    path: orders (the small side) is sorted once on the driver and
+    ``ray.put`` once; events STREAM through a per-batch searchsorted probe
+    with zero shuffle. The oracle is byte-identical to the shuffle path's —
+    the two strategies must agree exactly (stages/joins.py)."""
+    from ..stages import joins
+
+    left = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    right = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return joins.asof_join_broadcast(
+        left,
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey"],
+        right_tiebreak="o_orderkey",
+    )
+
+
+@q(
     "range_join_events",
     """
     SELECT a.event_id AS a, b.event_id AS b FROM events a JOIN events b

@@ -204,6 +204,120 @@ def asof_join(
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
 
 
+class _BroadcastAsofKernel:
+    """Per-worker state for the broadcast as-of fast path: the right side,
+    pre-sorted by (key, t, tiebreak) on the driver, resolved from the object
+    store ONCE per worker process (``_cached``), then probed per left batch
+    with two vectorized searchsorteds — no shuffle at all."""
+
+    def __init__(self, ref):
+        import ray
+
+        d = ray.get(ref)
+        self.rk = d["rk"]  # int64, sorted
+        self.comp = d["comp"]  # seg*span + time-rank, strictly sorted
+        self.starts = d["starts"]  # first right row of each key segment
+        self.key_vals = d["key_vals"]  # distinct keys, sorted
+        self.uniq_t = d["uniq_t"]  # distinct right times, sorted
+        self.span = d["span"]
+        self.payload = d["payload"]  # pa.Table of right_cols, same order
+
+    def probe(self, lk: np.ndarray, lt: np.ndarray) -> np.ndarray:
+        """Return the right-row index for each left row, -1 if unmatched."""
+        seg = np.searchsorted(self.key_vals, lk)
+        has_key = (seg < len(self.key_vals)) & (
+            self.key_vals[np.minimum(seg, max(len(self.key_vals) - 1, 0))] == lk
+        )
+        rank_l = np.searchsorted(self.uniq_t, lt, side="right")
+        pos = np.searchsorted(self.comp, seg * self.span + rank_l, side="left") - 1
+        seg_start = self.starts[np.minimum(seg, max(len(self.starts) - 1, 0))]
+        valid = has_key & (pos >= seg_start)
+        return np.where(valid, pos, np.int64(-1))
+
+
+def asof_join_broadcast(
+    left,
+    right_table: pa.Table,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+):
+    """Broadcast fast path for :func:`asof_join` when the right side is a
+    small dimension table (rates, config versions, slowly-changing state):
+    identical semantics (greatest ``right_ts`` <= ``left_ts`` per key, ties
+    broken by max tiebreak, LEFT join), but the big left side STREAMS —
+    zero shuffle versus the co-bucketed path's all-to-all exchange. The
+    right side is sorted once on the driver, ``ray.put`` once, resolved
+    once per worker; each left batch costs two composite searchsorteds.
+    Use while the right side fits comfortably in a worker heap (the same
+    broadcast-vs-shuffle threshold as the LUT joins, SURVEY §2.6)."""
+    import ray
+
+    if right_table.num_rows == 0:
+        # degenerate: every left row is unmatched — pure projection
+        def all_null(b: pa.Table) -> pa.Table:
+            out = {c: b.column(c) for c in left_cols}
+            for c in right_cols:
+                out[c] = pa.nulls(b.num_rows, right_table.schema.field(c).type)
+            return pa.table(out)
+
+        return left.map_batches(all_null, batch_format="pyarrow")
+
+    rk = _as_int64(right_table.column(right_key)).to_numpy(zero_copy_only=False)
+    rt = _as_int64(right_table.column(right_ts)).to_numpy(zero_copy_only=False)
+    tb = (
+        _as_int64(right_table.column(right_tiebreak)).to_numpy(zero_copy_only=False)
+        if right_tiebreak
+        else np.zeros(len(rk), np.int64)
+    )
+    order = np.lexsort((tb, rt, rk))
+    rk, rt = rk[order], rt[order]
+    payload = right_table.select(right_cols).take(pa.array(order)).combine_chunks()
+    starts = _segment_starts(rk)
+    key_vals = rk[starts]
+    seg_of_right = np.cumsum(
+        np.concatenate([[0], (rk[1:] != rk[:-1]).astype(np.int64)])
+    )
+    uniq_t = np.unique(rt)
+    span = np.int64(len(uniq_t) + 1)
+    comp = seg_of_right * span + np.searchsorted(uniq_t, rt)
+    ref = ray.put(
+        {
+            "rk": rk,
+            "comp": comp,
+            "starts": starts,
+            "key_vals": key_vals,
+            "uniq_t": uniq_t,
+            "span": span,
+            "payload": payload,
+        }
+    )
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        from ..pipelines.queries import _cached
+
+        kern = _cached(_BroadcastAsofKernel, ref)
+        lk = _as_int64(b.column(left_key)).to_numpy(zero_copy_only=False)
+        lt = _as_int64(b.column(left_ts)).to_numpy(zero_copy_only=False)
+        match = kern.probe(lk, lt)
+        out: dict[str, pa.Array] = {c: b.column(c) for c in left_cols}
+        midx = pa.array(np.where(match >= 0, match, 0), type=pa.int64())
+        null_mask = pa.array(match < 0)
+        for c in right_cols:
+            taken = kern.payload.column(c).take(midx)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            out[c] = pc.if_else(null_mask, pa.nulls(len(match), taken.type), taken)
+        return pa.table(out)
+
+    return left.map_batches(per_batch, batch_format="pyarrow")
+
+
 def range_join(
     left,
     right,

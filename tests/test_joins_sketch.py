@@ -192,6 +192,63 @@ def test_group_topk_deterministic_with_ties(ray_session):
     assert out[out["g"] == "y"]["id"].tolist() == [5, 6]
 
 
+def test_asof_broadcast_matches_shuffle_path(ray_session):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 120
+    left = pa.table(
+        {
+            "eid": np.arange(n_l),
+            "k": rng.integers(0, 25, n_l),
+            "t": rng.integers(0, 1000, n_l),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": np.arange(n_r),
+            "k": rng.integers(0, 30, n_r),  # some keys absent on either side
+            "t": rng.integers(0, 1000, n_r),
+        }
+    )
+    kw = dict(
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["eid"],
+        right_cols=["rid"],
+        right_tiebreak="rid",
+    )
+    shuffled = (
+        joins.asof_join(_ds(left, 4), _ds(right, 3), n_buckets=4, **kw)
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    bcast = (
+        joins.asof_join_broadcast(_ds(left, 4), right, **kw)
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    assert bcast.equals(shuffled)
+
+
+def test_asof_broadcast_empty_right(ray_session):
+    left = pa.table({"eid": [1, 2], "k": [1, 2], "t": [10, 20]})
+    right = pa.table(
+        {"rid": np.array([], np.int64), "k": np.array([], np.int64), "t": np.array([], np.int64)}
+    )
+    out = joins.asof_join_broadcast(
+        _ds(left, 1),
+        right,
+        left_key="k",
+        right_key="k",
+        left_ts="t",
+        right_ts="t",
+        left_cols=["eid"],
+        right_cols=["rid"],
+    ).to_pandas()
+    assert len(out) == 2 and out["rid"].isna().all()
+
+
 def test_bit_length_u64_exact_near_float_boundaries():
     # values where a float64 round-trip misrounds the exponent
     vals = np.array(

@@ -35,6 +35,7 @@ SPOT = [
     "group_topk_docs",  # partial top-k vs QUALIFY row_number
     "bpe_token_count",  # shared RE2 pretokenizer pattern on both sides
     "hll_distinct_parts",  # integer-exact HLL sketch recomputed in SQL
+    "asof_join_orders_broadcast",  # zero-shuffle broadcast as-of fast path
 ]
 
 
