@@ -877,6 +877,133 @@ def minhash_lsh_pairs(sf_dir: str):
     return _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
 
 
+_U64_MOD = 1 << 64
+
+
+def _sql_crc32_word(w: str) -> str:
+    """crc32 of a word column — same construction as the simhash oracle
+    (reflected 0xEDB88320 table folded with list_reduce); requires the
+    ``tab AS (SELECT ... AS T)`` CTE in scope."""
+    return (
+        f"CAST(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),"
+        f"list_transform(range(0, octet_length(encode({w}))),"
+        f"i -> {_sql_byte_at(f'CAST(encode({w}) AS BITSTRING)', 'i')})),"
+        f"(acc, x) -> xor(acc >> 8, T[(xor(acc, x) & 255) + 1])),"
+        f"4294967295) AS UBIGINT)"
+    )
+
+
+def _sql_fnv_fold(x: str, h: str) -> str:
+    """``(x * FNV mod 2^64 + h) mod 2^64`` over UBIGINT columns (the
+    shingle/band fold step; FNV < 2^41 so the HUGEINT product stays
+    < 2^105)."""
+    return (
+        f"CAST(((CAST({x} AS HUGEINT) * 1099511628211) % {_U64_MOD}"
+        f" + CAST({h} AS HUGEINT)) % {_U64_MOD} AS UBIGINT)"
+    )
+
+
+def _sql_band_step(x: str, s: str) -> str:
+    """``(x * FNV mod 2^64) XOR s`` — one LSH band-hash fold step."""
+    return (
+        f"xor(CAST((CAST({x} AS HUGEINT) * 1099511628211) % {_U64_MOD}"
+        f" AS UBIGINT), {s})"
+    )
+
+
+def _install_minhash_oracle():
+    """Bit-exact SQL re-expression of the ENTIRE MinHash-LSH pipeline:
+    crc32 word hashes → FNV 3-gram folds (whole-doc fold for 1-2-word
+    docs) → 64 seeded affine permutations mod 2^61-1 (the same
+    64-bit-wrapped multiply-add + fast-Mersenne reduction as the numpy
+    kernel) → per-(doc, perm) min → 16-band FNV-xor fold → band-collision
+    self-join. Every constant (permutation coefficients, sentinel band
+    hash) is injected from the live ``MinHasher(seed=1234)`` instance, so
+    the SQL certifies the vectorized kernels end to end."""
+    mh = dedup.MinHasher(num_perm=64, shingle=3, seed=1234)
+    M = (1 << 61) - 1
+    perms = ",".join(
+        f"({p},{int(a)},{int(b)})" for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    # band hash of an all-sentinel (empty-doc) signature: fold([M,M,M,M])
+    bh_sent = 0
+    for _ in range(4):
+        bh_sent = ((bh_sent * 1099511628211) % _U64_MOD) ^ M
+    fold2 = _sql_fnv_fold("h0", "h1")
+    fold3 = _sql_fnv_fold(fold2, "h2")
+    bh = _sql_band_step(_sql_band_step(_sql_band_step("s0", "s1"), "s2"), "s3")
+    sql = f"""
+    WITH tab AS (SELECT {_crc32_table_literal()} AS T),
+    docs AS (
+      SELECT doc_id,
+             COALESCE(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''), []) AS arr
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, len(arr) AS nw,
+             unnest(arr) AS w, unnest(range(0, len(arr))) AS pos
+      FROM docs
+    ),
+    crcs AS (
+      SELECT doc_id, nw, pos, {_sql_crc32_word('w')} AS h
+      FROM words, tab
+    ),
+    lagged AS (
+      SELECT doc_id, nw, pos, h AS h0,
+             lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      FROM crcs
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN nw >= 3 THEN {fold3}
+                  WHEN nw = 2 THEN {fold2}
+                  ELSE h0 END AS s
+      FROM lagged
+      WHERE (nw >= 3 AND pos <= nw - 3) OR (nw < 3 AND pos = 0)
+    ),
+    perms AS (SELECT * FROM (VALUES {perms}) AS t(p, a, b)),
+    permuted AS (
+      SELECT doc_id, p,
+             CAST(((CAST(a AS HUGEINT) * CAST(s AS HUGEINT)) % {_U64_MOD}
+                   + b) % {_U64_MOD} AS UBIGINT) AS x
+      FROM sh CROSS JOIN perms
+    ),
+    reduced AS (
+      SELECT doc_id, p,
+             (x & CAST({M} AS UBIGINT)) + (x >> 61) AS y
+      FROM permuted
+    ),
+    mins AS (
+      SELECT doc_id, p,
+             min(CASE WHEN y >= {M} THEN y - {M} ELSE y END) AS mh
+      FROM reduced GROUP BY doc_id, p
+    ),
+    pv AS (
+      SELECT doc_id, p // 4 AS band,
+             min(CASE WHEN p % 4 = 0 THEN mh END) AS s0,
+             min(CASE WHEN p % 4 = 1 THEN mh END) AS s1,
+             min(CASE WHEN p % 4 = 2 THEN mh END) AS s2,
+             min(CASE WHEN p % 4 = 3 THEN mh END) AS s3
+      FROM mins GROUP BY doc_id, p // 4
+    ),
+    bt AS (
+      SELECT doc_id, band, {bh} AS bh FROM pv
+      UNION ALL
+      SELECT doc_id, unnest(range(0, 16)) AS band,
+             CAST({bh_sent} AS UBIGINT) AS bh
+      FROM docs WHERE len(arr) = 0
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_buckets
+    FROM bt x JOIN bt y ON x.band = y.band AND x.bh = y.bh
+                        AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+    """
+    fn, _ = _REGISTRY["minhash_lsh_pairs"]
+    _REGISTRY["minhash_lsh_pairs"] = (fn, sql)
+
+
 _JACCARD_ORACLE = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -1023,7 +1150,6 @@ def _sql_byte_at(bs: str, idx: str) -> str:
     )
 
 
-_U64_MOD = 1 << 64
 _ROLL_POW = [pow(257, k, _U64_MOD) for k in range(8)]  # B=257, window=8
 
 _ROLLING_FP_ORACLE = f"""
@@ -2497,3 +2623,8 @@ def multimodal_frames(sf_dir: str):
         batch_format="pyarrow",
         batch_size=16,
     )
+
+
+# deferred installer: the minhash oracle SQL composes the crc32-in-SQL
+# helpers defined above (after the query's own definition point)
+_install_minhash_oracle()

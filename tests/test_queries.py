@@ -36,6 +36,7 @@ SPOT = [
     "bpe_token_count",  # shared RE2 pretokenizer pattern on both sides
     "hll_distinct_parts",  # integer-exact HLL sketch recomputed in SQL
     "asof_join_orders_broadcast",  # zero-shuffle broadcast as-of fast path
+    "minhash_lsh_pairs",  # full MinHash-LSH pipeline recomputed in SQL
 ]
 
 
@@ -78,7 +79,6 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
     # every SQL-expressible op has an oracle; the non-SQL set is the known one
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
-        "minhash_lsh_pairs",  # approximate — gated by recall tests instead
         "embedding_neardup",  # approximate — recall gate vs exact baseline
         "multimodal_decode",  # binary codec, not SQL-expressible
         "multimodal_audio",
