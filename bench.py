@@ -58,8 +58,10 @@ QUERY_NAMES = [
     "cdc_delta_classify",
     "alt_key_delta",
     "asof_join_orders",
+    "asof_join_orders_broadcast",
     "range_join_events",
     "group_quantiles_events",
+    "hll_distinct_parts",
 ]
 
 
