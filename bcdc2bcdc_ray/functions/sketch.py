@@ -94,13 +94,23 @@ def group_quantiles(ds, group: str, value: str, qs: list[float], out_names: list
     )
 
 
-def topk_partial(batch: pa.Table, group: str, order_col: str, tiebreak: str, k: int) -> pa.Table:
-    """Keep at most k rows per group: lexsort by (group, -order, tiebreak)
-    and take the first k of each segment — vectorized, no per-key loop."""
+def topk_partial(
+    batch: pa.Table,
+    group: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    asc: bool = False,
+) -> pa.Table:
+    """Keep at most k rows per group: lexsort by (group, ±order, tiebreak)
+    and take the first k of each segment — vectorized, no per-key loop.
+    ``asc=False`` (default) keeps the k LARGEST order values; ``asc=True``
+    the k smallest (order_col must be signed when asc=False — the negation
+    wraps on uint64)."""
     gk = batch.column(group).to_numpy(zero_copy_only=False)
     o = batch.column(order_col).to_numpy(zero_copy_only=False)
     tb = batch.column(tiebreak).to_numpy(zero_copy_only=False)
-    order = np.lexsort((tb, -o, gk))
+    order = np.lexsort((tb, o if asc else -o, gk))
     gs = gk[order]
     change = np.empty(len(gs), bool)
     if len(gs):
@@ -124,6 +134,69 @@ def group_topk(ds, group: str, order_col: str, tiebreak: str, k: int):
     )
     return _bucketed_map_groups(
         part, [group], lambda g: topk_partial(g, group, order_col, tiebreak, k)
+    )
+
+
+def heavy_hitters(ds, group: str, key: str, k: int):
+    """Per-group top-k most frequent keys (hot domains, hot users — the
+    skew detector that feeds ``salt=``). Per-batch partial (group, key)
+    counts collapse the shuffle to O(distinct keys); one bucketed groupby
+    then sums partials and takes the top k per group (count desc, key asc
+    — deterministic on tied counts). Output columns: group, key, ``n``."""
+    from ..pipelines.queries import _bucketed_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.select([group, key]).group_by([group, key]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                group: out.column(group),
+                key: out.column(key),
+                "n": out.column("count_all"),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by([group, key]).aggregate([("n", "sum")])
+        t = pa.table(
+            {
+                group: out.column(group),
+                key: out.column(key),
+                "n": out.column("n_sum"),
+            }
+        )
+        return topk_partial(t, group, "n", key, k)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_map_groups(part, [group], per_bucket)
+
+
+def group_hash_sample(ds, group: str, id_col: str, k: int):
+    """Deterministic stratified sample: the k rows per group with the
+    SMALLEST splitmix64(id) — a fixed-size per-stratum sample that is
+    reproducible across runs, cluster shapes, and data order (the
+    per-group analog of :func:`hash_sample`). Same combiner shape as
+    ``group_topk``: each batch forwards at most k rows per group. The
+    uint64 hash is XOR-mapped to int64 (order-preserving) so the top-k
+    kernel's signed sort applies."""
+    from ..pipelines.queries import _bucketed_map_groups
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (splitmix64(ids) ^ np.uint64(1 << 63)).view(np.int64)
+        return b.append_column("__h", pa.array(h))
+
+    part = ds.map_batches(
+        lambda b: topk_partial(add_h(b), group, "__h", id_col, k, asc=True),
+        batch_format="pyarrow",
+    )
+    return _bucketed_map_groups(
+        part,
+        [group],
+        lambda g: topk_partial(g, group, "__h", id_col, k, asc=True).drop_columns(
+            ["__h"]
+        ),
     )
 
 

@@ -1665,6 +1665,60 @@ _install_hash_sample_oracle()
 
 
 @q(
+    "heavy_hitters_events",
+    """
+    WITH c AS (SELECT event_type, user_id, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, user_id, n FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) <= 3
+    """,
+)
+def heavy_hitters_events(sf_dir: str):
+    """Per-group heavy hitters: top-3 users per event type by event count —
+    the skew detector that tells the CDC engine which keys need ``salt=``.
+    Per-batch partial counts collapse the shuffle to O(distinct keys);
+    deterministic on tied counts (key asc). functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return sketch.heavy_hitters(ds, "event_type", "user_id", 3)
+
+
+@q(
+    "group_sample_docs",
+    None,  # oracle generated below (splitmix64 order re-expressed in SQL)
+)
+def group_sample_docs(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language with the
+    smallest splitmix64(doc_id) — fixed-size per-stratum selection,
+    reproducible across runs and cluster shapes (the per-group analog of
+    ``hash_sample_docs``). functions/sketch.py."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sketch.group_hash_sample(ds, "lang", "doc_id", 5)
+
+
+def _install_group_sample_oracle():
+    from ..functions import sketch
+
+    fn, _ = _REGISTRY["group_sample_docs"]
+    _REGISTRY["group_sample_docs"] = (
+        fn,
+        f"""
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY {sketch.splitmix64_sql('doc_id')}, doc_id) <= 5
+        """,
+    )
+
+
+_install_group_sample_oracle()
+
+
+@q(
     "hll_distinct_parts",
     None,  # oracle SQL generated below (integer-exact HLL re-expressed in SQL)
 )

@@ -283,6 +283,34 @@ def test_hll_distinct_accuracy_and_determinism(ray_session):
     assert out2["approx_distinct"].tolist() == out["approx_distinct"].tolist()
 
 
+def test_heavy_hitters_sums_partials_across_blocks(ray_session):
+    # key 7 appears 5x spread over blocks; per-block partial counts must SUM
+    # before top-k, or a split key loses to a locally-dense one
+    g = ["x"] * 9
+    keys = [7, 7, 1, 1, 1, 7, 7, 7, 2]
+    t = pa.table({"g": g, "k": keys})
+    out = (
+        sketch.heavy_hitters(_ds(t, 4), "g", "k", 2)
+        .to_pandas()
+        .sort_values("n", ascending=False, ignore_index=True)
+    )
+    assert out[["k", "n"]].values.tolist() == [[7, 5], [1, 3]]
+
+
+def test_group_hash_sample_fixed_size_and_deterministic(ray_session):
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "g": np.where(ids % 3 == 0, "a", "b")})
+    out = sketch.group_hash_sample(_ds(t, 4), "g", "doc_id", 4).to_pandas()
+    assert out.groupby("g").size().tolist() == [4, 4]
+    # matches the direct definition: smallest splitmix64(id) per group
+    h = splitmix64(ids.astype(np.uint64))
+    for grp, mask in [("a", ids % 3 == 0), ("b", ids % 3 != 0)]:
+        exp = set(ids[mask][np.argsort(h[mask], kind="stable")][:4].tolist())
+        assert set(out[out["g"] == grp]["doc_id"]) == exp
+    out2 = sketch.group_hash_sample(_ds(t, 9), "g", "doc_id", 4).to_pandas()
+    assert set(map(tuple, out2.values.tolist())) == set(map(tuple, out.values.tolist()))
+
+
 def test_hash_sample_matches_direct_mixer(ray_session):
     ids = np.arange(1000, dtype=np.int64)
     t = pa.table({"doc_id": ids, "x": ids * 2})

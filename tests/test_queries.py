@@ -37,6 +37,8 @@ SPOT = [
     "hll_distinct_parts",  # integer-exact HLL sketch recomputed in SQL
     "asof_join_orders_broadcast",  # zero-shuffle broadcast as-of fast path
     "minhash_lsh_pairs",  # full MinHash-LSH pipeline recomputed in SQL
+    "heavy_hitters_events",  # partial-count combiner vs QUALIFY top-k
+    "group_sample_docs",  # stratified splitmix64 sample vs SQL mixer
 ]
 
 
