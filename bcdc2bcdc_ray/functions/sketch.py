@@ -146,16 +146,7 @@ def heavy_hitters(ds, group: str, key: str, k: int):
     from ..pipelines.queries import _bucketed_map_groups
 
     def partial(b: pa.Table) -> pa.Table:
-        out = b.select([group, key]).group_by([group, key]).aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {
-                group: out.column(group),
-                key: out.column(key),
-                "n": out.column("count_all"),
-            }
-        )
+        return _group_value_counts(b, group, key).rename_columns([group, key, "n"])
 
     def per_bucket(g: pa.Table) -> pa.Table:
         out = g.group_by([group, key]).aggregate([("n", "sum")])
@@ -178,14 +169,13 @@ def group_hash_sample(ds, group: str, id_col: str, k: int):
     reproducible across runs, cluster shapes, and data order (the
     per-group analog of :func:`hash_sample`). Same combiner shape as
     ``group_topk``: each batch forwards at most k rows per group. The
-    uint64 hash is XOR-mapped to int64 (order-preserving) so the top-k
-    kernel's signed sort applies."""
+    ascending top-k never negates, so the raw uint64 hash sorts
+    correctly as-is."""
     from ..pipelines.queries import _bucketed_map_groups
 
     def add_h(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (splitmix64(ids) ^ np.uint64(1 << 63)).view(np.int64)
-        return b.append_column("__h", pa.array(h))
+        return b.append_column("__h", pa.array(splitmix64(ids)))
 
     part = ds.map_batches(
         lambda b: topk_partial(add_h(b), group, "__h", id_col, k, asc=True),

@@ -1187,13 +1187,7 @@ _SIMHASH_ORACLE = f"""
       FROM documents
     ),
     crcs AS (
-      SELECT doc_id,
-        xor(list_reduce(
-          list_prepend(CAST(4294967295 AS BIGINT),
-            list_transform(range(0, octet_length(encode(w))),
-              i -> {_sql_byte_at("CAST(encode(w) AS BITSTRING)", 'i')})),
-          (acc, x) -> xor(acc >> 8, T[(xor(acc, x) & 255) + 1])),
-          4294967295) AS h
+      SELECT doc_id, {_sql_crc32_word('w')} AS h
       FROM words, tab
     ),
     expanded AS (

@@ -214,8 +214,8 @@ class _BroadcastAsofKernel:
         import ray
 
         d = ray.get(ref)
-        self.rk = d["rk"]  # int64, sorted
-        self.comp = d["comp"]  # seg*span + time-rank, strictly sorted
+        self.comp = d["comp"]  # seg*span + time-rank, non-decreasing (ties on
+        # duplicate (key, ts) right rows; side='left' search handles them)
         self.starts = d["starts"]  # first right row of each key segment
         self.key_vals = d["key_vals"]  # distinct keys, sorted
         self.uniq_t = d["uniq_t"]  # distinct right times, sorted
@@ -288,7 +288,6 @@ def asof_join_broadcast(
     comp = seg_of_right * span + np.searchsorted(uniq_t, rt)
     ref = ray.put(
         {
-            "rk": rk,
             "comp": comp,
             "starts": starts,
             "key_vals": key_vals,
