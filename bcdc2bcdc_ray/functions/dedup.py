@@ -502,3 +502,101 @@ def embedding_neardup_pairs(
             "cos": sim[ii, jj][keep].astype(np.float64),
         }
     )
+
+
+# --- Connected components over the near-dup pair graph -----------------------
+
+
+def _unique_edge_rows(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized distinct over (u, v) rows (lexsort + adjacent mask)."""
+    if len(u) == 0:
+        return u, v
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    keep = np.ones(len(us), bool)
+    keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+    return us[keep], vs[keep]
+
+
+def _hash_to_min_round(g: pa.Table) -> pa.Table:
+    """One hash-to-min round over a shuffle bucket of edges grouped by
+    ``u`` (a key never straddles buckets): per u, m = min(N(u) ∪ {u});
+    emit (x, m) for every x ∈ N(u) ∪ {u} AND (m, x) — the standard
+    emission that both spreads the minimum and keeps the shrinking graph
+    connected, converging in O(log diameter) rounds. Fully vectorized
+    (segmented reduceat, no per-node loop); output deduped per bucket."""
+    empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    if g.num_rows == 0:
+        return empty
+    u = g.column("u").to_numpy(zero_copy_only=False)
+    v = g.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    change = np.empty(len(us), bool)
+    change[0] = True
+    np.not_equal(us[1:], us[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    seg_len = np.diff(np.append(starts, len(us)))
+    mins = np.minimum(np.minimum.reduceat(vs, starts), us[starts])
+    m_rep = np.repeat(mins, seg_len)
+    new_u = np.concatenate([vs, us[starts], m_rep, mins])
+    new_v = np.concatenate([m_rep, mins, vs, us[starts]])
+    nu, nv = _unique_edge_rows(new_u, new_v)
+    return pa.table({"u": pa.array(nu, pa.int64()), "v": pa.array(nv, pa.int64())})
+
+
+def connected_components(pairs, a: str = "a", b: str = "b", iters: int = 4):
+    """Distributed connected components over an undirected pair list →
+    ``(doc_id, component)`` with component = min doc_id reachable. The
+    near-dup CLUSTERING step: LSH/Jaccard emit pairs, this collapses them
+    into groups so dedup can keep one representative per group.
+
+    Hash-to-min label propagation (Rastogi et al.'s CC-MR family — public
+    MapReduce construction): ``iters`` bucketed shuffles over the edge
+    multiset, each round one vectorized map_groups call per bucket, no
+    broadcast state, no driver materialization. O(log diameter) rounds
+    suffice; near-dup clusters are clique-dense so the default 4 covers
+    components with diameter ≲ 16. Each round's shuffle moves O(E') rows
+    where E' is the (deduped) propagated edge set."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        ua = batch.column(a).to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = batch.column(b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([ua, vb])),
+                "v": pa.array(np.concatenate([vb, ua])),
+            }
+        )
+
+    from ..pipelines.queries import _bucketed_map_groups
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    for _ in range(iters):
+        edges = _bucketed_map_groups(edges, ["u"], _hash_to_min_round)
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        change = np.empty(len(us), bool)
+        change[0] = True
+        np.not_equal(us[1:], us[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        mins = np.minimum(np.minimum.reduceat(vs, starts), us[starts])
+        return pa.table(
+            {
+                "doc_id": pa.array(us[starts], pa.int64()),
+                "component": pa.array(mins, pa.int64()),
+            }
+        )
+
+    return _bucketed_map_groups(edges, ["u"], finalize)

@@ -848,19 +848,25 @@ def exact_dedup(sf_dir: str):
     return ds.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="doc_id"))
 
 
-@q("minhash_lsh_pairs")  # not SQL-expressible → rows-only check
-def minhash_lsh_pairs(sf_dir: str):
-    """MinHash + LSH banding near-dup candidates: signature per batch (actor
-    pool), explode to (band, band_hash), ONE groupby, per-bucket pairs,
-    distinct. Deterministic (crc32 tokens, seeded permutations)."""
+def _lsh_candidate_pairs(sf_dir: str):
+    """documents → minhash signatures → LSH band explode → ONE bucketed
+    shuffle → per-bucket candidate (a, b) pairs (may repeat across bands)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = ds.map_batches(dedup.minhash_batch, batch_format="pyarrow")
     bands = sigs.map_batches(
         lambda b: dedup.lsh_bands(b, num_bands=16), batch_format="pyarrow"
     )
-    pairs = _bucketed_map_groups(
+    return _bucketed_map_groups(
         bands, ["band", "band_hash"], dedup.candidate_pairs_grouped
     )
+
+
+@q("minhash_lsh_pairs")  # oracle installed below (full pipeline in SQL)
+def minhash_lsh_pairs(sf_dir: str):
+    """MinHash + LSH banding near-dup candidates: signature per batch (actor
+    pool), explode to (band, band_hash), ONE groupby, per-bucket pairs,
+    distinct. Deterministic (crc32 tokens, seeded permutations)."""
+    pairs = _lsh_candidate_pairs(sf_dir)
 
     def distinct_count(g: pa.Table) -> pa.Table:
         # select output columns BY NAME: pyarrow versions differ on whether
@@ -1002,6 +1008,7 @@ def _install_minhash_oracle():
     """
     fn, _ = _REGISTRY["minhash_lsh_pairs"]
     _REGISTRY["minhash_lsh_pairs"] = (fn, sql)
+    return sql
 
 
 _JACCARD_ORACLE = r"""
@@ -2673,6 +2680,86 @@ def multimodal_frames(sf_dir: str):
     )
 
 
-# deferred installer: the minhash oracle SQL composes the crc32-in-SQL
-# helpers defined above (after the query's own definition point)
-_install_minhash_oracle()
+@q("dedup_components")  # oracle installed below (recursive CTE over LSH pairs)
+def dedup_components(sf_dir: str):
+    """Near-dup CLUSTERING: LSH candidate pairs → distributed connected
+    components (hash-to-min label propagation, functions/dedup.py) →
+    (doc_id, component = min reachable doc_id). The step between pair
+    emission and dedup survivorship — no broadcast state, each round is
+    one bucketed shuffle of the edge multiset."""
+    return dedup.connected_components(_lsh_candidate_pairs(sf_dir), iters=4)
+
+
+@q("neardup_dedup_docs")  # oracle installed below
+def neardup_dedup_docs(sf_dir: str):
+    """End-to-end near-dup dedup: keep ONE representative (the min doc_id)
+    per connected component of the LSH pair graph, plus every unpaired
+    doc. The drop set (paired non-representatives) is the SMALL side —
+    broadcast once via ``ray.put``, documents stream through an
+    ``is_in`` anti-filter; the corpus itself never shuffles."""
+    import ray
+
+    comps = dedup.connected_components(_lsh_candidate_pairs(sf_dir), iters=4)
+    # collect the small component table once (post-LSH node set ≪ corpus);
+    # groupby emits schema-less empty boundary blocks — skip them
+    blocks = [ray.get(r) for r in comps.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_columns > 0]
+    tbl = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table(
+            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+    )
+    drop = tbl.filter(
+        pc.not_equal(tbl.column("doc_id"), tbl.column("component"))
+    ).column("doc_id")
+    drop_ref = ray.put(drop.combine_chunks() if isinstance(drop, pa.ChunkedArray) else drop)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        dropset = ray.get(drop_ref)
+        mask = pc.invert(
+            pc.fill_null(pc.is_in(b.column("doc_id"), value_set=dropset), False)
+        )
+        return b.filter(mask)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return docs.map_batches(keep_batch, batch_format="pyarrow")
+
+
+def _cc_sql(minhash_sql: str) -> str:
+    """Recursive-CTE connected components over the SQL-recomputed LSH pair
+    set: reachability closure, then min reachable id per node."""
+    return f"""
+    WITH RECURSIVE prs AS (
+      SELECT a, b FROM ({minhash_sql}) mh
+    ),
+    edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    """
+
+
+def _install_cc_oracles(minhash_sql: str):
+    fn, _ = _REGISTRY["dedup_components"]
+    _REGISTRY["dedup_components"] = (fn, _cc_sql(minhash_sql))
+    fn2, _ = _REGISTRY["neardup_dedup_docs"]
+    _REGISTRY["neardup_dedup_docs"] = (
+        fn2,
+        f"""
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM ({_cc_sql(minhash_sql)}) c
+          WHERE c.doc_id <> c.component)
+        """,
+    )
+
+
+# deferred installers: the minhash oracle SQL composes the crc32-in-SQL
+# helpers defined above (after the query's own definition point); the
+# connected-components oracles close over the minhash SQL
+_install_cc_oracles(_install_minhash_oracle())

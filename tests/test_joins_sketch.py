@@ -311,6 +311,27 @@ def test_group_hash_sample_fixed_size_and_deterministic(ray_session):
     assert set(map(tuple, out2.values.tolist())) == set(map(tuple, out.values.tolist()))
 
 
+def test_connected_components_path_star_multi(ray_session):
+    from bcdc2bcdc_ray.functions import dedup
+
+    def check(pairs, expect, iters=4):
+        t = pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+        out = dedup.connected_components(_ds(t, 3), iters=iters).to_pandas()
+        assert dict(zip(out["doc_id"], out["component"])) == expect
+
+    # path graph of diameter 15 — hash-to-min doubles reach each round
+    check([(i, i + 1) for i in range(15)], {i: 0 for i in range(16)})
+    # two components, reversed ids, duplicate edges
+    check([(5, 3), (3, 5), (9, 7), (100, 9)], {3: 3, 5: 3, 7: 7, 9: 7, 100: 7})
+    # star
+    check([(50, i) for i in range(10)], {i: 0 for i in range(10)} | {50: 0})
+
+
 def test_hash_sample_matches_direct_mixer(ray_session):
     ids = np.arange(1000, dtype=np.int64)
     t = pa.table({"doc_id": ids, "x": ids * 2})

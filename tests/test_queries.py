@@ -39,6 +39,8 @@ SPOT = [
     "minhash_lsh_pairs",  # full MinHash-LSH pipeline recomputed in SQL
     "heavy_hitters_events",  # partial-count combiner vs QUALIFY top-k
     "group_sample_docs",  # stratified splitmix64 sample vs SQL mixer
+    "dedup_components",  # hash-to-min CC vs recursive-CTE closure
+    "neardup_dedup_docs",  # end-to-end near-dup survivor filter
 ]
 
 
