@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "range_join_events",
     "group_quantiles_events",
     "hll_distinct_parts",
+    "neardup_dedup_docs",
 ]
 
 
