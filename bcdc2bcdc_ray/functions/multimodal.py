@@ -307,3 +307,29 @@ class SampleFrames:
                 "frame_mean": pa.array(means, pa.float64()),
             }
         )
+
+
+def payload_checksum(batch: pa.Table) -> pa.Table:
+    """Binary-integrity stage: (media_id, media_type, n_bytes, crc) per
+    payload — certifies the opaque binary column survives
+    parquet → Arrow → Ray byte-for-byte (the oracle recomputes crc32 in
+    SQL over the same BLOB). The crc itself is one C call per row over
+    the buffer; length is a vectorized Arrow kernel."""
+    import zlib
+
+    pl = batch.column("payload")
+    if isinstance(pl, pa.ChunkedArray):
+        pl = pl.combine_chunks()
+    crcs = np.fromiter(
+        (zlib.crc32(v) if v is not None else 0 for v in pl.to_pylist()),
+        dtype=np.uint64,
+        count=len(pl),
+    )
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "media_type": batch.column("media_type"),
+            "n_bytes": pc.cast(pc.binary_length(pl), pa.int64()),
+            "crc": pa.array(crcs, pa.uint64()),
+        }
+    )

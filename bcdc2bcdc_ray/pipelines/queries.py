@@ -49,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
     # flagship replay family) — make sure those files exist before any SQL
     # is handed out, whichever side the driver runs first
     _ensure_flagship_fixture()
+    _ensure_media_fixture()
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
@@ -886,17 +887,24 @@ def minhash_lsh_pairs(sf_dir: str):
 _U64_MOD = 1 << 64
 
 
-def _sql_crc32_word(w: str) -> str:
-    """crc32 of a word column — same construction as the simhash oracle
-    (reflected 0xEDB88320 table folded with list_reduce); requires the
-    ``tab AS (SELECT ... AS T)`` CTE in scope."""
+def _sql_crc32_bytes(blob: str, nbytes: str | None = None) -> str:
+    """crc32 over the first ``nbytes`` (default all) bytes of a BLOB
+    expression — reflected 0xEDB88320 table folded with list_reduce;
+    requires the ``tab AS (SELECT ... AS T)`` CTE in scope."""
+    n = nbytes or f"octet_length({blob})"
     return (
         f"CAST(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),"
-        f"list_transform(range(0, octet_length(encode({w}))),"
-        f"i -> {_sql_byte_at(f'CAST(encode({w}) AS BITSTRING)', 'i')})),"
+        f"list_transform(range(0, {n}),"
+        f"i -> {_sql_byte_at(f'CAST({blob} AS BITSTRING)', 'i')})),"
         f"(acc, x) -> xor(acc >> 8, T[(xor(acc, x) & 255) + 1])),"
         f"4294967295) AS UBIGINT)"
     )
+
+
+def _sql_crc32_word(w: str) -> str:
+    """crc32 of a word column (utf-8 bytes) — the simhash/minhash token
+    hash re-expressed in SQL."""
+    return _sql_crc32_bytes(f"encode({w})")
 
 
 def _sql_fnv_fold(x: str, h: str) -> str:
@@ -2638,6 +2646,43 @@ def conditional_const_fill(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_MEDIA_FIXTURE = os.path.join(_FIXTURE_DIR, "media.parquet")
+
+
+def _ensure_media_fixture() -> None:
+    from ..state.manifest import atomic_write_parquet
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if not os.path.exists(_MEDIA_FIXTURE):
+        atomic_write_parquet(multimodal.synth_media_table(128, seed=5), _MEDIA_FIXTURE)
+
+
+@q("multimodal_checksum", None)  # oracle installed below (path-dependent SQL)
+def multimodal_checksum(sf_dir: str):
+    """Media-integrity pipeline: binary payloads read from parquet, per-row
+    length + crc32 — the first ORACLE-verified multimodal row (the SQL
+    recomputes crc32 over the same BLOB bytes), certifying the opaque
+    binary column plumbing end-to-end rather than just rows-only."""
+    import ray.data as rd
+
+    _ensure_media_fixture()
+    ds = rd.read_parquet(_MEDIA_FIXTURE)
+    return ds.map_batches(
+        multimodal.payload_checksum, batch_format="pyarrow", batch_size=32
+    )
+
+
+def _install_multimodal_checksum_oracle():
+    fn, _ = _REGISTRY["multimodal_checksum"]
+    sql = f"""
+    WITH tab AS (SELECT {_crc32_table_literal()} AS T)
+    SELECT media_id, media_type, octet_length(payload) AS n_bytes,
+           {_sql_crc32_bytes('payload')} AS crc
+    FROM read_parquet('{_MEDIA_FIXTURE}'), tab
+    """
+    _REGISTRY["multimodal_checksum"] = (fn, sql)
+
+
 @q("multimodal_decode")  # rows-only (binary payloads not SQL-expressible)
 def multimodal_decode(sf_dir: str):
     """Binary media column → actor-pool decode/feature stage. PPM payloads
@@ -2763,3 +2808,4 @@ def _install_cc_oracles(minhash_sql: str):
 # helpers defined above (after the query's own definition point); the
 # connected-components oracles close over the minhash SQL
 _install_cc_oracles(_install_minhash_oracle())
+_install_multimodal_checksum_oracle()

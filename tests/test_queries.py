@@ -41,6 +41,7 @@ SPOT = [
     "group_sample_docs",  # stratified splitmix64 sample vs SQL mixer
     "dedup_components",  # hash-to-min CC vs recursive-CTE closure
     "neardup_dedup_docs",  # end-to-end near-dup survivor filter
+    "multimodal_checksum",  # binary payload crc32 recomputed in SQL
 ]
 
 
