@@ -500,6 +500,44 @@ def order_customer_join(sf_dir: str):
 
 
 @q(
+    "order_customer_join_shuffle",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def order_customer_join_shuffle(sf_dir: str):
+    """J1 as a LARGE ⋈ LARGE shuffle hash join (stages/joins.hash_join):
+    both sides bucket-shuffled once on the key hash, Arrow acero join per
+    bucket — the path for when the dim side does NOT fit a worker heap
+    (the broadcast variant ``order_customer_join`` covers when it does).
+    Same oracle as the broadcast variant: the two plans must agree."""
+    from ..stages import joins
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(
+            [("c_custkey" if c == "o_custkey" else c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    out = joins.hash_join(
+        orders,
+        cust,
+        on=["c_custkey"],
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_name"],
+        how="inner",
+        n_buckets=16,
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "c_name", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+@q(
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -2683,41 +2721,131 @@ def _install_multimodal_checksum_oracle():
     _REGISTRY["multimodal_checksum"] = (fn, sql)
 
 
-@q("multimodal_decode")  # rows-only (binary payloads not SQL-expressible)
+def _install_media_decode_oracles():
+    """DuckDB re-implementations of the pure-numpy codecs, byte-by-byte
+    over the same BLOBs (the decoders are real header parsers, so SQL can
+    parse the same headers): PPM pixel-region mean, WAV little-endian
+    int16 reassembly + RMS, RV01 frame explode + per-frame mean. Integer
+    sums stay exact (< 2^53) so the float means/RMS are bit-equal to the
+    numpy side."""
+    # parenthesized: _sql_byte_at emits a bare 8-term sum, and these
+    # expressions multiply/add whole bytes (256*B(i) must not bind to the
+    # first get_bit term only)
+    B = lambda i: f"({_sql_byte_at('bs', i)})"  # noqa: E731
+
+    def byte_mean(lo: str, hi: str) -> str:
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), i -> {B('i')}))"
+            f" / (({hi}) - ({lo}))"
+        )
+
+    src = (
+        f"SELECT media_id, media_type, meta_width, meta_height,"
+        f" CAST(payload AS BITSTRING) AS bs, octet_length(payload) AS n"
+        f" FROM read_parquet('{_MEDIA_FIXTURE}')"
+    )
+    ppm = "media_type = 'image/x-portable-pixmap'"
+    decode_sql = f"""
+    WITH m AS ({src})
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN {ppm}
+                THEN {byte_mean('n - 3*meta_width*meta_height', 'n')}
+                ELSE {byte_mean('0', 'n')} END AS mean_intensity,
+           CAST(CASE WHEN {ppm} THEN meta_width ELSE -1 END AS INTEGER)
+               AS decoded_width,
+           CAST(CASE WHEN {ppm} THEN meta_height ELSE -1 END AS INTEGER)
+               AS decoded_height
+    FROM m
+    """
+
+    # WAV: fixed RIFF layout from the encoder — fmt at 12, sample rate at
+    # byte 24 (LE u32), data chunk body at 44; int16 samples are
+    # (b0 + 256*b1 + 32768) % 65536 - 32768
+    wav = "media_type = 'audio/wav'"
+    rate = f"{B('24')} + 256*{B('25')} + 65536*{B('26')} + 16777216*{B('27')}"
+    s16 = f"(({B('44 + 2*i')} + 256*{B('45 + 2*i')} + 32768) % 65536) - 32768"
+    audio_sql = f"""
+    WITH m AS ({src}),
+    w AS (SELECT media_id, media_type, bs, n,
+                 CASE WHEN {wav} THEN (n - 44) // 2 ELSE 0 END AS ns
+          FROM m)
+    SELECT media_id,
+           CAST(CASE WHEN {wav} THEN {rate} ELSE -1 END AS INTEGER)
+               AS sample_rate,
+           CAST(CASE WHEN {wav} THEN ns ELSE n END AS BIGINT) AS n_samples,
+           CASE WHEN {wav} THEN sqrt(list_sum(list_transform(
+                    list_transform(range(0, ns), i -> {s16}), s -> s*s)) / ns)
+                ELSE 0.0 END AS rms
+    FROM w
+    """
+
+    # RV01: magic(4) + LE u16 w,h + LE u32 n_frames, then raw h*w*3 frames;
+    # SampleFrames(every_n=5) → range(0, nf, 5)
+    frames_sql = f"""
+    WITH m AS ({src}),
+    h AS (SELECT media_id, bs,
+                 {B('4')} + 256*{B('5')} AS w,
+                 {B('6')} + 256*{B('7')} AS ht,
+                 {B('8')} + 256*{B('9')} + 65536*{B('10')}
+                   + 16777216*{B('11')} AS nf
+          FROM m WHERE media_type = 'video/x-raw-rv01'),
+    f AS (SELECT media_id, w, ht, bs,
+                 unnest(range(0, nf, 5)) AS fi FROM h)
+    SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+           {byte_mean('12 + fi*ht*w*3', '12 + (fi+1)*ht*w*3')} AS frame_mean
+    FROM f
+    """
+    for name, sql in (
+        ("multimodal_decode", decode_sql),
+        ("multimodal_audio", audio_sql),
+        ("multimodal_frames", frames_sql),
+    ):
+        fn, _ = _REGISTRY[name]
+        _REGISTRY[name] = (fn, sql)
+
+
+@q("multimodal_decode", None)  # oracle installed below (byte-level SQL decode)
 def multimodal_decode(sf_dir: str):
     """Binary media column → actor-pool decode/feature stage. PPM payloads
     decode for REAL (pure-numpy codec: width/height/mean from pixel data);
-    small batch_size because binary rows are large."""
+    small batch_size because binary rows are large. Oracle-verified: the
+    SQL recomputes the pixel-region mean byte-by-byte from the same BLOB."""
     import ray.data as rd
 
-    media = multimodal.synth_media_table(128, seed=5)
-    ds = rd.from_arrow(media)
+    _ensure_media_fixture()
+    ds = rd.read_parquet(_MEDIA_FIXTURE)
     return ds.map_batches(
         multimodal.DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
     )
 
 
-@q("multimodal_audio")  # rows-only (binary payloads)
+@q("multimodal_audio", None)  # oracle installed below (byte-level SQL decode)
 def multimodal_audio(sf_dir: str):
     """PCM16 WAV decode (real RIFF-chunk parser): sample_rate, n_samples,
-    rms per payload — actor-pool stage, small batches."""
+    rms per payload — actor-pool stage, small batches. Oracle-verified:
+    the SQL reassembles the little-endian int16 samples from the BLOB and
+    recomputes the RMS (integer-exact sum of squares, so the float is
+    bit-equal)."""
     import ray.data as rd
 
-    media = multimodal.synth_media_table(128, seed=5)
-    ds = rd.from_arrow(media)
+    _ensure_media_fixture()
+    ds = rd.read_parquet(_MEDIA_FIXTURE)
     return ds.map_batches(
         multimodal.DecodeAudio, batch_format="pyarrow", batch_size=16, concurrency=2
     )
 
 
-@q("multimodal_frames")  # rows-only (binary payloads)
+@q("multimodal_frames", None)  # oracle installed below (byte-level SQL decode)
 def multimodal_frames(sf_dir: str):
     """Video frame sampling (real RV01 raw-frame parser): flat_map-shaped
-    explode to one row per sampled frame with its true pixel mean."""
+    explode to one row per sampled frame with its true pixel mean.
+    Oracle-verified: the SQL parses the RV01 header, unnests the sampled
+    frame indices and recomputes each frame's mean from the raw bytes."""
     import ray.data as rd
 
-    media = multimodal.synth_media_table(128, seed=5)
-    ds = rd.from_arrow(media)
+    _ensure_media_fixture()
+    ds = rd.read_parquet(_MEDIA_FIXTURE)
     return ds.map_batches(
         lambda b: multimodal.SampleFrames(every_n=5)(b),
         batch_format="pyarrow",
@@ -2809,3 +2937,4 @@ def _install_cc_oracles(minhash_sql: str):
 # connected-components oracles close over the minhash SQL
 _install_cc_oracles(_install_minhash_oracle())
 _install_multimodal_checksum_oracle()
+_install_media_decode_oracles()

@@ -412,3 +412,82 @@ def range_join(
         n_buckets=n_buckets,
     )
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    n_buckets: int = 16,
+):
+    """Generic LARGE ⋈ LARGE equi-join: both sides shuffled ONCE on the
+    key-hash bucket, then one Arrow (acero) hash join per bucket.
+
+    The complement of the broadcast join family (``_BroadcastJoin``,
+    ``asof_join_broadcast``): use THIS when neither side fits a worker
+    heap. Same scale contract as the temporal joins above — the bucket is
+    a pure function of the join key, so matching rows co-locate and the
+    per-bucket kernel needs no cross-bucket state; the per-bucket join
+    itself is Arrow's vectorized C++ hash join, one Python dispatch per
+    bucket. Composite (multi-column) keys are supported: bucketing hashes
+    all of ``on``; the join compares the original column values, so hash
+    collisions cannot produce false matches.
+
+    ``how``: "inner" or "left outer" (Arrow join_type names).
+    Skew: one hot key concentrates in one bucket — pre-aggregate or salt
+    upstream when a key dominates (heavy_hitters is the detector).
+    """
+    lschema, rschema = left.schema(), right.schema()
+
+    def typ(schema, name):
+        return schema.base_schema.field(name).type if hasattr(
+            schema, "base_schema"
+        ) else schema.field(name).type
+
+    keep = (
+        [(c, typ(lschema, c)) for c in on]
+        + [(c, typ(lschema, c)) for c in left_cols]
+        + [(c, typ(rschema, c)) for c in right_cols]
+    )
+    out_schema = pa.schema(keep)
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols: dict[str, pa.Array] = {
+                "__side": pa.array(np.full(n, side, np.int8))
+            }
+            for name, t in keep:
+                if name in b.column_names:
+                    c = b.column(name)
+                    cols[name] = (
+                        c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                    )
+                else:
+                    cols[name] = pa.nulls(n, t)
+            out = pa.table(cols)
+            return out.append_column(
+                "__b", pa.array((key_hash(out, on) % n_buckets).astype("int32"))
+            )
+
+        return fn
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.take(pa.array(np.flatnonzero(side == 1))).select(on + left_cols)
+        rt = g.take(pa.array(np.flatnonzero(side == 0))).select(on + right_cols)
+        joined = lt.join(rt, keys=on, join_type=how)
+        return joined.select([n for n, _ in keep]).cast(out_schema)
+
+    lnorm = left.map_batches(tag(1), batch_format="pyarrow")
+    rnorm = right.map_batches(tag(0), batch_format="pyarrow")
+    # materialize() before the groupby shuffle — same Ray 2.49 UnionOperator
+    # single-bundle serialization workaround as _cobucket above
+    grouped = lnorm.union(rnorm).materialize().groupby("__b")
+    return grouped.map_groups(per_bucket, batch_format="pyarrow")

@@ -342,3 +342,61 @@ def test_hash_sample_matches_direct_mixer(ray_session):
     # deterministic: a second run returns the identical sample
     out2 = sketch.hash_sample(_ds(t, 5), "doc_id", 0.25).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def _hj_collect(out) -> pa.Table:
+    df = out.to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def test_hash_join_inner_and_left_outer(ray_session):
+    left = pa.table({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
+    right = pa.table({"k": [1, 2, 2, 9], "rv": ["a", "b", "c", "z"]})
+    inner = _hj_collect(
+        joins.hash_join(
+            _ds(left), _ds(right), on=["k"], left_cols=["lv"],
+            right_cols=["rv"], how="inner", n_buckets=4,
+        )
+    ).to_pandas().sort_values(["k", "lv", "rv"], ignore_index=True)
+    # k=1 matches once for each left row; k=2 fans out 2x; k=3 drops
+    assert inner.values.tolist() == [
+        [1, 10, "a"], [1, 11, "a"], [2, 20, "b"], [2, 20, "c"]
+    ]
+    outer = _hj_collect(
+        joins.hash_join(
+            _ds(left), _ds(right), on=["k"], left_cols=["lv"],
+            right_cols=["rv"], how="left outer", n_buckets=4,
+        )
+    ).to_pandas()
+    assert len(outer) == 5
+    unmatched = outer[outer["k"] == 3]
+    assert unmatched["rv"].isna().all()
+
+
+def test_hash_join_composite_key_no_hash_collision_false_match(ray_session):
+    left = pa.table({"a": [1, 1], "b": ["x", "y"], "lv": [1, 2]})
+    right = pa.table({"a": [1, 1], "b": ["x", "z"], "rv": [100, 300]})
+    out = _hj_collect(
+        joins.hash_join(
+            _ds(left), _ds(right), on=["a", "b"], left_cols=["lv"],
+            right_cols=["rv"], how="inner", n_buckets=2,
+        )
+    ).to_pandas()
+    # only (1,'x') matches — the join compares values, not hashes
+    assert out.values.tolist() == [[1, "x", 1, 100]]
+
+
+def test_hash_join_empty_side_keeps_schema(ray_session):
+    left = pa.table({"k": [1, 2], "lv": [10, 20]})
+    right = pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.string())})
+    # NOT repartitioned: Ray drops the schema of an empty dataset on
+    # repartition, and hash_join (like asof_join) types its union schema
+    # from both sides' schemas
+    out = _hj_collect(
+        joins.hash_join(
+            _ds(left), rd.from_arrow(right), on=["k"], left_cols=["lv"],
+            right_cols=["rv"], how="left outer", n_buckets=2,
+        )
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert len(out) == 2 and out["rv"].isna().all()

@@ -42,6 +42,10 @@ SPOT = [
     "dedup_components",  # hash-to-min CC vs recursive-CTE closure
     "neardup_dedup_docs",  # end-to-end near-dup survivor filter
     "multimodal_checksum",  # binary payload crc32 recomputed in SQL
+    "multimodal_decode",  # PPM pixel-region mean recomputed byte-by-byte
+    "multimodal_audio",  # WAV int16 reassembly + RMS in SQL
+    "multimodal_frames",  # RV01 frame explode + per-frame mean in SQL
+    "order_customer_join_shuffle",  # large-large co-bucketed acero hash join
 ]
 
 
@@ -85,9 +89,6 @@ def test_all_queries_have_callables_and_run_metadata(ray_session):
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
         "embedding_neardup",  # approximate — recall gate vs exact baseline
-        "multimodal_decode",  # binary codec, not SQL-expressible
-        "multimodal_audio",
-        "multimodal_frames",
         "ann_topk_lsh",  # approximate — recall gate vs ann_topk
         "ann_topk_ivf",  # approximate — recall gate + index roundtrip
     }
