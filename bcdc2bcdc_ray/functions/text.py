@@ -208,3 +208,56 @@ def rolling_fingerprint(
     return batch.append_column(
         out, pa.array(out_vals, pa.uint64(), mask=mask)
     )
+
+
+def term_tf(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    col: str = "text",
+    out_term: str = "term",
+    out_tf: str = "tf",
+) -> pa.Table:
+    """(id, term, tf) exploded per-document term frequencies — fully
+    vectorized: regex split → flatten (``list_parent_indices`` carries the
+    doc id down) → ONE Arrow hash aggregate per batch. The tf values are
+    FINAL, not partial: a document is a single row, so all its tokens are
+    in this batch. Tokenization matches ``token_count`` (and DuckDB's
+    ``regexp_split_to_array(trim(text), '\\s+')``) including the
+    empty-string singleton token for blank text."""
+    txt = batch.column(col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    flat = pc.list_flatten(toks)
+    # single chunk by construction, so parent indices are global
+    parent = pc.list_parent_indices(toks)
+    ids = pc.take(batch.column(id_col), parent)
+    t = pa.table({id_col: ids, out_term: flat})
+    agg = t.group_by([id_col, out_term]).aggregate([([], "count_all")])
+    # columns selected BY NAME: pyarrow versions disagree on whether keys
+    # or aggregates come first in group_by output
+    return pa.table(
+        {
+            id_col: agg.column(id_col),
+            out_term: agg.column(out_term),
+            out_tf: pc.cast(agg.column("count_all"), pa.int64()),
+        }
+    )
+
+
+def tfidf_score(
+    batch: pa.Table,
+    n_docs: int,
+    tf_col: str = "tf",
+    df_col: str = "df",
+    out: str = "score",
+) -> pa.Table:
+    """tf × ln(N/df) over an already-joined (tf, df) pair table. Kept out
+    of the driver-verified query on purpose: the integer (tf, df) columns
+    are hash-comparable across engines, while ln() is libm-dependent in
+    the last ulp."""
+    tf = batch.column(tf_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    df = batch.column(df_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return batch.append_column(
+        out, pa.array(tf * np.log(float(n_docs) / df), pa.float64())
+    )

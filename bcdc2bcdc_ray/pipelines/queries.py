@@ -1431,6 +1431,65 @@ def token_count(sf_dir: str):
 
 
 @q(
+    "tfidf_doc_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
+    FROM tf JOIN dfreq USING (term)
+    """,
+)
+def tfidf_doc_terms(sf_dir: str):
+    """TF-IDF build, the vocabulary-scale path: per-batch vectorized term
+    explode (tf is final — a doc is one row), per-batch partial df counts
+    → one bucketed sum (shuffle moves O(vocab) partial rows, not tokens),
+    then tf⋈df as a LARGE ⋈ LARGE hash join on term (the vocabulary of a
+    100 TB corpus does not fit a worker heap — no broadcast anywhere).
+    Integer (tf, df) columns only in the driver-verified output; the
+    libm-dependent ln() score lives in ``text.tfidf_score`` (unit-tested)
+    so the cross-engine hash compare stays exact."""
+    from ..stages import joins
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(text.term_tf, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"term": agg.column("term"),
+             "df": pc.cast(agg.column("count_all"), pa.int64())}
+        )
+
+    def df_sum(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["term"]).aggregate([("df", "sum")])
+        return pa.table(
+            {"term": agg.column("term"), "df": agg.column("df_sum")}
+        )
+
+    dfreq = _bucketed_map_groups(
+        pairs.map_batches(df_partial, batch_format="pyarrow"), ["term"], df_sum
+    )
+    out = joins.hash_join(
+        pairs,
+        dfreq,
+        on=["term"],
+        left_cols=["doc_id", "tf"],
+        right_cols=["df"],
+        how="inner",
+        n_buckets=16,
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "term", "tf", "df"]),
+        batch_format="pyarrow",
+    )
+
+
+@q(
     "bpe_token_count",
     rf"SELECT doc_id, len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}'))"
     " AS n_bpe_tokens FROM documents",

@@ -352,3 +352,36 @@ def test_cached_batch_wrappers_match_class_versions():
     assert text.lang_id(docs).equals(text.LangId()(docs))
     # repeat call hits the worker cache and stays identical
     assert dedup.minhash_batch(docs).equals(dedup.minhash_batch(docs))
+
+
+def test_term_tf_matches_python_reference():
+    import collections
+
+    from bcdc2bcdc_ray.functions import text as T
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a", "  b  c ", "", "a a a a"],
+        }
+    )
+    out = T.term_tf(batch).to_pandas()
+    got = {(r.doc_id, r.term): r.tf for r in out.itertuples()}
+    exp = {}
+    for did, txt in zip([1, 2, 3, 4], ["a b a", "  b  c ", "", "a a a a"]):
+        for term, n in collections.Counter(txt.strip().split() or [""]).items():
+            exp[(did, term)] = n
+    assert got == exp
+
+
+def test_tfidf_score_matches_numpy_reference():
+    import math
+
+    import pytest
+
+    from bcdc2bcdc_ray.functions import text as T
+
+    batch = pa.table({"tf": [3, 1, 2], "df": [1, 5, 10]})
+    out = T.tfidf_score(batch, n_docs=10).to_pandas()
+    for row in out.itertuples():
+        assert row.score == pytest.approx(row.tf * math.log(10 / row.df), rel=1e-12)

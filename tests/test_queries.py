@@ -46,6 +46,7 @@ SPOT = [
     "multimodal_audio",  # WAV int16 reassembly + RMS in SQL
     "multimodal_frames",  # RV01 frame explode + per-frame mean in SQL
     "order_customer_join_shuffle",  # large-large co-bucketed acero hash join
+    "tfidf_doc_terms",  # term explode + partial-df sum + term hash join
 ]
 
 
