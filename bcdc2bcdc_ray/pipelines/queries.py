@@ -1490,6 +1490,56 @@ def tfidf_doc_terms(sf_dir: str):
 
 
 @q(
+    "length_filter_docs",
+    r"""
+    WITH tc AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT quantile_disc(n_tokens, 0.05) AS lo,
+                 quantile_disc(n_tokens, 0.95) AS hi FROM tc)
+    SELECT doc_id, n_tokens FROM tc, b WHERE n_tokens BETWEEN lo AND hi
+    """,
+)
+def length_filter_docs(sf_dir: str):
+    """Percentile length filter — the classic training-data cleaning step
+    (drop both tails: truncated fragments and concatenation junk). Two
+    passes, both streaming: (1) the p05/p95 thresholds come from the
+    distributed value histogram (shuffle moves (value,count) partials,
+    never rows — the quantile result is ONE row, the only thing the
+    driver ever holds); (2) the corpus streams through a vectorized
+    between-filter with the two scalars closed over. Quantile index
+    matches DuckDB quantile_disc (ceil(q*n)-1)."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(
+        lambda b: text.token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+    def const_group(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int32)))
+
+    qt = sketch.group_quantiles(
+        counted.map_batches(const_group, batch_format="pyarrow"),
+        "__g",
+        "n_tokens",
+        [0.05, 0.95],
+        ["lo", "hi"],
+    ).to_pandas()
+    lo, hi = int(qt["lo"].iloc[0]), int(qt["hi"].iloc[0])
+
+    def flt(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens")
+        keep = pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi))
+        return b.filter(keep)
+
+    return counted.map_batches(flt, batch_format="pyarrow")
+
+
+@q(
     "bpe_token_count",
     rf"SELECT doc_id, len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}'))"
     " AS n_bpe_tokens FROM documents",

@@ -63,6 +63,8 @@ QUERY_NAMES = [
     "group_quantiles_events",
     "hll_distinct_parts",
     "neardup_dedup_docs",
+    "order_customer_join_shuffle",
+    "tfidf_doc_terms",
 ]
 
 

@@ -47,6 +47,7 @@ SPOT = [
     "multimodal_frames",  # RV01 frame explode + per-frame mean in SQL
     "order_customer_join_shuffle",  # large-large co-bucketed acero hash join
     "tfidf_doc_terms",  # term explode + partial-df sum + term hash join
+    "length_filter_docs",  # two-pass percentile threshold + stream filter
 ]
 
 
