@@ -2555,6 +2555,80 @@ def _replay_oracle_sql(
     """
 
 
+@q(
+    "assemble_conversations",
+    None,  # oracle installed below (path-dependent SQL over the fixture)
+)
+def assemble_conversations(sf_dir: str):
+    """Conversation assembly — the step after replay that turns per-turn
+    rows into per-conversation training documents: group by conv_id,
+    order by turn_idx, concatenate "role: text" lines. One bucketed
+    shuffle on the key; the per-bucket kernel is fully vectorized (one
+    table sort, element-wise line join, ListArray offsets from segment
+    starts, one binary_join) — no per-conversation Python."""
+    import ray.data as rd
+
+    _ensure_flagship_fixture()
+    ds = rd.read_parquet(
+        _FLAGSHIP_LAKE, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "convo": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+        )
+        s = g.take(idx)
+        conv = s.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = pc.dictionary_encode(conv).indices.to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+        ).astype(np.int64)
+        offsets = np.append(starts, len(codes))
+        lines = pc.binary_join_element_wise(
+            s.column("role"), s.column("text"), ": "
+        )
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        convo = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines), "\n"
+        )
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts)),
+                "convo": convo,
+                "n_turns": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    return _bucketed_map_groups(ds, ["conv_id"], assemble)
+
+
+def _install_assemble_oracle():
+    fn, _ = _REGISTRY["assemble_conversations"]
+    sql = f"""
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+               AS convo,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM read_parquet('{_FLAGSHIP_LAKE}')
+    GROUP BY conv_id
+    """
+    _REGISTRY["assemble_conversations"] = (fn, sql)
+
+
 @q("transcripts_replay", _replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL))
 def transcripts_replay(sf_dir: str):
     """Full CDC pipeline on the mandated transcripts payload: replay the
@@ -3052,3 +3126,4 @@ def _install_cc_oracles(minhash_sql: str):
 _install_cc_oracles(_install_minhash_oracle())
 _install_multimodal_checksum_oracle()
 _install_media_decode_oracles()
+_install_assemble_oracle()

@@ -48,6 +48,7 @@ SPOT = [
     "order_customer_join_shuffle",  # large-large co-bucketed acero hash join
     "tfidf_doc_terms",  # term explode + partial-df sum + term hash join
     "length_filter_docs",  # two-pass percentile threshold + stream filter
+    "assemble_conversations",  # ordered group-concat into training docs
 ]
 
 
