@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..canonical import key_hash
+from ..canonical import key_hash, splitmix64
 
 _SENTINEL_TB = np.int64(-(1 << 62))
 
@@ -423,6 +423,8 @@ def hash_join(
     right_cols: list[str],
     how: str = "inner",
     n_buckets: int = 16,
+    hot_keys: list | None = None,
+    salt: int = 8,
 ):
     """Generic LARGE ⋈ LARGE equi-join: both sides shuffled ONCE on the
     key-hash bucket, then one Arrow (acero) hash join per bucket.
@@ -438,9 +440,19 @@ def hash_join(
     collisions cannot produce false matches.
 
     ``how``: "inner" or "left outer" (Arrow join_type names).
-    Skew: one hot key concentrates in one bucket — pre-aggregate or salt
-    upstream when a key dominates (heavy_hitters is the detector).
+
+    Skew: pass ``hot_keys`` (values of the single join column flagged by
+    ``heavy_hitters``) to salt them — hot LEFT rows spread over ``salt``
+    sub-keys by a deterministic content hash, hot RIGHT rows replicate
+    once per sub-key, and the bucket/join key becomes (key, __salt), so
+    the hot key's work fans out over up to ``salt`` buckets instead of
+    one. Left rows are never duplicated and each sees exactly one right
+    copy, so inner and left-outer results are identical to the unsalted
+    join (property-tested). Without ``hot_keys``, one hot key
+    concentrates in one bucket — the standard hash-join contract.
     """
+    if hot_keys is not None and len(on) != 1:
+        raise ValueError("hot_keys salting supports single-column joins")
     lschema, rschema = left.schema(), right.schema()
 
     def typ(schema, name):
@@ -454,6 +466,9 @@ def hash_join(
         + [(c, typ(rschema, c)) for c in right_cols]
     )
     out_schema = pa.schema(keep)
+    hot_set = pa.array(list(hot_keys)) if hot_keys else None
+    join_keys = on if hot_set is None else on + ["__salt"]
+    carried = [n for n, _ in keep]
 
     def tag(side):
         def fn(b: pa.Table) -> pa.Table:
@@ -470,8 +485,40 @@ def hash_join(
                 else:
                     cols[name] = pa.nulls(n, t)
             out = pa.table(cols)
+            if hot_set is not None:
+                is_hot = pc.fill_null(
+                    pc.is_in(out.column(on[0]), value_set=hot_set), False
+                ).to_numpy(zero_copy_only=False)
+                if side == 1:
+                    # spread hot probe rows by a deterministic content hash
+                    salts = (splitmix64(key_hash(out, carried)) % salt).astype(
+                        np.int64
+                    )
+                    out = out.append_column(
+                        "__salt", pa.array(np.where(is_hot, salts, 0))
+                    )
+                else:
+                    # replicate hot build rows once per sub-key (salt 0 is
+                    # the base copy every row already has)
+                    parts = [
+                        out.append_column(
+                            "__salt", pa.array(np.zeros(n, np.int64))
+                        )
+                    ]
+                    hot_idx = np.flatnonzero(is_hot)
+                    if len(hot_idx):
+                        hot_tbl = out.take(pa.array(hot_idx))
+                        for s in range(1, salt):
+                            parts.append(
+                                hot_tbl.append_column(
+                                    "__salt",
+                                    pa.array(np.full(len(hot_idx), s, np.int64)),
+                                )
+                            )
+                    out = pa.concat_tables(parts)
             return out.append_column(
-                "__b", pa.array((key_hash(out, on) % n_buckets).astype("int32"))
+                "__b",
+                pa.array((key_hash(out, join_keys) % n_buckets).astype("int32")),
             )
 
         return fn
@@ -480,10 +527,14 @@ def hash_join(
         if g.num_rows == 0:
             return out_schema.empty_table()
         side = g.column("__side").to_numpy(zero_copy_only=False)
-        lt = g.take(pa.array(np.flatnonzero(side == 1))).select(on + left_cols)
-        rt = g.take(pa.array(np.flatnonzero(side == 0))).select(on + right_cols)
-        joined = lt.join(rt, keys=on, join_type=how)
-        return joined.select([n for n, _ in keep]).cast(out_schema)
+        lt = g.take(pa.array(np.flatnonzero(side == 1))).select(
+            join_keys + left_cols
+        )
+        rt = g.take(pa.array(np.flatnonzero(side == 0))).select(
+            join_keys + right_cols
+        )
+        joined = lt.join(rt, keys=join_keys, join_type=how)
+        return joined.select(carried).cast(out_schema)
 
     lnorm = left.map_batches(tag(1), batch_format="pyarrow")
     rnorm = right.map_batches(tag(0), batch_format="pyarrow")

@@ -400,3 +400,41 @@ def test_hash_join_empty_side_keeps_schema(ray_session):
     ).to_pandas()
     assert sorted(out.columns) == ["k", "lv", "rv"]
     assert len(out) == 2 and out["rv"].isna().all()
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """Skew salting is a pure performance transform: with a hot key salted
+    (probe side spread, build side replicated per sub-key) the inner and
+    left-outer results must equal the unsalted join exactly."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    # 70% of probe rows hit key 42; build side has multiple rows for it
+    lk = np.where(rng.random(n) < 0.7, 42, rng.integers(0, 50, n)).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table(
+        {
+            "k": pa.array([42, 42, 1, 2, 3, 99], pa.int64()),
+            "rv": ["a", "b", "c", "d", "e", "z"],
+        }
+    )
+
+    def run(**kw):
+        out = joins.hash_join(
+            _ds(left, blocks=4), _ds(right), on=["k"], left_cols=["lv"],
+            right_cols=["rv"], n_buckets=8, **kw,
+        ).to_pandas()
+        return out.sort_values(list(out.columns), ignore_index=True)
+
+    for how in ("inner", "left outer"):
+        plain = run(how=how)
+        salted = run(how=how, hot_keys=[42], salt=4)
+        assert plain.equals(salted), how
+
+
+def test_hash_join_salted_rejects_composite_key(ray_session):
+    left = pa.table({"a": [1], "b": [2], "lv": [3]})
+    with pytest.raises(ValueError):
+        joins.hash_join(
+            _ds(left), _ds(left), on=["a", "b"], left_cols=["lv"],
+            right_cols=[], hot_keys=[1],
+        )
