@@ -2555,6 +2555,67 @@ def _replay_oracle_sql(
     """
 
 
+_FLAGSHIP_JSONL = os.path.join(_FIXTURE_DIR, "transcripts.jsonl")
+
+
+def _ensure_jsonl_fixture() -> None:
+    """Serialize the flagship transcripts as JSON-lines (the reference's
+    native interchange format — its source is the CKAN JSON API and its
+    cache files are JSON, ``/root/reference/bcdc2bcdc/DataCache.py``).
+    Deterministic: derived from the seeded generator, written atomically."""
+    import json as _json
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if os.path.exists(_FLAGSHIP_JSONL):
+        return
+    from .. import changegen as cg
+
+    t = cg.gen_transcripts(400, seed=42)
+    tmp = _FLAGSHIP_JSONL + ".tmp"
+    with open(tmp, "w") as f:
+        for row in t.to_pylist():
+            row["ts"] = row["ts"].strftime("%Y-%m-%d %H:%M:%S")
+            f.write(_json.dumps(row, sort_keys=True) + "\n")
+    os.replace(tmp, _FLAGSHIP_JSONL)
+
+
+@q("jsonl_ingest", None)  # oracle installed below (path-dependent SQL)
+def jsonl_ingest(sf_dir: str):
+    """S8 — JSON source ingestion: the reference's pipelines START from
+    JSON (CKAN API pages / JSON cache files), so the engine needs a real
+    JSON→typed-Arrow entry path, not just parquet. ``ray.data.read_json``
+    streams the JSONL in blocks; one vectorized enforce step casts the
+    stringly-typed columns onto the table spec (strptime for timestamps,
+    int widths) — the same shape a 100 TB JSON landing zone needs."""
+    import ray.data as rd
+
+    _ensure_jsonl_fixture()
+    ds = rd.read_json(_FLAGSHIP_JSONL)
+
+    def enforce(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        # Arrow's JSON reader may infer timestamp[s] (then widen the unit)
+        # or leave a string (then parse) — enforce handles both
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        else:
+            ts = pc.strptime(ts, format="%Y-%m-%d %H:%M:%S", unit="us")
+        b = b.set_column(b.column_names.index("ts"), "ts", ts)
+        return b.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    return ds.map_batches(enforce, batch_format="pyarrow")
+
+
+def _install_jsonl_oracle():
+    fn, _ = _REGISTRY["jsonl_ingest"]
+    sql = f"""
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+           CAST(tool AS VARCHAR) AS tool, CAST(ts AS TIMESTAMP) AS ts
+    FROM read_json_auto('{_FLAGSHIP_JSONL}')
+    """
+    _REGISTRY["jsonl_ingest"] = (fn, sql)
+
+
 @q(
     "assemble_conversations",
     None,  # oracle installed below (path-dependent SQL over the fixture)
@@ -3127,3 +3188,4 @@ _install_cc_oracles(_install_minhash_oracle())
 _install_multimodal_checksum_oracle()
 _install_media_decode_oracles()
 _install_assemble_oracle()
+_install_jsonl_oracle()

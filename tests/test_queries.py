@@ -49,6 +49,7 @@ SPOT = [
     "tfidf_doc_terms",  # term explode + partial-df sum + term hash join
     "length_filter_docs",  # two-pass percentile threshold + stream filter
     "assemble_conversations",  # ordered group-concat into training docs
+    "jsonl_ingest",  # JSON source -> typed Arrow vs read_json_auto
 ]
 
 
