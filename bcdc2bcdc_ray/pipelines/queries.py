@@ -2579,6 +2579,72 @@ def _ensure_jsonl_fixture() -> None:
     os.replace(tmp, _FLAGSHIP_JSONL)
 
 
+_FLAGSHIP_CSV = os.path.join(_FIXTURE_DIR, "transcripts.csv")
+
+
+def _ensure_csv_fixture() -> None:
+    """The transcripts as CSV (the other common landing-zone format).
+    Deterministic; quoting handled by pyarrow's CSV writer."""
+    from pyarrow import csv as pacsv
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if os.path.exists(_FLAGSHIP_CSV):
+        return
+    from .. import changegen as cg
+
+    t = cg.gen_transcripts(400, seed=42)
+    t = t.set_column(
+        t.column_names.index("ts"),
+        "ts",
+        pc.strftime(t.column("ts"), format="%Y-%m-%d %H:%M:%S"),
+    )
+    tmp = _FLAGSHIP_CSV + ".tmp"
+    pacsv.write_csv(t, tmp)
+    os.replace(tmp, _FLAGSHIP_CSV)
+
+
+@q("csv_ingest", None)  # oracle installed below (path-dependent SQL)
+def csv_ingest(sf_dir: str):
+    """CSV source ingestion — same enforce shape as ``jsonl_ingest`` (the
+    two common landing-zone text formats share one typed-Arrow entry
+    path). CSV cannot distinguish an empty field from NULL, so enforce
+    maps "" → NULL in the free-text columns — which is exactly the
+    engine's falsy-canonicalization policy (M6/M18/M20) anyway."""
+    import ray.data as rd
+
+    _ensure_csv_fixture()
+    ds = rd.read_csv(_FLAGSHIP_CSV)
+
+    def enforce(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        else:
+            ts = pc.strptime(ts, format="%Y-%m-%d %H:%M:%S", unit="us")
+        b = b.set_column(b.column_names.index("ts"), "ts", ts)
+        for c in ("text", "tool"):
+            col = b.column(c)
+            col = pc.if_else(
+                pc.equal(pc.fill_null(col, ""), ""),
+                pa.scalar(None, pa.string()),
+                col,
+            )
+            b = b.set_column(b.column_names.index(c), c, col)
+        return b.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    return ds.map_batches(enforce, batch_format="pyarrow")
+
+
+def _install_csv_oracle():
+    fn, _ = _REGISTRY["csv_ingest"]
+    sql = f"""
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+           CAST(tool AS VARCHAR) AS tool, CAST(ts AS TIMESTAMP) AS ts
+    FROM read_csv_auto('{_FLAGSHIP_CSV}', header=true)
+    """
+    _REGISTRY["csv_ingest"] = (fn, sql)
+
+
 @q("jsonl_ingest", None)  # oracle installed below (path-dependent SQL)
 def jsonl_ingest(sf_dir: str):
     """S8 — JSON source ingestion: the reference's pipelines START from
@@ -3189,3 +3255,4 @@ _install_multimodal_checksum_oracle()
 _install_media_decode_oracles()
 _install_assemble_oracle()
 _install_jsonl_oracle()
+_install_csv_oracle()

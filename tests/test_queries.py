@@ -50,6 +50,7 @@ SPOT = [
     "length_filter_docs",  # two-pass percentile threshold + stream filter
     "assemble_conversations",  # ordered group-concat into training docs
     "jsonl_ingest",  # JSON source -> typed Arrow vs read_json_auto
+    "csv_ingest",  # CSV source with ""->NULL canonicalization
 ]
 
 
