@@ -542,3 +542,58 @@ def hash_join(
     # single-bundle serialization workaround as _cobucket above
     grouped = lnorm.union(rnorm).materialize().groupby("__b")
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
+
+
+def detect_hot_keys(
+    ds, key: str, n_buckets: int, k: int = 16
+) -> list:
+    """Skew detector for ``hash_join``: the keys whose row count exceeds a
+    bucket's fair share (total / n_buckets) — i.e. the keys that would
+    concentrate more than one bucket's worth of work. Built on the
+    ``heavy_hitters`` combiner (per-batch partial counts → one bucketed
+    top-k), so the detection pass shuffles O(distinct keys) partial rows
+    and the driver only ever holds ≤ k candidate rows."""
+    from ..functions.sketch import heavy_hitters
+
+    def const_group(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    tagged = ds.map_batches(const_group, batch_format="pyarrow")
+    hh = heavy_hitters(tagged, "__g", key, k).to_pandas()
+    total = int(hh["n"].sum()) if len(hh) else 0
+    # total from the top-k alone UNDERcounts the true total, which only
+    # makes the threshold conservative (fewer keys flagged) — acceptable:
+    # a missed lukewarm key costs one slow bucket, a false flag costs a
+    # build-side replication. Use ds.count() when an exact total is cheap.
+    fair = max(1, total // max(1, n_buckets))
+    return hh.loc[hh["n"] > fair, key].tolist()
+
+
+def skew_join(
+    left,
+    right,
+    *,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    n_buckets: int = 16,
+    salt: int = 8,
+    detect_k: int = 16,
+):
+    """``hash_join`` with automatic hot-key salting: run the heavy-hitter
+    detector over the probe side, then salt whatever keys exceed a
+    bucket's fair share. One extra aggregation pass over the probe side
+    (O(distinct keys) shuffle), identical results to the plain join."""
+    hot = detect_hot_keys(left, on[0], n_buckets, k=detect_k) if len(on) == 1 else []
+    return hash_join(
+        left,
+        right,
+        on=on,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        how=how,
+        n_buckets=n_buckets,
+        hot_keys=hot or None,
+        salt=salt,
+    )

@@ -438,3 +438,30 @@ def test_hash_join_salted_rejects_composite_key(ray_session):
             _ds(left), _ds(left), on=["a", "b"], left_cols=["lv"],
             right_cols=[], hot_keys=[1],
         )
+
+
+def test_detect_hot_keys_flags_dominant_key(ray_session):
+    rng = np.random.default_rng(3)
+    n = 4000
+    k = np.where(rng.random(n) < 0.6, 7, rng.integers(100, 200, n)).astype(np.int64)
+    ds = _ds(pa.table({"k": k, "v": np.arange(n)}), 4)
+    hot = joins.detect_hot_keys(ds, "k", n_buckets=8)
+    assert 7 in hot
+    assert all(int((k == h).sum()) > n // 20 for h in hot)  # no cold flags
+
+
+def test_skew_join_matches_plain_hash_join(ray_session):
+    rng = np.random.default_rng(11)
+    n = 3000
+    lk = np.where(rng.random(n) < 0.5, 9, rng.integers(0, 40, n)).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table(
+        {"k": np.arange(0, 45, dtype=np.int64), "rv": np.arange(45) * 10}
+    )
+    kw = dict(on=["k"], left_cols=["lv"], right_cols=["rv"], n_buckets=8)
+    for how in ("inner", "left outer"):
+        plain = joins.hash_join(_ds(left, 4), _ds(right), how=how, **kw).to_pandas()
+        auto = joins.skew_join(_ds(left, 4), _ds(right), how=how, **kw).to_pandas()
+        plain = plain.sort_values(list(plain.columns), ignore_index=True)
+        auto = auto.sort_values(list(auto.columns), ignore_index=True)
+        assert plain.equals(auto), how
