@@ -1494,6 +1494,104 @@ def tfidf_doc_terms(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(sf_dir: str):
+    """Pivot (long → wide): per-user event-type counts as columns — the
+    feature-matrix shape model-training feeds on. Per-batch partial pivot
+    (one boolean mask + segmented sum per type, all vectorized) shrinks
+    the shuffle to O(users × 1) wide rows; one bucketed sum merges
+    partials. The type domain is declared (as in any pivot), so the
+    output schema is static."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        t = pa.table(cols)
+        for ty in _EVENT_TYPES:
+            t = t.append_column(
+                ty, pc.cast(pc.equal(et, ty), pa.int64())
+            )
+        agg = t.group_by(["user_id"]).aggregate([(ty, "sum") for ty in _EVENT_TYPES])
+        return pa.table(
+            {"user_id": agg.column("user_id"),
+             **{ty: agg.column(f"{ty}_sum") for ty in _EVENT_TYPES}}
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["user_id"]).aggregate([(ty, "sum") for ty in _EVENT_TYPES])
+        return pa.table(
+            {"user_id": agg.column("user_id"),
+             **{ty: agg.column(f"{ty}_sum") for ty in _EVENT_TYPES}}
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_map_groups(part, ["user_id"], merge)
+
+
+@q(
+    "unpivot_event_counts",
+    """
+    WITH w AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, k AS event_type, v AS n
+    FROM w UNPIVOT (v FOR k IN (click, purchase))
+    """,
+)
+def unpivot_event_counts(sf_dir: str):
+    """Unpivot (wide → long): the inverse reshape, run on the pivoted
+    output — pure per-batch column explode (repeat ids, interleave
+    columns), no shuffle beyond the pivot's own. DuckDB UNPIVOT drops
+    nothing here (counts are non-null)."""
+    wide = pivot_event_counts(sf_dir)
+    keep = ("click", "purchase")
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        n = b.num_rows
+        ids = pa.concat_arrays(
+            [b.column("user_id").combine_chunks()
+             if isinstance(b.column("user_id"), pa.ChunkedArray)
+             else b.column("user_id")] * len(keep)
+        )
+        types = pa.array(
+            [t for t in keep for _ in range(n)], pa.string()
+        )
+        vals = pa.concat_arrays(
+            [
+                (b.column(t).combine_chunks()
+                 if isinstance(b.column(t), pa.ChunkedArray) else b.column(t))
+                for t in keep
+            ]
+        )
+        return pa.table({"user_id": ids, "event_type": types, "n": vals})
+
+    return wide.map_batches(explode, batch_format="pyarrow")
+
+
 @q(
     "length_filter_docs",
     r"""

@@ -51,6 +51,8 @@ SPOT = [
     "assemble_conversations",  # ordered group-concat into training docs
     "jsonl_ingest",  # JSON source -> typed Arrow vs read_json_auto
     "csv_ingest",  # CSV source with ""->NULL canonicalization
+    "pivot_event_counts",  # long->wide partial pivot vs FILTER counts
+    "unpivot_event_counts",  # wide->long explode vs UNPIVOT
 ]
 
 
