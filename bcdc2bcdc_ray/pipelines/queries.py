@@ -1593,6 +1593,76 @@ def unpivot_event_counts(sf_dir: str):
 
 
 @q(
+    "semi_join_orders",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def semi_join_orders(sf_dir: str):
+    """Bloom-prefiltered distributed semi join (WHERE IN): orders of
+    customers in arrears. The Bloom filter over the selective build side
+    drops definitely-unmatched probe rows BEFORE the shuffle; the exact
+    per-bucket Arrow ``left semi`` join removes the false positives, so the
+    result is identical to the unfiltered join (stages/joins.semi_join +
+    functions/bloom.py)."""
+    from ..stages import joins
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def negative(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("c_acctbal"), 0.0))
+        return pa.table({"o_custkey": b.column("c_custkey")})
+
+    keys = cust.map_batches(negative, batch_format="pyarrow")
+    return joins.semi_join(
+        orders,
+        keys,
+        on=["o_custkey"],
+        left_cols=["o_orderkey", "o_custkey"],
+        n_buckets=min(_cpus(), 16),
+        bloom_bits=1 << 20,
+    )
+
+
+@q(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_join_customers(sf_dir: str):
+    """Bloom-split distributed anti join (WHERE NOT EXISTS): customers who
+    never placed an URGENT order. A Bloom MISS is proof of absence, so
+    missing probe rows bypass the shuffle entirely and stream straight to
+    the output; only the maybe-present slice pays the exact per-bucket
+    ``left anti`` join. Same rows as the J2/J3 anti-join family
+    (stages/delta.py) but as a standalone generic operator."""
+    from ..stages import joins
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"c_custkey": b.column("o_custkey")})
+
+    keys = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    return joins.semi_join(
+        cust,
+        keys,
+        on=["c_custkey"],
+        left_cols=["c_custkey", "c_name"],
+        anti=True,
+        n_buckets=min(_cpus(), 16),
+        bloom_bits=1 << 20,
+    )
+
+
+@q(
     "length_filter_docs",
     r"""
     WITH tc AS (

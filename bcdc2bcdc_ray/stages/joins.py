@@ -544,6 +544,139 @@ def hash_join(
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
 
 
+def semi_join(
+    left,
+    right,
+    *,
+    on: list[str],
+    left_cols: list[str],
+    anti: bool = False,
+    n_buckets: int = 16,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
+):
+    """Distributed semi / anti join: keep left rows that have (``anti=False``)
+    or lack (``anti=True``) a key match on the right — SQL ``WHERE [NOT]
+    EXISTS``. Join columns must share names across sides (rename upstream).
+    Output columns are exactly ``left_cols``.
+
+    Exact path: right side is projected to its key columns and
+    per-batch-deduplicated (a distinct combiner — the shuffle moves
+    O(distinct keys per block), not rows), both sides co-bucket on the key
+    hash, and each bucket runs Arrow's native ``left semi`` / ``left anti``
+    hash join — value comparison, so bucket-hash collisions cannot
+    false-match. Null keys never match (SQL ``IN`` / ``NOT EXISTS``
+    equality semantics).
+
+    ``bloom_bits`` enables the Bloom prefilter (``functions.bloom``):
+
+    - semi: probe rows that MISS the filter are definite non-matches and
+      are dropped before the shuffle — at 100 TB this is the difference
+      between shuffling the whole fact table and shuffling only the
+      selective slice; false positives pass through and the exact join
+      removes them.
+    - anti: a miss is PROOF of absence, so missing rows bypass the shuffle
+      entirely and are emitted directly; only the (small) maybe-present
+      slice takes the exact anti join. Results identical either way
+      (property-tested).
+    """
+    keyset = [c for c in on]
+    payload = [c for c in left_cols if c not in keyset]
+    carried = keyset + payload
+    lschema = left.schema()
+
+    def typ(name):
+        return lschema.base_schema.field(name).type if hasattr(
+            lschema, "base_schema"
+        ) else lschema.field(name).type
+
+    def project_left(b: pa.Table) -> pa.Table:
+        return b.select(left_cols)
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(keyset)
+        return b.select(keyset).group_by(keyset).aggregate([])
+
+    bloom_ref = None
+    if bloom_bits is not None:
+        from ..functions.bloom import bloom_filter_batches, build_bloom
+
+        bloom_ref = build_bloom(
+            right.map_batches(distinct_keys, batch_format="pyarrow"),
+            keyset,
+            num_bits=bloom_bits,
+            num_hashes=bloom_hashes,
+        )
+
+    probe = left
+    definite = None
+    if bloom_ref is not None:
+        from ..functions.bloom import bloom_filter_batches
+
+        if anti:
+            # definite non-matches skip the shuffle entirely
+            definite = bloom_filter_batches(
+                left, bloom_ref, keyset, keep_maybe=False
+            ).map_batches(project_left, batch_format="pyarrow")
+        probe = bloom_filter_batches(left, bloom_ref, keyset, keep_maybe=True)
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if side == 1:
+                out = b.select([c for c in carried if c in b.column_names])
+                for c in carried:
+                    if c not in out.column_names:
+                        out = out.append_column(c, pa.nulls(n, typ(c)))
+                out = out.select(carried)
+            else:
+                out = distinct_keys(b)
+                for c in payload:
+                    out = out.append_column(
+                        c, pa.nulls(out.num_rows, typ(c))
+                    )
+            out = out.append_column(
+                "__side", pa.array(np.full(out.num_rows, side, np.int8))
+            )
+            return out.append_column(
+                "__b",
+                pa.array((key_hash(out, keyset) % n_buckets).astype("int32")),
+            )
+
+        return fn
+
+    join_type = "left anti" if anti else "left semi"
+    out_schema = pa.schema([(c, typ(c)) for c in left_cols])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.take(pa.array(np.flatnonzero(side == 1))).select(carried)
+        rt = (
+            g.take(pa.array(np.flatnonzero(side == 0)))
+            .select(keyset)
+            .group_by(keyset)
+            .aggregate([])
+        )
+        return lt.join(rt, keys=keyset, join_type=join_type).select(
+            left_cols
+        ).cast(out_schema)
+
+    lnorm = probe.map_batches(tag(1), batch_format="pyarrow")
+    rnorm = right.map_batches(tag(0), batch_format="pyarrow")
+    # materialize() before the groupby shuffle — same Ray 2.49 UnionOperator
+    # single-bundle serialization workaround as _cobucket above
+    exact = (
+        lnorm.union(rnorm)
+        .materialize()
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return exact if definite is None else exact.union(definite)
+
+
 def detect_hot_keys(
     ds, key: str, n_buckets: int, k: int = 16
 ) -> list:

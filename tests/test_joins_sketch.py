@@ -465,3 +465,81 @@ def test_skew_join_matches_plain_hash_join(ray_session):
         plain = plain.sort_values(list(plain.columns), ignore_index=True)
         auto = auto.sort_values(list(auto.columns), ignore_index=True)
         assert plain.equals(auto), how
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + semi/anti join (stages/joins.semi_join, functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+from bcdc2bcdc_ray.functions import bloom as bl
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr():
+    rng = np.random.default_rng(5)
+    present = rng.integers(0, 1 << 62, 5000, dtype=np.uint64)
+    absent = present + np.uint64(1 << 62)  # disjoint by construction
+    bf = bl.BloomFilter(num_bits=1 << 20, num_hashes=5)
+    bf.add_hashes(present)
+    assert bf.contains_hashes(present).all()  # zero false negatives, ever
+    fpr = bf.contains_hashes(absent).mean()
+    assert fpr < 0.05  # m/n=200 bits/key, k=5 → theoretical fpr ~1e-5
+
+
+def test_bloom_bytes_roundtrip_and_merge():
+    a = bl.BloomFilter(1 << 16, 4)
+    b = bl.BloomFilter(1 << 16, 4)
+    ha = np.arange(100, dtype=np.uint64)
+    hb = np.arange(100, 200, dtype=np.uint64)
+    a.add_hashes(ha)
+    b.add_hashes(hb)
+    a.merge_words(np.frombuffer(b.to_bytes(), dtype=np.uint64))
+    rt = bl.BloomFilter.from_bytes(a.to_bytes(), 4)
+    assert rt.contains_hashes(np.concatenate([ha, hb])).all()
+    with pytest.raises(ValueError):
+        bl.BloomFilter(1000)  # not a power of two
+
+
+def test_semi_and_anti_join_match_pandas_with_and_without_bloom(ray_session):
+    rng = np.random.default_rng(13)
+    n = 2500
+    lk = rng.integers(0, 60, n).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    rk = np.unique(rng.integers(0, 30, 40).astype(np.int64))
+    right = pa.table({"k": np.repeat(rk, 2)})  # dup right keys: still one match
+    in_right = np.isin(lk, rk)
+    for anti in (False, True):
+        expect = set(np.flatnonzero(~in_right if anti else in_right).tolist())
+        for bits in (None, 1 << 16):
+            out = joins.semi_join(
+                _ds(left, 4),
+                _ds(right),
+                on=["k"],
+                left_cols=["k", "lv"],
+                anti=anti,
+                n_buckets=4,
+                bloom_bits=bits,
+            ).to_pandas()
+            assert set(out["lv"].tolist()) == expect, (anti, bits)
+            # row multiplicity preserved: semi/anti filter, never duplicate
+            assert len(out) == len(expect), (anti, bits)
+
+
+def test_semi_join_null_keys_never_match(ray_session):
+    left = pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()), "lv": [10, 20, 30]}
+    )
+    right = pa.table({"k": pa.array([1, None], pa.int64())})
+    semi = joins.semi_join(
+        _ds(left, 1), _ds(right, 1), on=["k"], left_cols=["lv"], n_buckets=2
+    ).to_pandas()
+    assert sorted(semi["lv"]) == [10]  # null = null is not a match
+    anti = joins.semi_join(
+        _ds(left, 1),
+        _ds(right, 1),
+        on=["k"],
+        left_cols=["lv"],
+        anti=True,
+        n_buckets=2,
+        bloom_bits=1 << 16,
+    ).to_pandas()
+    assert sorted(anti["lv"]) == [20, 30]  # NOT EXISTS keeps the null row

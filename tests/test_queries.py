@@ -53,6 +53,8 @@ SPOT = [
     "csv_ingest",  # CSV source with ""->NULL canonicalization
     "pivot_event_counts",  # long->wide partial pivot vs FILTER counts
     "unpivot_event_counts",  # wide->long explode vs UNPIVOT
+    "semi_join_orders",  # bloom-prefiltered semi join vs WHERE IN
+    "anti_join_customers",  # bloom-split anti join vs NOT EXISTS
 ]
 
 
