@@ -1663,6 +1663,252 @@ def anti_join_customers(sf_dir: str):
 
 
 @q(
+    "events_lag",
+    """
+    SELECT event_id, user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                     ts) AS prev_gap_us
+    FROM events
+    """,
+)
+def events_lag(sf_dir: str):
+    """Window LAG: per-user inter-event gap (µs since the user's previous
+    event; null for the first). The general partitioned-window pattern —
+    ONE bucketed shuffle on the partition key, then a per-bucket vectorized
+    kernel: lexsort by (user, ts, id), shift, null out segment starts.
+    No per-user Python; same exchange as sessionize."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def lag_kernel(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if isinstance(g.column("ts"), pa.Array)
+            else g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        su, st, se = uid[order], ts[order], eid[order]
+        gap = np.empty(len(st), np.int64)
+        gap[1:] = st[1:] - st[:-1]
+        first = np.empty(len(su), bool)
+        first[0] = True
+        np.not_equal(su[1:], su[:-1], out=first[1:])
+        gap[first] = 0
+        return pa.table(
+            {
+                "event_id": pa.array(se),
+                "user_id": pa.array(su),
+                "prev_gap_us": pa.array(gap, pa.int64(), mask=first),
+            }
+        )
+
+    return _bucketed_map_groups(ds, ["user_id"], lag_kernel)
+
+
+@q(
+    "rank_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC) AS BIGINT)
+               AS drnk
+    FROM orders
+    """,
+)
+def rank_orders(sf_dir: str):
+    """Window RANK / DENSE_RANK per group (each customer's orders by
+    price). Rank depends only on value comparisons, so the result is
+    deterministic without a tiebreak column. Same bucketed-window shape as
+    events_lag; the kernel is one lexsort + two segmented scans."""
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def rank_kernel(g: pa.Table) -> pa.Table:
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        # negate → descending price within ascending lexsort
+        price = -g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((price, cust))
+        sc, sp, sk = cust[order], price[order], okey[order]
+        n = len(sc)
+        seg_first = np.empty(n, bool)
+        seg_first[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=seg_first[1:])
+        new_val = np.empty(n, bool)
+        new_val[0] = True
+        new_val[1:] = (sp[1:] != sp[:-1]) | seg_first[1:]
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = pos[seg_first][np.cumsum(seg_first) - 1]
+        # rank: position of the value's first occurrence within the segment
+        val_start = pos[new_val][np.cumsum(new_val) - 1]
+        rnk = val_start - seg_start + 1
+        # dense rank: count of distinct values seen so far in the segment
+        dense_cum = np.cumsum(new_val)
+        drnk = dense_cum - dense_cum[seg_start] + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(sk),
+                "o_custkey": pa.array(sc),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+            }
+        )
+
+    return _bucketed_map_groups(ds, ["o_custkey"], rank_kernel)
+
+
+@q(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) // 512 AS bin
+    FROM t
+    """,
+)
+def pack_sequences(sf_dir: str):
+    """Sequence packing for training: assign each document to a fixed-size
+    token bin (cap 512) by its token offset in the per-language doc_id
+    order — the deterministic contiguous-packing rule (bin = prefix-token-
+    sum // cap), expressible as a window cumsum on both sides. Distributed
+    as a per-language bucketed prefix scan: token counts are vectorized per
+    batch (functions/text.token_count), the shuffle moves (doc_id, lang,
+    n_tokens) only — never the text — and each bucket's kernel is one sort
+    + one cumsum."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    cap = 512
+
+    def counts(b: pa.Table) -> pa.Table:
+        b = text.token_count(b)
+        return b.select(["doc_id", "lang", "n_tokens"])
+
+    def pack(g: pa.Table) -> pa.Table:
+        lang = g.column("lang").to_pandas().to_numpy(dtype=object)
+        # int codes for lexsort (object dtype doesn't lexsort); code order
+        # is irrelevant — bins are computed within a language segment
+        codes = pd.factorize(lang, sort=True)[0]
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, codes))
+        sl, sd, sn = lang[order], did[order], nt[order]
+        sc = codes[order]
+        csum = np.cumsum(sn)
+        first = np.ones(len(sl), bool)
+        if len(sl) > 1:
+            first[1:] = sc[1:] != sc[:-1]
+        seg_start = np.arange(len(sl))[first][np.cumsum(first) - 1]
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        offset = csum - sn - base  # tokens before this doc within its lang
+        return pa.table(
+            {
+                "doc_id": pa.array(sd),
+                "lang": pa.array(sl, pa.string()),
+                "n_tokens": pa.array(sn, pa.int64()),
+                "bin": pa.array(offset // cap, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+    return _bucketed_map_groups(counted, ["lang"], pack)
+
+
+@q(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP: the multi-level aggregate (per (flag,status), per
+    flag, grand total) in one pass. The heavy raw→base reduction is the
+    standard distributed combiner (in-batch partial sums, one bucketed
+    merge); the super-aggregate levels re-aggregate the BASE table — a few
+    rows — so rolling up costs O(groups), not a second scan of the fact
+    table. Int-cents for exact float-free sums."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "price_cents": cents,
+            }
+        )
+        agg = t.group_by(keys).aggregate(
+            [("price_cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "price_cents": agg.column("price_cents_sum"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by(keys).aggregate([("price_cents", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "price_cents": agg.column("price_cents_sum"),
+                "n": agg.column("n_sum"),
+            }
+        )
+
+    base_ds = _bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), keys, merge
+    )
+    base = _collect(base_ds)  # O(distinct groups) rows — driver-safe
+    lvl1_agg = base.group_by(["l_returnflag"]).aggregate(
+        [("price_cents", "sum"), ("n", "sum")]
+    )
+    lvl1 = pa.table(
+        {
+            "l_returnflag": lvl1_agg.column("l_returnflag"),
+            "l_linestatus": pa.nulls(lvl1_agg.num_rows, pa.string()),
+            "price_cents": lvl1_agg.column("price_cents_sum"),
+            "n": lvl1_agg.column("n_sum"),
+        }
+    )
+    total = pa.table(
+        {
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "price_cents": pa.array(
+                [pc.sum(base.column("price_cents")).as_py()], pa.int64()
+            ),
+            "n": pa.array([pc.sum(base.column("n")).as_py()], pa.int64()),
+        }
+    )
+    return pa.concat_tables([base.select(total.column_names), lvl1, total])
+
+
+@q(
     "length_filter_docs",
     r"""
     WITH tc AS (

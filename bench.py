@@ -65,6 +65,10 @@ QUERY_NAMES = [
     "neardup_dedup_docs",
     "order_customer_join_shuffle",
     "tfidf_doc_terms",
+    "semi_join_orders",
+    "pivot_event_counts",
+    "events_lag",
+    "pack_sequences",
 ]
 
 

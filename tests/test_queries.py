@@ -55,6 +55,10 @@ SPOT = [
     "unpivot_event_counts",  # wide->long explode vs UNPIVOT
     "semi_join_orders",  # bloom-prefiltered semi join vs WHERE IN
     "anti_join_customers",  # bloom-split anti join vs NOT EXISTS
+    "events_lag",  # window LAG gap vs date_diff(lag())
+    "rank_orders",  # rank/dense_rank window vs SQL windows
+    "pack_sequences",  # per-lang prefix-scan token binning vs window cumsum
+    "rollup_pricing",  # GROUP BY ROLLUP multi-level aggregate
 ]
 
 
