@@ -544,6 +544,110 @@ def hash_join(
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
 
 
+def broadcast_join(
+    left,
+    right_table: pa.Table,
+    *,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+):
+    """Broadcast hash join against a small in-memory right side: the table
+    is ``ray.put`` once, resolved once per worker process, and every left
+    batch runs Arrow's native hash join against it — the big side STREAMS,
+    zero shuffle. Same column contract as :func:`hash_join`
+    (``on + left_cols + right_cols``); ``how`` is "inner" or "left outer".
+    Use while the right side fits a worker heap (the J5/ST2 broadcast-LUT
+    pattern, SURVEY §2.6)."""
+    import ray
+
+    small = right_table.select(on + right_cols).combine_chunks()
+    ref = ray.put(small)
+    carried = on + left_cols + right_cols
+
+    class _Kernel:
+        def __init__(self, r):
+            self.small = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = b.select(on + left_cols).join(
+                self.small, keys=on, join_type=how
+            )
+            return out.select(carried)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        from ..pipelines.queries import _cached
+
+        return _cached(_Kernel, ref)(b)
+
+    return left.map_batches(per_batch, batch_format="pyarrow")
+
+
+# broadcast when the build side is under this — a few worker-heap percent
+BROADCAST_THRESHOLD_BYTES = 64 << 20
+
+
+def auto_join(
+    left,
+    right,
+    *,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    n_buckets: int = 16,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
+    salt: int = 8,
+    detect_k: int = 16,
+):
+    """Physical-join planner: materialize the right side once (into the
+    object store — the shuffle path needs that snap anyway for the Ray
+    2.49 union workaround), read its now-exact size, then pick:
+
+    - ≤ ``broadcast_threshold`` → :func:`broadcast_join` (big side
+      streams, zero shuffle);
+    - larger → :func:`skew_join` (co-bucket shuffle with automatic
+      heavy-hitter salting), reusing the already-materialized right side —
+      the size probe is never a wasted pass.
+
+    The two plans are result-identical (property-tested), so the choice is
+    purely physical — the 100 TB analog of a cost-based join strategy.
+    """
+    mright = right.materialize()
+    size = mright.size_bytes() or 0
+    if size <= broadcast_threshold:
+        blocks = [b for b in mright.to_arrow_refs()]
+        import ray
+
+        tables = [t for t in ray.get(blocks) if t.num_columns > 0]
+        if tables:
+            tbl = pa.concat_tables(tables)
+        else:
+            # Dataset.schema() is Ray's wrapper; unwrap to the Arrow schema
+            schema = mright.schema()
+            tbl = getattr(schema, "base_schema", schema).empty_table()
+        return broadcast_join(
+            left,
+            tbl,
+            on=on,
+            left_cols=left_cols,
+            right_cols=right_cols,
+            how=how,
+        )
+    return skew_join(
+        left,
+        mright,
+        on=on,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        how=how,
+        n_buckets=n_buckets,
+        salt=salt,
+        detect_k=detect_k,
+    )
+
+
 def semi_join(
     left,
     right,

@@ -543,3 +543,67 @@ def test_semi_join_null_keys_never_match(ray_session):
         bloom_bits=1 << 16,
     ).to_pandas()
     assert sorted(anti["lv"]) == [20, 30]  # NOT EXISTS keeps the null row
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join + auto_join planner (stages/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_join_matches_hash_join(ray_session):
+    rng = np.random.default_rng(17)
+    n = 2500
+    lk = rng.integers(0, 60, n).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table(
+        {"k": np.arange(0, 50, dtype=np.int64), "rv": np.arange(50) * 3}
+    )
+    kw = dict(on=["k"], left_cols=["lv"], right_cols=["rv"])
+    for how in ("inner", "left outer"):
+        plain = joins.hash_join(
+            _ds(left, 4), _ds(right), how=how, n_buckets=8, **kw
+        ).to_pandas()
+        bcast = joins.broadcast_join(
+            _ds(left, 4), right, how=how, **kw
+        ).to_pandas()
+        plain = plain.sort_values(list(plain.columns), ignore_index=True)
+        bcast = bcast.sort_values(list(bcast.columns), ignore_index=True)
+        assert plain.astype(bcast.dtypes.to_dict()).equals(bcast), how
+
+
+def test_auto_join_both_plans_result_identical(ray_session):
+    rng = np.random.default_rng(23)
+    n = 3000
+    lk = np.where(rng.random(n) < 0.4, 5, rng.integers(0, 30, n)).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table(
+        {"k": np.arange(0, 35, dtype=np.int64), "rv": np.arange(35) * 7}
+    )
+    kw = dict(on=["k"], left_cols=["lv"], right_cols=["rv"], n_buckets=8)
+    for how in ("inner", "left outer"):
+        ref = joins.hash_join(_ds(left, 4), _ds(right), how=how, **kw).to_pandas()
+        # threshold huge -> broadcast plan; threshold 0 -> skew/shuffle plan
+        small = joins.auto_join(
+            _ds(left, 4), _ds(right), how=how,
+            broadcast_threshold=1 << 40, **kw,
+        ).to_pandas()
+        big = joins.auto_join(
+            _ds(left, 4), _ds(right), how=how, broadcast_threshold=0, **kw
+        ).to_pandas()
+        ref = ref.sort_values(list(ref.columns), ignore_index=True)
+        for got in (small, big):
+            got = got.sort_values(list(got.columns), ignore_index=True)
+            assert ref.astype(got.dtypes.to_dict()).equals(got), how
+
+
+def test_auto_join_empty_right_keeps_schema(ray_session):
+    left = pa.table({"k": [1, 2], "lv": [10, 20]})
+    right = pa.table(
+        {"k": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}
+    )
+    out = joins.auto_join(
+        _ds(left, 1), rd.from_arrow(right), on=["k"], left_cols=["lv"],
+        right_cols=["rv"], how="left outer",
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert len(out) == 2 and out["rv"].isna().all()
