@@ -351,3 +351,44 @@ def splitmix64_sql(col: str) -> str:
     x = _sql_mul_mod64(x, 0x94D049BB133111EB)
     x = _sql_xorshift(x, 31)
     return x
+
+
+def rate_threshold_u64(p: float) -> int:
+    """Acceptance threshold for splitmix64(id) < t at rate ``p`` — ONE
+    shared int so the numpy filter and the generated SQL use the same
+    constant (float rounding happens exactly once, here)."""
+    return min(max(int(p * float(1 << 64)), 0), (1 << 64) - 1)
+
+
+def mixture_sample_batch(
+    batch: pa.Table,
+    group_col: str,
+    id_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+) -> pa.Table:
+    """Deterministic per-source mixture sampling: keep a row iff
+    splitmix64(id) < rate[group]·2^64 — the training-data mixture
+    re-weighting step (sample web at 0.1, books at 0.9, …). Zero shuffle,
+    reproducible across runs/cluster shapes/data order; groups absent from
+    ``rates`` use ``default_rate``. Vectorized: one index_in per batch maps
+    rows to their group's integer threshold."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids)
+    keys = list(rates)
+    thr = np.array(
+        [rate_threshold_u64(rates[k]) for k in keys]
+        + [rate_threshold_u64(default_rate)],
+        np.uint64,
+    )
+    idx = pc.fill_null(
+        pc.index_in(batch.column(group_col), pa.array(keys)), len(keys)
+    ).to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(h < thr[idx]))
+
+
+def mixture_sample(ds, group_col: str, id_col: str, rates: dict, default_rate: float = 0.0):
+    return ds.map_batches(
+        lambda b: mixture_sample_batch(b, group_col, id_col, rates, default_rate),
+        batch_format="pyarrow",
+    )

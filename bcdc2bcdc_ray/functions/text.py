@@ -261,3 +261,113 @@ def tfidf_score(
     return batch.append_column(
         out, pa.array(tf * np.log(float(n_docs) / df), pa.float64())
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# RE2-only syntax (no lookaround): the SAME pattern strings feed Arrow's
+# replace_substring_regex and DuckDB's regexp_replace, so impl and oracle
+# share regex semantics verbatim (both engines run RE2).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9\-() ]{6,}[0-9]"
+
+
+def redact_pii(batch: pa.Table, col: str = "text", out: str | None = None) -> pa.Table:
+    """Scrub emails then phone-shaped digit runs from ``col`` — the standard
+    pre-training privacy pass. Order matters (an email's local part can
+    contain digits): both sides of the oracle apply EMAIL first, PHONE
+    second. Fully vectorized (two RE2 global replaces per batch)."""
+    t = batch.column(col)
+    t = pc.replace_substring_regex(t, EMAIL_PATTERN, replacement="<EMAIL>")
+    t = pc.replace_substring_regex(t, PHONE_PATTERN, replacement="<PHONE>")
+    out = out or col
+    if out in batch.column_names:
+        batch = batch.set_column(
+            batch.column_names.index(out), out, t
+        )
+    else:
+        batch = batch.append_column(out, t)
+    return batch
+
+
+def normalize_text(
+    batch: pa.Table, col: str = "text", out: str | None = None
+) -> pa.Table:
+    """Canonical text normalization: lowercase → collapse every whitespace
+    run (tab/newline included) to one space → strip leading/trailing
+    spaces. Matches DuckDB ``trim(regexp_replace(lower(col),'\\s+',' ','g'))``
+    exactly — after the collapse only plain spaces can lead/trail, so
+    Arrow's space-only ``utf8_trim`` equals SQL ``trim``."""
+    t = pc.utf8_lower(batch.column(col))
+    t = pc.replace_substring_regex(t, r"\s+", replacement=" ")
+    t = pc.utf8_trim(t, " ")
+    out = out or col
+    if out in batch.column_names:
+        batch = batch.set_column(batch.column_names.index(out), out, t)
+    else:
+        batch = batch.append_column(out, t)
+    return batch
+
+
+def gopher_stats(
+    batch: pa.Table,
+    col: str = "text",
+    *,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 5.0,
+    max_dup_word_frac: float = 0.55,
+) -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models" §A1.1.1 heuristics, re-expressed over this fixture's
+    single-line docs): word count bounds, mean word length bounds, and a
+    repetition cap (fraction of duplicate words — the single-line analog
+    of Gopher's duplicate-line fraction).
+
+    Vectorized: one regex split per batch; the per-row distinct-word count
+    uses a hash drop_duplicates over the flattened (row, word) pairs — no
+    per-row Python. All ratios are int/int double divisions so the DuckDB
+    oracle (list_distinct / greatest arithmetic) is bit-identical.
+    Emits: n_words, mean_word_len, frac_dup_words, gopher_pass."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    denom = pc.cast(pc.max_element_wise(n_words, 1), pa.float64())
+    # chars-inside-words = length after deleting ALL whitespace
+    squashed = pc.replace_substring_regex(text, r"\s", replacement="")
+    n_word_chars = pc.cast(pc.utf8_length(squashed), pa.int64())
+    mean_word_len = pc.divide(pc.cast(n_word_chars, pa.float64()), denom)
+    # distinct words per row: flatten once, one C-speed dedup + segment count
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    dd = pd.DataFrame({"p": parent, "w": flat.to_pandas()}).drop_duplicates()
+    n_distinct = np.zeros(batch.num_rows, np.int64)
+    counts = dd.groupby("p", sort=False).size()
+    n_distinct[counts.index.to_numpy()] = counts.to_numpy()
+    frac_dup = pc.divide(
+        pc.cast(
+            pc.subtract(n_words, pa.array(n_distinct, pa.int64())), pa.float64()
+        ),
+        denom,
+    )
+    ok = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, min_words),
+                pc.less_equal(n_words, max_words),
+            ),
+            pc.and_(
+                pc.greater_equal(mean_word_len, min_mean_word_len),
+                pc.less_equal(mean_word_len, max_mean_word_len),
+            ),
+        ),
+        pc.less_equal(frac_dup, max_dup_word_frac),
+    )
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("mean_word_len", mean_word_len)
+    batch = batch.append_column("frac_dup_words", frac_dup)
+    batch = batch.append_column("gopher_pass", ok)
+    return batch

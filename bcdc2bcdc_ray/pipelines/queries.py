@@ -3670,3 +3670,226 @@ _install_media_decode_oracles()
 _install_assemble_oracle()
 _install_jsonl_oracle()
 _install_csv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / mixture / full-outer additions (round 2, late)
+# ---------------------------------------------------------------------------
+
+
+@q("pii_redact_contacts", None)  # oracle installed below (shares patterns)
+def pii_redact_contacts(sf_dir: str):
+    """PII redaction — the standard pre-training privacy scrub. The fixture
+    has no raw PII, so BOTH sides first enrich each customer row into a
+    deterministic contact string (name + synthetic email + phone), then the
+    stage under test redacts: EMAIL regex first, PHONE second (order
+    matters — email local parts contain digits). Same RE2 pattern strings
+    verbatim on both engines (functions/text.py EMAIL_PATTERN /
+    PHONE_PATTERN)."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        name = b.column("c_name")
+        local = pc.replace_substring(pc.utf8_lower(name), " ", ".")
+        contact = pc.binary_join_element_wise(
+            name,
+            " <",
+            local,
+            "@example.com> call +1-555-0",
+            pc.cast(b.column("c_custkey"), pa.string()),
+            "",
+        )
+        t = pa.table({"c_custkey": b.column("c_custkey"), "contact": contact})
+        return text.redact_pii(t, "contact")
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _install_pii_oracle():
+    fn, _ = _REGISTRY["pii_redact_contacts"]
+    _REGISTRY["pii_redact_contacts"] = (
+        fn,
+        f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 c_name || ' <' || replace(lower(c_name), ' ', '.')
+                        || '@example.com> call +1-555-0'
+                        || CAST(c_custkey AS VARCHAR) AS contact
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(
+                 regexp_replace(contact, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                 '{text.PHONE_PATTERN}', '<PHONE>', 'g') AS contact
+        FROM c
+        """,
+    )
+
+
+_install_pii_oracle()
+
+
+@q(
+    "normalize_text_docs",
+    r"""
+    WITH m AS (SELECT doc_id,
+                      '  ' || upper(text) || chr(9) || 'X  ' AS messy
+               FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS text_norm
+    FROM m
+    """,
+)
+def normalize_text_docs(sf_dir: str):
+    """Text normalization (lowercase → whitespace-run collapse → trim).
+    The fixture text is already clean, so both sides first build the same
+    deterministically-messy input (padding, upper, a tab) and the
+    normalizer is the stage under test (functions/text.py
+    normalize_text)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            "  ", pc.utf8_upper(b.column("text")), "\tX  ", ""
+        )
+        t = pa.table({"doc_id": b.column("doc_id"), "text_norm": messy})
+        return text.normalize_text(t, "text_norm")
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@q(
+    "gopher_quality_docs",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS words,
+                      length(regexp_replace(text, '\s', '', 'g')) AS nwc
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(nwc AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
+           CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+             / greatest(len(words), 1) AS frac_dup_words,
+           (len(words) BETWEEN 30 AND 100000)
+             AND (CAST(nwc AS DOUBLE) / greatest(len(words), 1)
+                    BETWEEN 3.0 AND 5.0)
+             AND (CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+                    / greatest(len(words), 1) <= 0.55) AS gopher_pass
+    FROM w
+    """,
+)
+def gopher_quality_docs(sf_dir: str):
+    """Gopher-style quality rules (word-count bounds, mean word length,
+    duplicate-word-fraction repetition cap) — functions/text.py
+    gopher_stats. All ratios are int/int double divisions so the hash
+    compare is exact; thresholds chosen to split the fixture into a real
+    pass/fail mix."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.gopher_stats(b).select(
+            ["doc_id", "n_words", "mean_word_len", "frac_dup_words", "gopher_pass"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_MIXTURE_RATES = {"en": 0.75, "de": 0.5, "fr": 0.25}
+_MIXTURE_DEFAULT = 0.125
+
+
+@q("mixture_sample_docs", None)  # oracle installed below (shared thresholds)
+def mixture_sample_docs(sf_dir: str):
+    """Per-source mixture sampling — the training-data re-weighting step
+    (keep 75% of en, 50% of de, 25% of fr, 12.5% of everything else) as a
+    deterministic splitmix64 Bernoulli filter: zero shuffle, reproducible
+    across runs and cluster shapes (functions/sketch.py mixture_sample)."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sketch.mixture_sample(ds, "lang", "doc_id", _MIXTURE_RATES, _MIXTURE_DEFAULT)
+
+
+def _install_mixture_oracle():
+    from ..functions import sketch
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({sketch.rate_threshold_u64(p)} AS UBIGINT)"
+        for k, p in _MIXTURE_RATES.items()
+    )
+    default = f"CAST({sketch.rate_threshold_u64(_MIXTURE_DEFAULT)} AS UBIGINT)"
+    fn, _ = _REGISTRY["mixture_sample_docs"]
+    _REGISTRY["mixture_sample_docs"] = (
+        fn,
+        f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {sketch.splitmix64_sql('doc_id')}
+              < CASE lang {cases} ELSE {default} END
+        """,
+    )
+
+
+_install_mixture_oracle()
+
+
+@q(
+    "user_customer_full_join",
+    """
+    WITH ec AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id),
+         c AS (SELECT c_custkey AS user_id, c_name FROM customer
+               WHERE c_custkey BETWEEN 100 AND 299)
+    SELECT COALESCE(ec.user_id, c.user_id) AS user_id, ec.n_events, c.c_name
+    FROM ec FULL OUTER JOIN c ON ec.user_id = c.user_id
+    """,
+)
+def user_customer_full_join(sf_dir: str):
+    """FULL OUTER large-large join: per-user event counts (users 0-149)
+    against a customer slice (keys 100-299) — unmatched rows survive from
+    BOTH sides (events-only users keep null c_name, customers with no
+    events keep null n_events; keys coalesce). Same co-bucketed acero
+    join as order_customer_join_shuffle with join_type='full outer'
+    (stages/joins.hash_join)."""
+    from ..stages import joins
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        a = b.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": a.column("user_id"),
+                "n_events": pc.cast(a.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = ev.map_batches(part, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        a = g.group_by(["user_id"]).aggregate([("n_events", "sum")])
+        return pa.table(
+            {
+                "user_id": a.column("user_id"),
+                "n_events": pc.cast(a.column("n_events_sum"), pa.int64()),
+            }
+        )
+
+    counts = _bucketed_map_groups(partials, ["user_id"], per_bucket)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("c_custkey"), 100),
+                pc.less_equal(b.column("c_custkey"), 299),
+            )
+        ).rename_columns(["user_id", "c_name"]),
+        batch_format="pyarrow",
+    )
+    return joins.hash_join(
+        counts,
+        cust,
+        on=["user_id"],
+        left_cols=["n_events"],
+        right_cols=["c_name"],
+        how="full outer",
+        n_buckets=8,
+    )

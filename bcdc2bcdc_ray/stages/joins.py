@@ -439,7 +439,12 @@ def hash_join(
     all of ``on``; the join compares the original column values, so hash
     collisions cannot produce false matches.
 
-    ``how``: "inner" or "left outer" (Arrow join_type names).
+    ``how``: "inner", "left outer" or "full outer" (Arrow join_type
+    names). Full outer keeps unmatched rows from BOTH sides (keys
+    coalesce), and is bucket-correct for the same reason the others are —
+    a key lives in exactly one bucket, so "unmatched in my bucket" is
+    "unmatched globally". It cannot combine with salting: a replicated
+    hot build row would emit one spurious unmatched copy per sub-key.
 
     Skew: pass ``hot_keys`` (values of the single join column flagged by
     ``heavy_hitters``) to salt them — hot LEFT rows spread over ``salt``
@@ -453,6 +458,11 @@ def hash_join(
     """
     if hot_keys is not None and len(on) != 1:
         raise ValueError("hot_keys salting supports single-column joins")
+    if hot_keys is not None and how == "full outer":
+        raise ValueError(
+            "full outer cannot be salted: replicated hot build rows would "
+            "emit one spurious unmatched copy per sub-key"
+        )
     lschema, rschema = left.schema(), right.schema()
 
     def typ(schema, name):
@@ -822,7 +832,8 @@ def skew_join(
     detector over the probe side, then salt whatever keys exceed a
     bucket's fair share. One extra aggregation pass over the probe side
     (O(distinct keys) shuffle), identical results to the plain join."""
-    hot = detect_hot_keys(left, on[0], n_buckets, k=detect_k) if len(on) == 1 else []
+    saltable = len(on) == 1 and how != "full outer"
+    hot = detect_hot_keys(left, on[0], n_buckets, k=detect_k) if saltable else []
     return hash_join(
         left,
         right,

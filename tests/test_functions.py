@@ -385,3 +385,89 @@ def test_tfidf_score_matches_numpy_reference():
     out = T.tfidf_score(batch, n_docs=10).to_pandas()
     for row in out.itertuples():
         assert row.score == pytest.approx(row.tf * math.log(10 / row.df), rel=1e-12)
+
+
+# --- PII redaction / normalization / Gopher rules / mixture sampling --------
+
+
+def test_redact_pii_emails_then_phones():
+    from bcdc2bcdc_ray.functions.text import redact_pii
+
+    t = pa.table(
+        {
+            "text": [
+                "mail bob.smith+x@corp.example.org now",
+                "call +1 (555) 123-4567 or 555-123-4567",
+                "digits in local 42a9@x.io stay email",
+                "no pii here",
+                None,
+                "",
+            ]
+        }
+    )
+    out = redact_pii(t, "text").column("text").to_pylist()
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "digits in local <EMAIL> stay email"
+    assert out[3] == "no pii here"
+    assert out[4] is None and out[5] == ""
+
+
+def test_normalize_text_collapses_and_trims():
+    from bcdc2bcdc_ray.functions.text import normalize_text
+
+    t = pa.table({"text": ["  A\t\tB\nC  ", "x", "", None, "\n\t "]})
+    out = normalize_text(t, "text").column("text").to_pylist()
+    assert out == ["a b c", "x", "", None, ""]
+
+
+def test_gopher_stats_bounds_and_empty():
+    from bcdc2bcdc_ray.functions.text import gopher_stats
+
+    t = pa.table(
+        {
+            "text": [
+                " ".join(["word"] * 40),          # all dup -> frac 39/40
+                " ".join(f"w{i}" for i in range(40)),  # all distinct
+                "",                                # empty string
+                "short doc",                       # too few words
+            ]
+        }
+    )
+    out = gopher_stats(t)
+    nw = out.column("n_words").to_pylist()
+    fd = out.column("frac_dup_words").to_pylist()
+    ok = out.column("gopher_pass").to_pylist()
+    assert nw == [40, 40, 1, 2]
+    assert fd[0] == 39 / 40 and fd[1] == 0.0
+    assert ok[0] is False            # repetition cap
+    assert ok[2] is False and ok[3] is False  # word-count floor
+    # the distinct doc: mean word len 2.x ("w12") -> fails length band
+    assert out.column("mean_word_len").to_pylist()[0] == 4.0
+
+
+def test_mixture_sample_deterministic_and_default_rate():
+    from bcdc2bcdc_ray.functions.sketch import (
+        mixture_sample_batch,
+        rate_threshold_u64,
+        splitmix64,
+    )
+
+    ids = np.arange(1000, dtype=np.uint64)
+    t = pa.table(
+        {
+            "id": pa.array(ids.astype(np.int64)),
+            "g": pa.array(np.where(ids % 2 == 0, "a", "zz")),
+        }
+    )
+    out1 = mixture_sample_batch(t, "g", "id", {"a": 0.5}, default_rate=0.0)
+    out2 = mixture_sample_batch(t, "g", "id", {"a": 0.5}, default_rate=0.0)
+    assert out1.equals(out2)  # deterministic
+    assert set(out1.column("g").to_pylist()) == {"a"}  # default 0 drops zz
+    # exact acceptance rule: splitmix64(id) < threshold
+    h = splitmix64(ids[ids % 2 == 0])
+    expect = int((h < np.uint64(rate_threshold_u64(0.5))).sum())
+    assert out1.num_rows == expect
+    # rate 1.0 keeps everything in the group
+    full = mixture_sample_batch(t, "g", "id", {"a": 1.0, "zz": 1.0})
+    assert full.num_rows == 1000

@@ -607,3 +607,44 @@ def test_auto_join_empty_right_keeps_schema(ray_session):
     ).to_pandas()
     assert sorted(out.columns) == ["k", "lv", "rv"]
     assert len(out) == 2 and out["rv"].isna().all()
+
+
+def test_hash_join_full_outer_matches_pandas(ray_session):
+    rng = np.random.default_rng(29)
+    n = 1500
+    lk = rng.integers(0, 40, n).astype(np.int64)  # keys 0..39
+    left = pa.table({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table(
+        {"k": np.arange(20, 60, dtype=np.int64), "rv": np.arange(40) * 2}
+    )  # keys 20..59: 0..19 left-only, 40..59 right-only
+    out = joins.hash_join(
+        _ds(left, 4), _ds(right), on=["k"], left_cols=["lv"],
+        right_cols=["rv"], how="full outer", n_buckets=8,
+    ).to_pandas()
+    exp = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k", how="outer")
+        .astype({"lv": "float64", "rv": "float64"})
+    )
+    out = out.astype({"lv": "float64", "rv": "float64"})
+    out = out.sort_values(list(out.columns), ignore_index=True)
+    exp = exp.sort_values(list(out.columns), ignore_index=True)[out.columns]
+    assert out.equals(exp)
+    # unmatched survive from BOTH sides
+    assert out[out["rv"].isna()]["k"].between(0, 19).all()
+    assert out[out["lv"].isna()]["k"].between(40, 59).all()
+
+
+def test_hash_join_full_outer_rejects_salting(ray_session):
+    left = pa.table({"k": [1], "lv": [2]})
+    with pytest.raises(ValueError):
+        joins.hash_join(
+            _ds(left), _ds(left), on=["k"], left_cols=["lv"],
+            right_cols=[], how="full outer", hot_keys=[1],
+        )
+    # skew_join silently skips salting for full outer instead
+    out = joins.skew_join(
+        _ds(left), _ds(pa.table({"k": [1, 9], "rv": [5, 6]})), on=["k"],
+        left_cols=["lv"], right_cols=["rv"], how="full outer", n_buckets=2,
+    ).to_pandas()
+    assert len(out) == 2  # matched (1) + right-only (9)
