@@ -600,3 +600,37 @@ def connected_components(pairs, a: str = "a", b: str = "b", iters: int = 4):
         )
 
     return _bucketed_map_groups(edges, ["u"], finalize)
+
+
+def doc_shingle_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat n-gram word-shingle hashes, per-doc offsets) for a text column
+    — the `_word_hashes_flat` → `_shingle_hashes_flat` composition used by
+    MinHash, exposed for set-membership consumers (contamination check)."""
+    wh, off = _word_hashes_flat(texts)
+    return _shingle_hashes_flat(wh, off, n)
+
+
+def contamination_batch(
+    batch: pa.Table,
+    bench_sorted: np.ndarray,
+    n: int = 4,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> pa.Table:
+    """Flag documents sharing any word n-gram with a benchmark shingle-hash
+    set — the train/test contamination screen. The benchmark side of a
+    100 TB run is MBs (eval sets), so a broadcast sorted-array membership
+    test is the right scale shape: the corpus STREAMS, one vectorized
+    ``np.isin`` + segment-any per batch, no shuffle. Shingle semantics are
+    exactly MinHash's (crc32 words, FNV folds, whole-doc fold for short
+    docs), so the SQL oracle reuses the already-certified CTE chain."""
+    sh, off = doc_shingle_hashes(batch.column(col), n)
+    flag = np.zeros(batch.num_rows, bool)
+    counts = np.diff(off)
+    nz = counts > 0
+    if sh.size and nz.any():
+        hit = np.isin(sh, bench_sorted).astype(np.int64)
+        flag[nz] = np.add.reduceat(hit, off[:-1][nz]) > 0
+    return pa.table(
+        {id_col: batch.column(id_col), "contaminated": pa.array(flag)}
+    )

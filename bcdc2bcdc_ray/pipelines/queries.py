@@ -3893,3 +3893,101 @@ def user_customer_full_join(sf_dir: str):
         how="full outer",
         n_buckets=8,
     )
+
+
+@q("contamination_flag", None)  # oracle installed below (reuses shingle SQL)
+def contamination_flag(sf_dir: str):
+    """Benchmark contamination screen: flag corpus documents sharing any
+    4-gram word shingle with the benchmark slice (doc_id % 20 == 0 — the
+    fixture stand-in for an eval set). Scale shape: the benchmark's
+    shingle-hash set is tiny even at 100 TB corpus scale (eval sets are
+    MBs), so it collects + ``ray.put``s ONCE and the corpus streams
+    through a per-batch np.isin — no shuffle, no corpus
+    materialization (functions/dedup.py contamination_batch)."""
+    import ray
+
+    N = 4
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bench = b.filter(pa.array(ids % 20 == 0))
+        sh, _ = dedup.doc_shingle_hashes(bench.column("text"), N)
+        return pa.table({"s": pa.array(np.unique(sh))})
+
+    small = _collect(ds.map_batches(bench_shingles, batch_format="pyarrow"))
+    bench_sorted = (
+        np.unique(small.column("s").to_numpy(zero_copy_only=False))
+        if small is not None
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put(bench_sorted)
+
+    class _Contam:
+        def __init__(self, r):
+            self.bench = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            corpus = b.filter(pa.array(ids % 20 != 0))
+            return dedup.contamination_batch(corpus, self.bench, n=N)
+
+    return ds.map_batches(
+        lambda b: _cached(_Contam, ref)(b), batch_format="pyarrow"
+    )
+
+
+def _install_contamination_oracle():
+    fold2 = _sql_fnv_fold("h0", "h1")
+    fold3 = _sql_fnv_fold(fold2, "h2")
+    fold4 = _sql_fnv_fold(fold3, "h3")
+    sql = f"""
+    WITH tab AS (SELECT {_crc32_table_literal()} AS T),
+    docs AS (
+      SELECT doc_id,
+             COALESCE(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''), []) AS arr
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, len(arr) AS nw,
+             unnest(arr) AS w, unnest(range(0, len(arr))) AS pos
+      FROM docs
+    ),
+    crcs AS (
+      SELECT doc_id, nw, pos, {_sql_crc32_word('w')} AS h
+      FROM words, tab
+    ),
+    lagged AS (
+      SELECT doc_id, nw, pos, h AS h0,
+             lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+             lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3
+      FROM crcs
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN nw >= 4 THEN {fold4}
+                  WHEN nw = 3 THEN {fold3}
+                  WHEN nw = 2 THEN {fold2}
+                  ELSE h0 END AS s
+      FROM lagged
+      WHERE (nw >= 4 AND pos <= nw - 4) OR (nw < 4 AND pos = 0)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    flags AS (
+      SELECT sh.doc_id,
+             max(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS f
+      FROM sh LEFT JOIN bench ON sh.s = bench.s
+      WHERE sh.doc_id % 20 <> 0
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id, COALESCE(f.f, 0) = 1 AS contaminated
+    FROM docs d LEFT JOIN flags f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 20 <> 0
+    """
+    fn, _ = _REGISTRY["contamination_flag"]
+    _REGISTRY["contamination_flag"] = (fn, sql)
+
+
+_install_contamination_oracle()

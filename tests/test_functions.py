@@ -471,3 +471,27 @@ def test_mixture_sample_deterministic_and_default_rate():
     # rate 1.0 keeps everything in the group
     full = mixture_sample_batch(t, "g", "id", {"a": 1.0, "zz": 1.0})
     assert full.num_rows == 1000
+
+
+def test_contamination_batch_planted_ngram_and_short_docs():
+    from bcdc2bcdc_ray.functions import dedup
+
+    bench = pa.table({"text": ["alpha beta gamma delta epsilon", "tiny doc"]})
+    sh, _ = dedup.doc_shingle_hashes(bench.column("text"), 4)
+    bench_sorted = np.unique(sh)
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "prefix alpha beta gamma delta suffix",  # planted 4-gram
+                "alpha beta delta gamma order matters",   # scrambled -> clean
+                "tiny doc",   # short doc: whole-doc fold matches bench's
+                "",           # empty: zero shingles, never contaminated
+            ],
+        }
+    )
+    out = dedup.contamination_batch(t, bench_sorted, n=4)
+    assert out.column("contaminated").to_pylist() == [True, False, True, False]
+    # empty benchmark set: nothing flags
+    none = dedup.contamination_batch(t, np.empty(0, np.uint64), n=4)
+    assert not any(none.column("contaminated").to_pylist())
