@@ -421,6 +421,7 @@ def replay(
     dry_run: bool = False,
     force: bool = False,
     audit_dir: Optional[str] = None,
+    auto_compact_bytes: Optional[int] = None,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
@@ -445,7 +446,10 @@ def replay(
     marked ``mark_protected`` refuses a mutating replay unless ``force=True``
     (the reference's do-not-write guard, ``CKAN.py:431-460``).
     ``audit_dir`` persists the run report + per-partition lineage as a JSON
-    audit file (K2 debug-dump analog)."""
+    audit file (K2 debug-dump analog). ``auto_compact_bytes`` runs
+    :func:`compact` toward that per-partition target after a successful
+    mutating replay (post-commit maintenance; adds
+    ``partitions_after_compact`` to the report)."""
     import ray.data as rd
 
     spec = spec or transcripts_spec()
@@ -586,6 +590,14 @@ def replay(
         store.commit_global(hi_all)
     if audit_dir:
         wal_src.write_audit_json(report, audit_dir, name=f"replay_{spec.name}")
+    if auto_compact_bytes is not None and not dry_run:
+        # post-replay maintenance: keep partitions near the target so a
+        # growing lake never drifts away from the few-hundred-MB sweet spot
+        # (split/merge preserve watermarks — resume carries through).
+        # Runs AFTER the commit, so a crash here costs only the maintenance.
+        report["partitions_after_compact"] = compact(
+            lake_dir, target_bytes=auto_compact_bytes
+        )
     return report
 
 

@@ -3991,3 +3991,94 @@ def _install_contamination_oracle():
 
 
 _install_contamination_oracle()
+
+
+def _first_per_fp(t: pa.Table) -> pa.Table:
+    """First event per fingerprint under the total order (lsn, conv_id,
+    turn_idx) — one sort + a run-start mask, no per-key Python. Associative
+    (first-of-firsts = global first), so it doubles as the per-batch
+    combiner before the fp-bucketed shuffle."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [
+            ("fp", "ascending"),
+            ("lsn", "ascending"),
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+        ]
+    )
+    fp = t.column("fp").to_numpy(zero_copy_only=False)
+    first = np.ones(len(fp), bool)
+    first[1:] = fp[1:] != fp[:-1]
+    return t.filter(pa.array(first))
+
+
+@q(
+    "incremental_dedup_adds",
+    None,  # installed below: fixture paths resolve at oracle_sql() time
+)
+def incremental_dedup_adds(sf_dir: str):
+    """Incremental exact dedup at the ingest boundary — the CDC × dedup
+    composition a training-data lake runs on every batch: among incoming
+    upserts keep only the FIRST event per content fingerprint (min
+    (lsn, conv_id, turn_idx) — 165 within-batch duplicate texts on the
+    fixture), then anti-join the survivors against the lake's fingerprints
+    so re-ingested content never lands twice. Scale shape: per-batch
+    first-per-fp combiner → one fp-bucketed shuffle of the (already
+    thinned) adds → distributed anti semi-join (the lake side ships only
+    its fingerprint column, per-batch deduplicated) — the corpus text
+    never shuffles and nothing materializes on the driver."""
+    import ray.data as rd
+
+    from ..stages import joins
+
+    _ensure_flagship_fixture()
+    wal = rd.read_parquet(
+        _FLAGSHIP_WAL, columns=["lsn", "op", "conv_id", "turn_idx", "text"]
+    )
+
+    def add_fp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("op"), "upsert"))
+        b = text.md5_fingerprint(b, "text", "fp")
+        return _first_per_fp(b.select(["lsn", "conv_id", "turn_idx", "fp"]))
+
+    adds = wal.map_batches(add_fp, batch_format="pyarrow")
+    firsts = _bucketed_map_groups(adds, ["fp"], _first_per_fp)
+    lake_fp = rd.read_parquet(_FLAGSHIP_LAKE, columns=["text"]).map_batches(
+        lambda b: text.md5_fingerprint(b, "text", "fp").select(["fp"]),
+        batch_format="pyarrow",
+    )
+    out = joins.semi_join(
+        firsts,
+        lake_fp,
+        on=["fp"],
+        left_cols=["lsn", "conv_id", "turn_idx"],
+        anti=True,
+        n_buckets=8,
+    )
+    return out.map_batches(
+        lambda b: b.select(["lsn", "conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+    )
+
+
+def _install_incremental_dedup_oracle():
+    fn, _ = _REGISTRY["incremental_dedup_adds"]
+    _REGISTRY["incremental_dedup_adds"] = (
+        fn,
+        f"""
+        WITH firsts AS (
+          SELECT lsn, conv_id, turn_idx, md5(text) AS fp
+          FROM read_parquet('{_FLAGSHIP_WAL}')
+          WHERE op = 'upsert'
+          QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY lsn, conv_id, turn_idx) = 1)
+        SELECT lsn, conv_id, turn_idx FROM firsts
+        WHERE fp NOT IN
+              (SELECT md5(text) FROM read_parquet('{_FLAGSHIP_LAKE}'))
+        """,
+    )
+
+
+_install_incremental_dedup_oracle()

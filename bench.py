@@ -69,6 +69,11 @@ QUERY_NAMES = [
     "pivot_event_counts",
     "events_lag",
     "pack_sequences",
+    "gopher_quality_docs",
+    "contamination_flag",
+    "mixture_sample_docs",
+    "pii_redact_contacts",
+    "user_customer_full_join",
 ]
 
 

@@ -538,3 +538,24 @@ def test_follow_consumes_wal_tail_in_waves(ray_session, dirs):
     # fully-idle follow: no new data → exactly idle_rounds_to_stop polls
     rep3 = cdc.follow(lake_dir, wal_dir, spec, max_rounds=10)
     assert rep3["rounds"] == 1 and rep3["events"] == 0
+
+
+def test_replay_auto_compact(ray_session, dirs):
+    """auto_compact_bytes runs post-commit maintenance inside replay: a
+    tiny target splits partitions up after the merge, state stays oracle-
+    equal, and a rerun is still exactly-once through the split."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=4)
+    rep = cdc.replay(lake_dir, paths, spec, auto_compact_bytes=1 << 10)
+    assert rep["partitions_after_compact"] > 4
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == rep[
+        "partitions_after_compact"
+    ]
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+    rep2 = cdc.replay(lake_dir, paths, spec)
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+    # dry_run never compacts
+    rep3 = cdc.replay(lake_dir, paths, spec, dry_run=True, auto_compact_bytes=1 << 10)
+    assert "partitions_after_compact" not in rep3
