@@ -392,3 +392,24 @@ def mixture_sample(ds, group_col: str, id_col: str, rates: dict, default_rate: f
         lambda b: mixture_sample_batch(b, group_col, id_col, rates, default_rate),
         batch_format="pyarrow",
     )
+
+
+def rank_from_histogram(vals: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct values, SQL RANK() of each) from a value histogram:
+    rank(v) = 1 + #rows with a smaller value. The histogram is the whole
+    driver-side footprint — O(distinct values), the same contract as
+    ``group_quantiles`` / the percentile length filter."""
+    order = np.argsort(vals, kind="stable")
+    vs, ns = vals[order], counts[order].astype(np.int64)
+    ranks = np.ones(len(vs), np.int64)
+    if len(vs) > 1:
+        ranks[1:] += np.cumsum(ns[:-1])
+    return vs, ranks
+
+
+def rank_batch(batch: pa.Table, col: str, vals_sorted: np.ndarray, ranks: np.ndarray, out: str = "rnk") -> pa.Table:
+    """Vectorized rank assignment: one searchsorted per batch against the
+    broadcast (value → rank) table."""
+    v = batch.column(col).to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(vals_sorted, v)
+    return batch.append_column(out, pa.array(ranks[idx], pa.int64()))

@@ -4082,3 +4082,47 @@ def _install_incremental_dedup_oracle():
 
 
 _install_incremental_dedup_oracle()
+
+
+@q(
+    "global_rank_docs",
+    "SELECT doc_id, n_chars, rank() OVER (ORDER BY n_chars) AS rnk FROM documents",
+)
+def global_rank_docs(sf_dir: str):
+    """Distributed global RANK() — no global sort: per-batch partial value
+    counts → the driver folds an O(distinct values) histogram into a
+    (value → rank) table (rank is tie-stable, unlike row_number, so the
+    result is deterministic) → broadcast once → per-batch searchsorted.
+    The corpus never shuffles; the same histogram contract as
+    group_quantiles / length_filter_docs (functions/sketch.py)."""
+    import ray
+
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b.group_by(["n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "n_chars": a.column("n_chars"),
+                "n": pc.cast(a.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    agg = hist.group_by(["n_chars"]).aggregate([("n", "sum")])
+    vs, ranks = sketch.rank_from_histogram(
+        agg.column("n_chars").to_numpy(zero_copy_only=False),
+        agg.column("n_sum").to_numpy(zero_copy_only=False),
+    )
+    ref = ray.put((vs, ranks))
+
+    class _Rank:
+        def __init__(self, r):
+            self.vs, self.ranks = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return sketch.rank_batch(b, "n_chars", self.vs, self.ranks)
+
+    return ds.map_batches(lambda b: _cached(_Rank, ref)(b), batch_format="pyarrow")

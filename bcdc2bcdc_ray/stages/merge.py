@@ -135,6 +135,7 @@ class MergeWriter:
 
         if not self.dry_run:
             atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
+            _maybe_crash_once(self.lake_dir, pid)
             self.store.commit(
                 PartitionManifest(
                     partition=pid,
@@ -159,3 +160,32 @@ class MergeWriter:
             },
             schema=LINEAGE_SCHEMA,
         )
+
+
+def _maybe_crash_once(lake_dir: str, pid: int) -> None:
+    """Crash-consistency test hook — a no-op unless the test suite plants a
+    ``_fault_once`` file (containing a partition id) in the lake dir. Then
+    the FIRST time that partition reaches the point between the data-file
+    rename and the manifest commit — the nastiest crash window, where the
+    merged file is durable but the watermark is not — the worker process
+    hard-exits. The exactly-once claim requires the retry to converge:
+    re-merging already-applied events classifies them NOOP by content hash,
+    so the final state is byte-identical (pinned by
+    test_exactly_once_survives_writer_crash)."""
+    flag = os.path.join(lake_dir, "_fault_once")
+    if not os.path.exists(flag):
+        return
+    try:
+        with open(flag) as f:
+            target = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    if pid != target:
+        return
+    marker = os.path.join(lake_dir, f"_crashed-{pid}")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        return  # already crashed once — proceed normally on the retry
+    os._exit(1)

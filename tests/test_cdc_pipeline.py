@@ -559,3 +559,28 @@ def test_replay_auto_compact(ray_session, dirs):
     # dry_run never compacts
     rep3 = cdc.replay(lake_dir, paths, spec, dry_run=True, auto_compact_bytes=1 << 10)
     assert "partitions_after_compact" not in rep3
+
+
+def test_exactly_once_survives_writer_crash(ray_session, dirs):
+    """Fault injection at the nastiest point — writer dies AFTER the
+    partition file rename but BEFORE the manifest commit. Ray restarts the
+    actor and retries the group; the re-merge classifies already-applied
+    events as NOOPs by content hash, so the final table still equals the
+    oracle and a later rerun is exactly-once."""
+    import os as _os
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=8)
+    with open(_os.path.join(lake_dir, "_fault_once"), "w") as f:
+        f.write("0")
+    try:
+        cdc.replay(lake_dir, paths, spec)
+    finally:
+        _os.remove(_os.path.join(lake_dir, "_fault_once"))
+    # the crash really happened (marker left by the injection hook)
+    assert _os.path.exists(_os.path.join(lake_dir, "_crashed-0"))
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["adds"] + rep["updates"] + rep["deletes"] == 0

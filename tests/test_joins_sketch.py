@@ -648,3 +648,17 @@ def test_hash_join_full_outer_rejects_salting(ray_session):
         left_cols=["lv"], right_cols=["rv"], how="full outer", n_buckets=2,
     ).to_pandas()
     assert len(out) == 2  # matched (1) + right-only (9)
+
+
+def test_rank_from_histogram_matches_sql_rank():
+    vals = np.array([30, 10, 20, 10, 30, 30], np.int64)
+    # histogram: 10->2, 20->1, 30->3
+    u, c = np.unique(vals, return_counts=True)
+    vs, ranks = sketch.rank_from_histogram(u, c)
+    assert vs.tolist() == [10, 20, 30] and ranks.tolist() == [1, 3, 4]
+    t = pa.table({"v": vals})
+    out = sketch.rank_batch(t, "v", vs, ranks).column("rnk").to_pylist()
+    # pandas rank(method='min') == SQL RANK()
+    import pandas as pd
+    expect = pd.Series(vals).rank(method="min").astype(int).tolist()
+    assert out == expect
