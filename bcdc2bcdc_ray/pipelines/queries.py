@@ -4126,3 +4126,145 @@ def global_rank_docs(sf_dir: str):
             return sketch.rank_batch(b, "n_chars", self.vs, self.ranks)
 
     return ds.map_batches(lambda b: _cached(_Rank, ref)(b), batch_format="pyarrow")
+
+
+@q("training_corpus_build", None)  # oracle installed below (composed CTEs)
+def training_corpus_build(sf_dir: str):
+    """The end-to-end training-corpus build — every cleaning stage this
+    engine ships, composed the way a real 100 TB ingest runs them, in ONE
+    streaming map_batches pass over the corpus (plus one tiny benchmark
+    pre-pass): normalize → Gopher quality filter → benchmark
+    decontamination (drop the eval slice and anything sharing a 4-gram
+    with it) → per-language mixture sampling → BPE-ish token count.
+    Nothing shuffles; the only non-streamed state is the broadcast
+    benchmark shingle set (MBs at any corpus scale)."""
+    import ray
+
+    from ..functions import sketch
+
+    N = 4
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    # benchmark pre-pass: shingles of the NORMALIZED eval slice
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bench = b.filter(pa.array(ids % 20 == 0))
+        bench = text.normalize_text(bench, "text")
+        sh, _ = dedup.doc_shingle_hashes(bench.column("text"), N)
+        return pa.table({"s": pa.array(np.unique(sh))})
+
+    small = _collect(ds.map_batches(bench_shingles, batch_format="pyarrow"))
+    bench_sorted = (
+        np.unique(small.column("s").to_numpy(zero_copy_only=False))
+        if small is not None
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put(bench_sorted)
+
+    class _Build:
+        def __init__(self, r):
+            self.bench = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids % 20 != 0))  # never train on the eval slice
+            b = text.normalize_text(b, "text")
+            b = text.gopher_stats(b)
+            b = b.filter(pc.fill_null(b.column("gopher_pass"), False))
+            # decontaminate: drop docs sharing any 4-gram with the benchmark
+            sh, off = dedup.doc_shingle_hashes(b.column("text"), N)
+            dirty = np.zeros(b.num_rows, bool)
+            counts = np.diff(off)
+            nz = counts > 0
+            if sh.size and nz.any():
+                hit = np.isin(sh, self.bench).astype(np.int64)
+                dirty[nz] = np.add.reduceat(hit, off[:-1][nz]) > 0
+            b = b.filter(pa.array(~dirty))
+            b = sketch.mixture_sample_batch(
+                b, "lang", "doc_id", _MIXTURE_RATES, _MIXTURE_DEFAULT
+            )
+            b = text.bpe_token_count(b)
+            return b.select(["doc_id", "lang", "n_bpe_tokens"])
+
+    return ds.map_batches(lambda b: _cached(_Build, ref)(b), batch_format="pyarrow")
+
+
+def _install_training_corpus_oracle():
+    from ..functions import sketch
+
+    fold2 = _sql_fnv_fold("h0", "h1")
+    fold3 = _sql_fnv_fold(fold2, "h2")
+    fold4 = _sql_fnv_fold(fold3, "h3")
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({sketch.rate_threshold_u64(p)} AS UBIGINT)"
+        for k, p in _MIXTURE_RATES.items()
+    )
+    default = f"CAST({sketch.rate_threshold_u64(_MIXTURE_DEFAULT)} AS UBIGINT)"
+    sql = f"""
+    WITH tab AS (SELECT {_crc32_table_literal()} AS T),
+    n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+      FROM documents
+    ),
+    gw AS (SELECT doc_id, lang, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS words,
+                  length(regexp_replace(text, '\\s', '', 'g')) AS nwc
+           FROM n),
+    g AS (
+      SELECT doc_id, lang, text FROM gw
+      WHERE (len(words) BETWEEN 30 AND 100000)
+        AND (CAST(nwc AS DOUBLE) / greatest(len(words), 1) BETWEEN 3.0 AND 5.0)
+        AND (CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+               / greatest(len(words), 1) <= 0.55)
+    ),
+    docs AS (
+      SELECT doc_id,
+             COALESCE(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''), []) AS arr
+      FROM n
+    ),
+    words AS (
+      SELECT doc_id, len(arr) AS nw,
+             unnest(arr) AS w, unnest(range(0, len(arr))) AS pos
+      FROM docs
+    ),
+    crcs AS (
+      SELECT doc_id, nw, pos, {_sql_crc32_word('w')} AS h FROM words, tab
+    ),
+    lagged AS (
+      SELECT doc_id, nw, pos, h AS h0,
+             lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+             lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3
+      FROM crcs
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN nw >= 4 THEN {fold4}
+                  WHEN nw = 3 THEN {fold3}
+                  WHEN nw = 2 THEN {fold2}
+                  ELSE h0 END AS s
+      FROM lagged
+      WHERE (nw >= 4 AND pos <= nw - 4) OR (nw < 4 AND pos = 0)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    dirty AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+              WHERE sh.doc_id % 20 <> 0),
+    kept AS (
+      SELECT g.doc_id, g.lang, g.text FROM g
+      WHERE g.doc_id % 20 <> 0
+        AND g.doc_id NOT IN (SELECT doc_id FROM dirty)
+        AND {sketch.splitmix64_sql('g.doc_id')}
+              < CASE g.lang {cases} ELSE {default} END
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text,
+                '{text.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM kept
+    """
+    fn, _ = _REGISTRY["training_corpus_build"]
+    _REGISTRY["training_corpus_build"] = (fn, sql)
+
+
+_install_training_corpus_oracle()

@@ -74,6 +74,9 @@ QUERY_NAMES = [
     "mixture_sample_docs",
     "pii_redact_contacts",
     "user_customer_full_join",
+    "training_corpus_build",
+    "incremental_dedup_adds",
+    "global_rank_docs",
 ]
 
 
