@@ -422,6 +422,7 @@ def replay(
     force: bool = False,
     audit_dir: Optional[str] = None,
     auto_compact_bytes: Optional[int] = None,
+    stats: bool = False,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
@@ -566,6 +567,10 @@ def replay(
     lineage = (
         pa.concat_tables(batches) if batches else LINEAGE_SCHEMA.empty_table()
     ).to_pandas()
+    if stats:
+        # Ray Data's per-stage wall/CPU/row breakdown for THIS run — the
+        # feedback loop for block sizing / writer-pool tuning at scale.
+        _stats_text = lineage_ds.stats()
 
     report = {
         k: int(lineage[k].sum())
@@ -598,6 +603,8 @@ def replay(
         report["partitions_after_compact"] = compact(
             lake_dir, target_bytes=auto_compact_bytes
         )
+    if stats:
+        report["ray_stats"] = _stats_text
     return report
 
 

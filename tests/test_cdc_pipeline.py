@@ -413,7 +413,9 @@ def test_audit_sink_written(ray_session, dirs, tmp_path):
     lake_dir, wal_dir = dirs
     spec, lake, events, paths = _setup(lake_dir, wal_dir)
     audit = str(tmp_path / "audit")
-    rep = cdc.replay(lake_dir, paths, spec, audit_dir=audit)
+    rep = cdc.replay(lake_dir, paths, spec, audit_dir=audit, stats=True)
+    # stats=True attaches Ray Data's per-stage breakdown for tuning
+    assert "MergeWriter" in rep["ray_stats"]
     with open(os.path.join(audit, "replay_transcripts.json")) as f:
         saved = _json.load(f)
     assert saved["adds"] == rep["adds"] and saved["events"] == rep["events"]
