@@ -1843,6 +1843,16 @@ def rollup_pricing(sf_dir: str):
     merge); the super-aggregate levels re-aggregate the BASE table — a few
     rows — so rolling up costs O(groups), not a second scan of the fact
     table. Int-cents for exact float-free sums."""
+    base = _pricing_base_table(sf_dir)
+    lvl1 = _pricing_superagg(base, ["l_returnflag"])
+    total = _pricing_superagg(base, [])
+    return pa.concat_tables([base.select(total.column_names), lvl1, total])
+
+
+def _pricing_base_table(sf_dir: str) -> pa.Table:
+    """Distributed (flag, status) int-cents base aggregate: in-batch partial
+    sums → ONE bucketed merge → O(distinct groups) rows on the driver.
+    Shared by the ROLLUP and CUBE super-aggregate queries."""
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
     keys = ["l_returnflag", "l_linestatus"]
 
@@ -1883,19 +1893,27 @@ def rollup_pricing(sf_dir: str):
     base_ds = _bucketed_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"), keys, merge
     )
-    base = _collect(base_ds)  # O(distinct groups) rows — driver-safe
-    lvl1_agg = base.group_by(["l_returnflag"]).aggregate(
-        [("price_cents", "sum"), ("n", "sum")]
-    )
-    lvl1 = pa.table(
-        {
-            "l_returnflag": lvl1_agg.column("l_returnflag"),
-            "l_linestatus": pa.nulls(lvl1_agg.num_rows, pa.string()),
-            "price_cents": lvl1_agg.column("price_cents_sum"),
-            "n": lvl1_agg.column("n_sum"),
+    return _collect(base_ds)  # O(distinct groups) rows — driver-safe
+
+
+def _pricing_superagg(base: pa.Table, keep: list) -> pa.Table:
+    """Re-aggregate the O(groups) base table to one super-aggregate level;
+    grouping columns not in ``keep`` become NULL (SQL ROLLUP/CUBE shape)."""
+    all_keys = ["l_returnflag", "l_linestatus"]
+    if keep:
+        agg = base.group_by(keep).aggregate([("price_cents", "sum"), ("n", "sum")])
+        cols = {
+            k: (
+                agg.column(k)
+                if k in keep
+                else pa.nulls(agg.num_rows, pa.string())
+            )
+            for k in all_keys
         }
-    )
-    total = pa.table(
+        cols["price_cents"] = agg.column("price_cents_sum")
+        cols["n"] = agg.column("n_sum")
+        return pa.table(cols)
+    return pa.table(
         {
             "l_returnflag": pa.nulls(1, pa.string()),
             "l_linestatus": pa.nulls(1, pa.string()),
@@ -1905,7 +1923,6 @@ def rollup_pricing(sf_dir: str):
             "n": pa.array([pc.sum(base.column("n")).as_py()], pa.int64()),
         }
     )
-    return pa.concat_tables([base.select(total.column_names), lvl1, total])
 
 
 @q(
@@ -4268,3 +4285,76 @@ def _install_training_corpus_oracle():
 
 
 _install_training_corpus_oracle()
+
+
+@q(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets ((flag,status), (flag),
+    (status), ()) from ONE distributed base aggregate: the fact table is
+    scanned once by the shared combiner; every super-aggregate level
+    re-aggregates the O(groups) base rows on the driver."""
+    base = _pricing_base_table(sf_dir)
+    return pa.concat_tables(
+        [
+            base.select(["l_returnflag", "l_linestatus", "price_cents", "n"]),
+            _pricing_superagg(base, ["l_returnflag"]),
+            _pricing_superagg(base, ["l_linestatus"]),
+            _pricing_superagg(base, []),
+        ]
+    )
+
+
+@q(
+    "top_terms",
+    r"""
+    WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS n FROM tf
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def top_terms(sf_dir: str):
+    """Corpus-wide top-k terms — the vocabulary heavy-hitter scan: per-batch
+    vectorized explode + partial term counts (the shuffle moves O(vocab)
+    partials, never tokens), one term-bucketed sum, each bucket forwards
+    only ITS top-20 (a term lives in exactly one bucket, so the global
+    top-20 is contained in the union), driver merges ≤ 20·buckets rows.
+    Tie-break (n DESC, term ASC) matches the SQL exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b.column("text")), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        t = pa.table({"term": flat})
+        agg = t.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "term": agg.column("term"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["term"]).aggregate([("n", "sum")])
+        out = pa.table(
+            {"term": agg.column("term"), "n": agg.column("n_sum")}
+        ).sort_by([("n", "descending"), ("term", "ascending")])
+        return out.slice(0, 20)
+
+    cand = _collect(
+        _bucketed_map_groups(
+            ds.map_batches(partial, batch_format="pyarrow"), ["term"], per_bucket
+        )
+    )
+    return cand.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, 20)
