@@ -4042,42 +4042,68 @@ def incremental_dedup_adds(sf_dir: str):
     (lsn, conv_id, turn_idx) — 165 within-batch duplicate texts on the
     fixture), then anti-join the survivors against the lake's fingerprints
     so re-ingested content never lands twice. Scale shape: per-batch
-    first-per-fp combiner → one fp-bucketed shuffle of the (already
-    thinned) adds → distributed anti semi-join (the lake side ships only
-    its fingerprint column, per-batch deduplicated) — the corpus text
-    never shuffles and nothing materializes on the driver."""
+    first-per-fp combiner (sort + run-start mask), then BOTH the global
+    first-per-fp reduction and the anti-join against the lake's
+    fingerprints ride ONE fp-bucketed exchange — the lake side ships only
+    its (per-block deduplicated) fingerprint column into the same buckets
+    and each bucket filters locally. The fused combine+anti plan halves
+    the shuffle barriers of composing the stages separately (A/B-measured
+    ~2× at fixture scale); corpus text never shuffles and nothing
+    materializes on the driver."""
     import ray.data as rd
-
-    from ..stages import joins
 
     _ensure_flagship_fixture()
     wal = rd.read_parquet(
         _FLAGSHIP_WAL, columns=["lsn", "op", "conv_id", "turn_idx", "text"]
     )
+    out_schema = pa.schema(
+        [("lsn", pa.int64()), ("conv_id", pa.string()), ("turn_idx", pa.int32())]
+    )
 
     def add_fp(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("op"), "upsert"))
         b = text.md5_fingerprint(b, "text", "fp")
-        return _first_per_fp(b.select(["lsn", "conv_id", "turn_idx", "fp"]))
+        b = _first_per_fp(b.select(["lsn", "conv_id", "turn_idx", "fp"]))
+        return b.append_column("__side", pa.array(np.ones(b.num_rows, np.int8)))
 
-    adds = wal.map_batches(add_fp, batch_format="pyarrow")
-    firsts = _bucketed_map_groups(adds, ["fp"], _first_per_fp)
-    lake_fp = rd.read_parquet(_FLAGSHIP_LAKE, columns=["text"]).map_batches(
-        lambda b: text.md5_fingerprint(b, "text", "fp").select(["fp"]),
-        batch_format="pyarrow",
+    def lake_fp(b: pa.Table) -> pa.Table:
+        fp = pc.unique(  # distinct combiner: ship each fp once per block
+            text.md5_fingerprint(b, "text", "fp").column("fp")
+        )
+        n = len(fp)
+        return pa.table(
+            {
+                "lsn": pa.nulls(n, pa.int64()),
+                "conv_id": pa.nulls(n, pa.string()),
+                "turn_idx": pa.nulls(n, pa.int32()),
+                "fp": fp,
+                "__side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    left = wal.map_batches(add_fp, batch_format="pyarrow")
+    right = rd.read_parquet(_FLAGSHIP_LAKE, columns=["text"]).map_batches(
+        lake_fp, batch_format="pyarrow"
     )
-    out = joins.semi_join(
-        firsts,
-        lake_fp,
-        on=["fp"],
-        left_cols=["lsn", "conv_id", "turn_idx"],
-        anti=True,
-        n_buckets=8,
-    )
-    return out.map_batches(
-        lambda b: b.select(["lsn", "conv_id", "turn_idx"]),
-        batch_format="pyarrow",
-    )
+    both = left.union(right).materialize()  # Ray 2.49 union-snap workaround
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.take(pa.array(np.flatnonzero(side == 1))).drop_columns(["__side"])
+        lt = _first_per_fp(lt)  # global first: all copies of an fp co-bucket
+        seen = pc.unique(
+            g.take(pa.array(np.flatnonzero(side == 0))).column("fp")
+        )
+        keep = pc.invert(
+            pc.fill_null(pc.is_in(lt.column("fp"), value_set=seen), False)
+        )
+        return (
+            lt.filter(keep).select(["lsn", "conv_id", "turn_idx"]).cast(out_schema)
+        )
+
+    return _bucketed_map_groups(both, ["fp"], per_bucket, n_buckets=8)
 
 
 def _install_incremental_dedup_oracle():
