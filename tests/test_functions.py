@@ -255,8 +255,8 @@ def test_decode_strict_raises_on_external_codec_formats():
     media = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "media_type": pa.array(["image/png"], pa.string()),
-            "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+            "media_type": pa.array(["image/jpeg"], pa.string()),
+            "payload": pa.array([b"\xff\xd8 fake jfif"], pa.binary()),
             "meta_width": pa.array([1], pa.int32()),
             "meta_height": pa.array([1], pa.int32()),
         },
@@ -495,3 +495,109 @@ def test_contamination_batch_planted_ngram_and_short_docs():
     # empty benchmark set: nothing flags
     none = dedup.contamination_batch(t, np.empty(0, np.uint64), n=4)
     assert not any(none.column("contaminated").to_pylist())
+
+
+# --- PNG codec (pure numpy + stdlib zlib) ------------------------------------
+
+
+def test_png_roundtrip_random_image():
+    from bcdc2bcdc_ray.functions import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    pix = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    payload = mm.encode_png(pix)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    out = mm.decode_png(payload)
+    assert out.shape == (13, 7, 3) and np.array_equal(out, pix)
+
+
+def test_png_decoder_reverses_all_filters():
+    """Build an IDAT by FORWARD-filtering a known image with every scanline
+    filter (None/Sub/Up/Average/Paeth per the PNG spec) and check the
+    decoder reconstructs the original exactly."""
+    import struct
+    import zlib
+
+    from bcdc2bcdc_ray.functions import multimodal as mm
+
+    rng = np.random.default_rng(37)
+    h, w = 5, 9
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rows = img.reshape(h, w * 3).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        prior = rows[y - 1] if y else np.zeros(w * 3, np.int32)
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int32), prior[:-3]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - ul
+            pa_, pb, pc_ = abs(p - left), abs(p - prior), abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prior, ul)
+            )
+            filt = cur - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(payload), img)
+
+
+def test_png_decode_and_resize_stages():
+    from bcdc2bcdc_ray.functions import multimodal as mm
+
+    rng = np.random.default_rng(41)
+    pix = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "media_id": [1],
+            "media_type": ["image/png"],
+            "payload": pa.array([mm.encode_png(pix)], pa.binary()),
+            "meta_width": pa.array([6], pa.int32()),
+            "meta_height": pa.array([8], pa.int32()),
+        }
+    )
+    feat = mm.DecodeImage(strict=True)(batch)
+    assert feat.column("decoded_width").to_pylist() == [6]
+    assert feat.column("decoded_height").to_pylist() == [8]
+    assert feat.column("mean_intensity").to_pylist() == [float(pix.mean())]
+    resized = mm.ResizeImage(3, 4, strict=True)(batch)
+    out = mm.decode_png(resized.column("payload").to_pylist()[0])
+    assert out.shape == (4, 3, 3)
+    assert np.array_equal(out, mm.resize_nearest(pix, 3, 4))
+
+
+def test_png_rejects_unsupported_variants():
+    import pytest
+
+    from bcdc2bcdc_ray.functions import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png")
+    # grayscale (color type 0) rejected
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(payload)
