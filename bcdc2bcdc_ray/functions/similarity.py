@@ -416,3 +416,27 @@ def search_ivf_index(out_dir: str, query, nprobe: int = 4, k: int = 10,
         return None
     ds = rd.read_parquet(paths)
     return topk_cosine(ds, query, k=k, id_col=id_col)
+
+
+def topk_cosine_multi(ds, queries, k: int = 10, id_col: str = "vec_id"):
+    """Batched ANN: top-k cosine neighbors for a MATRIX of query vectors in
+    one corpus pass — the shape of dedup-against-eval-set / retrieval
+    workloads (Q queries amortize one broadcast + one BLAS matmul per
+    batch). Per-batch partials carry k rows per (batch, query); ONE
+    bucketed exchange on query_idx finalizes with a vectorized segmented
+    top-k — the corpus itself never shuffles."""
+    import ray
+
+    from ..pipelines.queries import _bucketed_map_groups, _cached
+    from .sketch import topk_partial
+
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        lambda b: _cached(BruteForceTopK, ref, k, id_col)(b),
+        batch_format="pyarrow",
+    )
+    return _bucketed_map_groups(
+        partials,
+        ["query_idx"],
+        lambda g: topk_partial(g, "query_idx", "cos_sim", id_col, k),
+    )

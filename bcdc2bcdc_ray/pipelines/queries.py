@@ -4384,3 +4384,44 @@ def top_terms(sf_dir: str):
         )
     )
     return cand.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, 20)
+
+
+@q(
+    "ann_topk_multi",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id, e.vec_id,
+                  row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                             e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN q)
+    SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_multi(sf_dir: str):
+    """Batched brute-force ANN: top-10 cosine neighbors for FIVE query
+    vectors (vec_id 0-4) in one corpus pass — one broadcast query matrix,
+    one BLAS matmul per batch, k·queries partial rows per batch, one tiny
+    query-bucketed finalize (functions/similarity.py topk_cosine_multi)."""
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qtab = qtab.filter(pc.less(qtab.column("vec_id"), 5)).sort_by("vec_id")
+    qmat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in qtab.column("embedding").to_pylist()]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = similarity.topk_cosine_multi(ds, qmat, k=10)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b.column("query_idx"), pa.int64()),
+                "vec_id": b.column("vec_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

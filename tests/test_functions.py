@@ -601,3 +601,31 @@ def test_png_rejects_unsupported_variants():
     )
     with pytest.raises(ValueError):
         mm.decode_png(payload)
+
+
+def test_topk_cosine_multi_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from bcdc2bcdc_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(43)
+    emb = rng.standard_normal((200, 8))
+    q = rng.standard_normal((3, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        sim.topk_cosine_multi(rd.from_arrow(t).repartition(4), q, k=5)
+        .to_pandas()
+        .sort_values(["query_idx", "cos_sim", "vec_id"], ascending=[True, False, True])
+    )
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = en @ qn.T
+    for qi in range(3):
+        expect = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        got = out[out["query_idx"] == qi]["vec_id"].tolist()
+        assert got == expect.tolist(), qi
