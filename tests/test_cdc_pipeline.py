@@ -586,3 +586,40 @@ def test_exactly_once_survives_writer_crash(ray_session, dirs):
     assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
     rep = cdc.replay(lake_dir, paths, spec)
     assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
+
+
+def test_export_resume_skips_finished(ray_session, tmp_path):
+    """Resumable partitioned export: every partition lands atomically with
+    a .done marker; a rerun skips finished partitions and rewrites only
+    missing ones; the reassembled table equals the input."""
+    import ray.data as rd
+
+    from bcdc2bcdc_ray.stages import export
+
+    t = pa.table(
+        {
+            "lang": ["en", "de", "en", "fr", "de", "en"],
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "exp")
+    rep = export.write_partitioned(rd.from_arrow(t).repartition(3), out, by="lang")
+    assert rep == {"written": 3, "skipped": 0}
+    back = export.read_partitioned(out).sort_by("doc_id")
+    assert back.equals(t.sort_by("doc_id").select(back.column_names))
+
+    # crash simulation: one partition's file+marker vanish
+    os.remove(export.partition_file(out, "de"))
+    os.remove(export.partition_file(out, "de") + ".done")
+    mtime_en = os.path.getmtime(export.partition_file(out, "en"))
+    rep2 = export.write_partitioned(rd.from_arrow(t).repartition(3), out, by="lang")
+    assert rep2 == {"written": 1, "skipped": 2}
+    assert os.path.getmtime(export.partition_file(out, "en")) == mtime_en
+    assert export.read_partitioned(out).sort_by("doc_id").equals(
+        t.sort_by("doc_id").select(back.column_names)
+    )
+    # resume=False rewrites everything
+    rep3 = export.write_partitioned(
+        rd.from_arrow(t).repartition(3), out, by="lang", resume=False
+    )
+    assert rep3 == {"written": 3, "skipped": 0}
