@@ -4425,3 +4425,41 @@ def ann_topk_multi(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+@q(
+    "daily_active_users",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def daily_active_users(sf_dir: str):
+    """EXACT distinct count per window (the complement of the HLL sketch):
+    per-batch (day, user) DISTINCT combiner — the shuffle moves distinct
+    pairs, never events — then one day-bucketed exchange where each bucket
+    re-dedups across blocks and counts. At 100 TB the shuffled volume is
+    bounded by |days × active users|, the same contract as count(DISTINCT)
+    in a warehouse."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"day": day, "user_id": b.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.group_by(["day", "user_id"]).aggregate([])  # cross-block dedup
+        agg = g.group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": agg.column("day"),
+                "dau": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_map_groups(pairs, ["day"], per_bucket)
