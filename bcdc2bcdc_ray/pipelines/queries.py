@@ -4463,3 +4463,138 @@ def daily_active_users(sf_dir: str):
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
     return _bucketed_map_groups(pairs, ["day"], per_bucket)
+
+
+@q(
+    "grouped_moments",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_moments(sf_dir: str):
+    """Distributed first/second moments per group with INTEGER-EXACT sums
+    (count, Σcents, Σcents²) — the building block for mean/variance/z-score
+    normalization without any cross-engine float drift: the libm-dependent
+    sqrt/divide live downstream in plain numpy, while the driver-verified
+    part is pure int64. In-batch partials → one bucketed merge, the
+    pricing_summary combiner shape."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100)), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "c": cents,
+                "cc": pc.multiply(cents, cents),
+            }
+        )
+        agg = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("c", "sum"), ("cc", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+                "s_cents": agg.column("c_sum"),
+                "ss_cents": agg.column("cc_sum"),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s_cents", "sum"), ("ss_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n": agg.column("n_sum"),
+                "s_cents": agg.column("s_cents_sum"),
+                "ss_cents": agg.column("ss_cents_sum"),
+            }
+        )
+
+    return _bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], merge
+    )
+
+
+@q(
+    "daily_retention",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                                user_id
+                FROM events)
+    SELECT a.d AS day, CAST(count(*) AS BIGINT) AS retained
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+)
+def daily_retention(sf_dir: str):
+    """Day-over-day retention: users active on day d AND d+1. The classic
+    cohort self-join, distributed as: distinct (day,user) combiner (events
+    never shuffle) → materialize ONCE feeding both join sides → the next-day
+    side shifts its day back by 24 h so the condition becomes a plain
+    composite-key equi-join (stages/joins.hash_join) → per-day count of the
+    matches. All the heavy volume moves exactly once, on the (user, day)
+    hash."""
+    from ..stages import joins
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"day": day, "user_id": b.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    du = _bucketed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["day", "user_id"],
+        lambda g: g.group_by(["day", "user_id"]).aggregate([]),
+    ).materialize()  # feeds BOTH join sides — snap once
+
+    day_us = 86_400_000_000  # 24 h in microseconds
+
+    def shift_back(b: pa.Table) -> pa.Table:
+        shifted = pc.cast(
+            pc.subtract(pc.cast(b.column("day"), pa.int64()), day_us),
+            pa.timestamp("us"),
+        )
+        return pa.table(
+            {"day": shifted, "user_id": b.column("user_id"),
+             "next_active": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    nxt = du.map_batches(shift_back, batch_format="pyarrow")
+    joined = joins.hash_join(
+        du.map_batches(
+            lambda b: b.select(["day", "user_id"]), batch_format="pyarrow"
+        ),
+        nxt,
+        on=["day", "user_id"],
+        left_cols=[],
+        right_cols=["next_active"],
+        how="inner",
+        n_buckets=8,
+    )
+
+    def count_day(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": agg.column("day"),
+                "retained": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    per_day = joined.map_batches(
+        lambda b: b.select(["day"]), batch_format="pyarrow"
+    )
+    return _bucketed_map_groups(per_day, ["day"], count_day)
