@@ -4598,3 +4598,59 @@ def daily_retention(sf_dir: str):
         lambda b: b.select(["day"]), batch_format="pyarrow"
     )
     return _bucketed_map_groups(per_day, ["day"], count_day)
+
+
+@q(
+    "moving_sum_events",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS mov3_cents
+    FROM events
+    """,
+)
+def moving_sum_events(sf_dir: str):
+    """Window FRAME aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    the rolling-sum member of the window family, distributed with the same
+    one-exchange pattern as LAG/RANK — bucket on the partition key, then a
+    per-bucket vectorized kernel (lexsort by (user, ts, event_id) for a
+    deterministic frame under ts ties, prefix-sum difference for the
+    sliding window, segment-start clamping). Int-cents so the hash compare
+    is exact."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def mov_kernel(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(g.column("value"), 100)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, uid))
+        su, se, sc = uid[order], eid[order], cents[order]
+        n = len(sc)
+        csum = np.concatenate([[0], np.cumsum(sc)])  # prefix sums
+        # frame start = max(row-2, segment start)
+        seg_first = np.empty(n, bool)
+        if n:
+            seg_first[0] = True
+            np.not_equal(su[1:], su[:-1], out=seg_first[1:])
+        seg_start = np.maximum.accumulate(
+            np.where(seg_first, np.arange(n), 0)
+        )
+        lo = np.maximum(np.arange(n) - 2, seg_start)
+        mov = csum[np.arange(n) + 1] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(se),
+                "user_id": pa.array(su),
+                "mov3_cents": pa.array(mov, pa.int64()),
+            }
+        )
+
+    return _bucketed_map_groups(ds, ["user_id"], mov_kernel)
