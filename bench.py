@@ -77,6 +77,10 @@ QUERY_NAMES = [
     "training_corpus_build",
     "incremental_dedup_adds",
     "global_rank_docs",
+    "top_terms",
+    "daily_retention",
+    "moving_sum_events",
+    "ann_topk_multi",
 ]
 
 
