@@ -413,3 +413,36 @@ def rank_batch(batch: pa.Table, col: str, vals_sorted: np.ndarray, ranks: np.nda
     v = batch.column(col).to_numpy(zero_copy_only=False)
     idx = np.searchsorted(vals_sorted, v)
     return batch.append_column(out, pa.array(ranks[idx], pa.int64()))
+
+
+def split_assign_batch(
+    batch: pa.Table,
+    id_col: str,
+    fractions: dict,
+    out: str = "split",
+    salt: int = 0,
+) -> pa.Table:
+    """Deterministic dataset split (train/val/test): the id's splitmix64
+    hash falls into consecutive u64 ranges sized by ``fractions`` (ordered
+    as given; any remainder joins the LAST split). One hash + one
+    searchsorted per batch — no shuffle, no RNG state, reproducible across
+    runs and cluster shapes, and a row NEVER changes split when the
+    corpus grows (the property period-based splits lack). ``salt`` derives
+    independent splits from the same ids."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids ^ np.uint64(salt * 0x9E3779B97F4A7C15 % (1 << 64)))
+    names = list(fractions)
+    edges, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        edges.append(rate_threshold_u64(acc))
+    idx = np.searchsorted(np.array(edges, np.uint64), h, side="right")
+    lab = pa.array(np.array(names, dtype=object)[idx], pa.string())
+    return batch.append_column(out, lab)
+
+
+def split_assign(ds, id_col: str, fractions: dict, salt: int = 0):
+    return ds.map_batches(
+        lambda b: split_assign_batch(b, id_col, fractions, salt=salt),
+        batch_format="pyarrow",
+    )

@@ -4654,3 +4654,42 @@ def moving_sum_events(sf_dir: str):
         )
 
     return _bucketed_map_groups(ds, ["user_id"], mov_kernel)
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@q("train_val_test_split", None)  # oracle installed below (shared thresholds)
+def train_val_test_split(sf_dir: str):
+    """Deterministic 80/10/10 corpus split: splitmix64(doc_id) lands in
+    consecutive u64 ranges — no shuffle, no RNG state, and a document
+    never migrates between splits as the corpus grows (hash-range splits
+    are append-stable; modulo- or position-based ones are not).
+    functions/sketch.py split_assign."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sketch.split_assign(ds, "doc_id", _SPLIT_FRACTIONS)
+
+
+def _install_split_oracle():
+    from ..functions import sketch
+
+    t_train = sketch.rate_threshold_u64(0.8)
+    t_val = sketch.rate_threshold_u64(0.9)
+    fn, _ = _REGISTRY["train_val_test_split"]
+    _REGISTRY["train_val_test_split"] = (
+        fn,
+        f"""
+        SELECT doc_id, lang,
+               CASE WHEN {sketch.splitmix64_sql('doc_id')}
+                         < CAST({t_train} AS UBIGINT) THEN 'train'
+                    WHEN {sketch.splitmix64_sql('doc_id')}
+                         < CAST({t_val} AS UBIGINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+    )
+
+
+_install_split_oracle()

@@ -662,3 +662,25 @@ def test_rank_from_histogram_matches_sql_rank():
     import pandas as pd
     expect = pd.Series(vals).rank(method="min").astype(int).tolist()
     assert out == expect
+
+
+def test_split_assign_stable_under_append():
+    """A row's split never changes when more rows arrive (hash-range
+    property), fractions land near target, salts decorrelate."""
+    ids_small = np.arange(500, dtype=np.int64)
+    ids_big = np.arange(2000, dtype=np.int64)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = sketch.split_assign_batch(
+        pa.table({"id": ids_small}), "id", fr
+    ).column("split").to_pylist()
+    big = sketch.split_assign_batch(
+        pa.table({"id": ids_big}), "id", fr
+    ).column("split").to_pylist()
+    assert big[:500] == small  # append-stable
+    frac_train = big.count("train") / len(big)
+    assert 0.75 < frac_train < 0.85
+    assert set(big) == {"train", "val", "test"}
+    other = sketch.split_assign_batch(
+        pa.table({"id": ids_big}), "id", fr, salt=1
+    ).column("split").to_pylist()
+    assert other != big  # independent split under a different salt
