@@ -446,3 +446,66 @@ def split_assign(ds, id_col: str, fractions: dict, salt: int = 0):
         lambda b: split_assign_batch(b, id_col, fractions, salt=salt),
         batch_format="pyarrow",
     )
+
+
+def histogram_quantiles(ds, col: str, qs: list, bins: int = 4096):
+    """Approximate quantiles for a CONTINUOUS column via a two-pass
+    fixed-width histogram — the scale path where the exact distinct-value
+    histogram (``group_quantiles``) degenerates (continuous doubles →
+    O(rows) distinct values). Pass 1: global min/max (per-batch partials,
+    driver folds a handful of rows). Pass 2: per-batch ``np.bincount``
+    over uniform bin ids — the driver folds ``bins``-sized partial count
+    vectors; NOTHING shuffles. The estimate for quantile q is the LOWER
+    EDGE of the first bin whose cumulative count reaches q·N: error ≤ one
+    bin width, deterministic, and the quantization arithmetic
+    (``floor((v-min)·bins/(max-min))``, clamped) is the same IEEE-double
+    expression the SQL oracle evaluates, so results are bit-comparable.
+
+    Returns a pa.Table (q, estimate) — one row per requested quantile."""
+    import pyarrow.compute as _pc
+
+    def mm(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        return pa.table(
+            {"lo": [_pc.min(v).as_py()], "hi": [_pc.max(v).as_py()]}
+        )
+
+    from ..pipelines.queries import _collect
+
+    mm_tbl = _collect(ds.map_batches(mm, batch_format="pyarrow"))
+    lo = _pc.min(mm_tbl.column("lo")).as_py()
+    hi = _pc.max(mm_tbl.column("hi")).as_py()
+    if lo is None or hi is None or hi == lo:
+        est = [lo] * len(qs)
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "estimate": pa.array(est, pa.float64())})
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.floor((v - lo) * bins / (hi - lo)).astype(np.int64)
+        np.clip(idx, 0, bins - 1, out=idx)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = _collect(ds.map_batches(hist, batch_format="pyarrow"))
+    agg = parts.group_by(["bin"]).aggregate([("n", "sum")]).sort_by("bin")
+    counts = np.zeros(bins, np.int64)
+    counts[agg.column("bin").to_numpy(zero_copy_only=False)] = agg.column(
+        "n_sum"
+    ).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    est = []
+    for q in qs:
+        target = int(np.ceil(q * total)) or 1
+        b = int(np.searchsorted(cum, target))
+        est.append(lo + b * (hi - lo) / bins)
+    return pa.table(
+        {"q": pa.array([float(x) for x in qs], pa.float64()),
+         "estimate": pa.array(est, pa.float64())}
+    )

@@ -4693,3 +4693,40 @@ def _install_split_oracle():
 
 
 _install_split_oracle()
+
+
+@q(
+    "hist_quantiles_events",
+    """
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi,
+                       CAST(count(*) AS BIGINT) AS total FROM events),
+    b AS (SELECT CAST(least(greatest(
+                   floor((value - mm.lo) * 4096 / (mm.hi - mm.lo)), 0), 4095)
+                 AS BIGINT) AS bin
+          FROM events, mm),
+    c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin),
+    cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cn FROM c),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    pick AS (SELECT qs.q, min(cum.bin) AS bin
+             FROM qs JOIN cum
+               ON cum.cn >= CAST(ceil(qs.q * (SELECT total FROM mm)) AS BIGINT)
+             GROUP BY qs.q)
+    SELECT q, (SELECT lo FROM mm)
+              + bin * ((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 4096
+                AS estimate
+    FROM pick
+    """,
+)
+def hist_quantiles_events(sf_dir: str):
+    """Fixed-width histogram quantiles over a CONTINUOUS column — the
+    mergeable-sketch scale path where the exact distinct-value histogram
+    degenerates (continuous doubles → O(rows) distinct values). Two
+    shuffle-free passes (min/max partials, then 4096-bin np.bincount
+    partials folded on the driver); error ≤ one bin width; the
+    quantization is the same IEEE-double expression on both engines so
+    even this approximate sketch is hash-verified
+    (functions/sketch.py histogram_quantiles)."""
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return sketch.histogram_quantiles(ds, "value", [0.5, 0.9, 0.99])

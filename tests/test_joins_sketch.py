@@ -684,3 +684,18 @@ def test_split_assign_stable_under_append():
         pa.table({"id": ids_big}), "id", fr, salt=1
     ).column("split").to_pylist()
     assert other != big  # independent split under a different salt
+
+
+def test_histogram_quantiles_within_one_bin(ray_session):
+    rng = np.random.default_rng(47)
+    v = rng.gamma(2.0, 10.0, 20_000)
+    ds = rd.from_arrow(pa.table({"value": v})).repartition(4)
+    out = sketch.histogram_quantiles(ds, "value", [0.5, 0.9], bins=1024)
+    got = dict(zip(out.column("q").to_pylist(), out.column("estimate").to_pylist()))
+    width = (v.max() - v.min()) / 1024
+    for q in (0.5, 0.9):
+        assert abs(got[q] - np.quantile(v, q)) <= 2 * width, q
+    # constant column degenerates gracefully
+    const = rd.from_arrow(pa.table({"value": np.full(10, 3.5)}))
+    out2 = sketch.histogram_quantiles(const, "value", [0.5])
+    assert out2.column("estimate").to_pylist() == [3.5]
