@@ -4730,3 +4730,79 @@ def hist_quantiles_events(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["value"])
     return sketch.histogram_quantiles(ds, "value", [0.5, 0.9, 0.99])
+
+
+@q(
+    "session_documents",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_documents(sf_dir: str):
+    """Sessionize → assemble, composed: gap-based session ids (30-min) AND
+    the per-session behavior document (event types in time order) in ONE
+    user-bucketed exchange — the session analog of conversation assembly
+    for behavioral training data. The per-bucket kernel is fully
+    vectorized: one lexsort, grouped gap diff → cumsum session ids, then
+    segment-boundary string join (no per-session Python)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        starts = (gap.isna() | (gap > 1800)).to_numpy()
+        sid = np.cumsum(starts)  # global running id…
+        # …rebased per user: subtract the id just before each user's first row
+        u = g["user_id"].to_numpy()
+        user_first = np.ones(len(u), bool)
+        user_first[1:] = u[1:] != u[:-1]
+        base = np.maximum.accumulate(np.where(user_first, sid - 1, 0))
+        session_id = sid - base
+        seg_first = user_first | starts
+        # vectorized per-session join: split the event_type array at
+        # session boundaries and join each slice
+        et = g["event_type"].to_numpy()
+        bounds = np.flatnonzero(seg_first)
+        docs = [" ".join(et[a:b]) for a, b in zip(bounds, np.append(bounds[1:], len(et)))]
+        n_ev = np.diff(np.append(bounds, len(et)))
+        return pd.DataFrame(
+            {
+                "user_id": u[bounds],
+                "session_id": session_id[bounds].astype("int64"),
+                "n_events": n_ev.astype("int64"),
+                "doc": docs,
+            }
+        )
+
+    nb = min(_cpus(), 16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        from ..canonical import key_hash
+
+        return b.append_column(
+            "__b", pa.array((key_hash(b, ["user_id"]) % nb).astype("int32"))
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: kernel(g.drop(columns=["__b"])), batch_format="pandas"
+        )
+    )
