@@ -624,13 +624,23 @@ def contamination_batch(
     ``np.isin`` + segment-any per batch, no shuffle. Shingle semantics are
     exactly MinHash's (crc32 words, FNV folds, whole-doc fold for short
     docs), so the SQL oracle reuses the already-certified CTE chain."""
-    sh, off = doc_shingle_hashes(batch.column(col), n)
-    flag = np.zeros(batch.num_rows, bool)
+    flag = contamination_mask(batch.column(col), bench_sorted, n)
+    return pa.table(
+        {id_col: batch.column(id_col), "contaminated": pa.array(flag)}
+    )
+
+
+def contamination_mask(texts, bench_sorted: np.ndarray, n: int) -> np.ndarray:
+    """Boolean per-row mask: does the row's text share any word n-gram with
+    the benchmark shingle-hash set? The segment-any over flat shingle hits
+    (np.isin + reduceat), shared by ``contamination_batch`` and the
+    training-corpus composition so the membership semantics can never
+    diverge between them."""
+    sh, off = doc_shingle_hashes(texts, n)
+    flag = np.zeros(len(off) - 1, bool)
     counts = np.diff(off)
     nz = counts > 0
     if sh.size and nz.any():
         hit = np.isin(sh, bench_sorted).astype(np.int64)
         flag[nz] = np.add.reduceat(hit, off[:-1][nz]) > 0
-    return pa.table(
-        {id_col: batch.column(id_col), "contaminated": pa.array(flag)}
-    )
+    return flag

@@ -281,8 +281,16 @@ class DecodeImage:
             pix = decode_ppm(payload)
             return len(payload), float(pix.mean()), pix.shape[1], pix.shape[0]
         if media_type == "image/png":
-            pix = decode_png(payload)
-            return len(payload), float(pix.mean()), pix.shape[1], pix.shape[0]
+            try:
+                pix = decode_png(payload)
+            except ValueError:
+                # palette/alpha/16-bit/interlaced PNG: real decode failure —
+                # raise under strict, byte-stat fallback otherwise (the
+                # module's documented codec policy)
+                if self.strict:
+                    raise
+            else:
+                return len(payload), float(pix.mean()), pix.shape[1], pix.shape[0]
         if self.strict:
             raise NotImplementedError(
                 f"decode of {media_type} requires an image codec library "
@@ -363,7 +371,14 @@ class ResizeImage:
             if mt == "image/x-portable-pixmap":
                 out.append(encode_ppm(resize_nearest(decode_ppm(v), self.w, self.h)))
             elif mt == "image/png":
-                out.append(encode_png(resize_nearest(decode_png(v), self.w, self.h)))
+                try:
+                    pix = decode_png(v)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    out.append(v)  # unsupported PNG variant: pass through
+                else:
+                    out.append(encode_png(resize_nearest(pix, self.w, self.h)))
             elif self.strict:
                 raise NotImplementedError(f"resize of {mt} requires an image library")
             else:

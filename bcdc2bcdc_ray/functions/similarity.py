@@ -64,7 +64,11 @@ class BruteForceTopK:
             k = min(self.k, len(s))
             if k == 0:
                 continue
-            top = np.argpartition(-s, k - 1)[:k]
+            # tie-break by id ASC at the k-boundary (lexsort, not bare
+            # argpartition) so the combiner keeps the same row the oracle's
+            # ORDER BY sim DESC, id would — ties across duplicate vectors
+            # must survive to the finalize stage deterministically
+            top = np.lexsort((ids, -s))[:k]
             out_ids.append(ids[top])
             out_q.append(np.full(k, qi, dtype=np.int32))
             out_sim.append(s[top])

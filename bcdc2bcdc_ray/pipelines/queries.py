@@ -86,13 +86,17 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
-def _bucketed_map_groups(ds, key_cols, fn, n_buckets: int | None = None):
+def _bucketed_map_groups(
+    ds, key_cols, fn, n_buckets: int | None = None, batch_format: str = "pyarrow"
+):
     """Shuffle on an int32 hash bucket of ``key_cols`` instead of the raw
     (often compound string) key: Ray's sort shuffle over one small int is
     far cheaper than over wide keys, and ``map_groups`` then makes ONE
     Python call per bucket instead of one per distinct key. ``fn`` must
     reduce/aggregate per key internally (keys never straddle buckets —
-    the bucket is a pure function of the key columns)."""
+    the bucket is a pure function of the key columns).
+    ``batch_format`` selects the per-bucket frame type ("pyarrow" default,
+    "pandas" for kernels built on grouped pandas ops)."""
     from ..canonical import key_hash
 
     nb = n_buckets or min(_cpus(), 16)
@@ -105,13 +109,15 @@ def _bucketed_map_groups(ds, key_cols, fn, n_buckets: int | None = None):
             "__b", pa.array((key_hash(b, keys) % nb).astype("int32"))
         )
 
-    def per_bucket(g: pa.Table) -> pa.Table:
+    def per_bucket(g):
+        if batch_format == "pandas":
+            return fn(g.drop(columns=["__b"]))
         return fn(g.drop_columns(["__b"]))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(per_bucket, batch_format=batch_format)
     )
 
 
@@ -4215,13 +4221,7 @@ def training_corpus_build(sf_dir: str):
             b = text.gopher_stats(b)
             b = b.filter(pc.fill_null(b.column("gopher_pass"), False))
             # decontaminate: drop docs sharing any 4-gram with the benchmark
-            sh, off = dedup.doc_shingle_hashes(b.column("text"), N)
-            dirty = np.zeros(b.num_rows, bool)
-            counts = np.diff(off)
-            nz = counts > 0
-            if sh.size and nz.any():
-                hit = np.isin(sh, self.bench).astype(np.int64)
-                dirty[nz] = np.add.reduceat(hit, off[:-1][nz]) > 0
+            dirty = dedup.contamination_mask(b.column("text"), self.bench, N)
             b = b.filter(pa.array(~dirty))
             b = sketch.mixture_sample_batch(
                 b, "lang", "doc_id", _MIXTURE_RATES, _MIXTURE_DEFAULT
@@ -4574,9 +4574,7 @@ def daily_retention(sf_dir: str):
 
     nxt = du.map_batches(shift_back, batch_format="pyarrow")
     joined = joins.hash_join(
-        du.map_batches(
-            lambda b: b.select(["day", "user_id"]), batch_format="pyarrow"
-        ),
+        du,  # already exactly (day, user_id)
         nxt,
         on=["day", "user_id"],
         left_cols=[],
@@ -4790,19 +4788,4 @@ def session_documents(sf_dir: str):
             }
         )
 
-    nb = min(_cpus(), 16)
-
-    def tag(b: pa.Table) -> pa.Table:
-        from ..canonical import key_hash
-
-        return b.append_column(
-            "__b", pa.array((key_hash(b, ["user_id"]) % nb).astype("int32"))
-        )
-
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(
-            lambda g: kernel(g.drop(columns=["__b"])), batch_format="pandas"
-        )
-    )
+    return _bucketed_map_groups(ds, ["user_id"], kernel, batch_format="pandas")

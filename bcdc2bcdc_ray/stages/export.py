@@ -30,9 +30,16 @@ from ..state.manifest import atomic_write_parquet
 
 
 def _safe_name(value) -> str:
-    """Partition value → filesystem-safe file stem (deterministic)."""
+    """Partition value → filesystem-safe file stem. The readable part is
+    sanitized; a crc32 of the RAW value (None tagged distinctly) is always
+    appended so distinct values can never collide onto one file ('en us'
+    vs 'en_us', None vs the string 'null')."""
+    import zlib
+
+    raw = b"\x00<none>" if value is None else str(value).encode("utf-8")
     s = "null" if value is None else str(value)
-    return re.sub(r"[^A-Za-z0-9_.=-]", "_", s) or "_"
+    stem = re.sub(r"[^A-Za-z0-9_.=-]", "_", s)[:64] or "_"
+    return f"{stem}-{zlib.crc32(raw) & 0xFFFFFFFF:08x}"
 
 
 def partition_file(out_dir: str, value) -> str:
@@ -50,10 +57,22 @@ def write_partitioned(ds, out_dir: str, by: str, resume: bool = True) -> dict:
     """
     os.makedirs(out_dir, exist_ok=True)
 
+    def tag(b: pa.Table) -> pa.Table:
+        # group on the derived file stem, not the raw key: it is never null
+        # (Ray's sort-based groupby rejects null keys) and it puts rows in
+        # EXACTLY the group that owns their output file
+        col = b.column(by)
+        names = {v: _safe_name(v) for v in col.unique().to_pylist()}
+        pname = pa.array(
+            [names[v] for v in col.to_pylist()], pa.string()
+        )
+        return b.append_column("__pname", pname)
+
     def per_group(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table({"value": pa.array([], pa.string()),
                              "written": pa.array([], pa.int8())})
+        g = g.drop_columns(["__pname"])
         # one group may carry several partition values only if Ray merges
         # boundary blocks — split defensively by value
         out_vals, out_flags = [], []
@@ -67,7 +86,7 @@ def write_partitioned(ds, out_dir: str, by: str, resume: bool = True) -> dict:
                 out_vals.append(_safe_name(value))
                 out_flags.append(0)
                 continue
-            atomic_write_parquet(part.sort_by([(by, "ascending")]), path)
+            atomic_write_parquet(part, path)
             with open(done + ".tmp", "w") as f:
                 f.write(str(part.num_rows))
             os.replace(done + ".tmp", done)
@@ -80,7 +99,11 @@ def write_partitioned(ds, out_dir: str, by: str, resume: bool = True) -> dict:
             }
         )
 
-    report = ds.groupby(by).map_groups(per_group, batch_format="pyarrow")
+    report = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pname")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
     written = skipped = 0
     for b in report.iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows:

@@ -569,8 +569,17 @@ def broadcast_join(
     zero shuffle. Same column contract as :func:`hash_join`
     (``on + left_cols + right_cols``); ``how`` is "inner" or "left outer".
     Use while the right side fits a worker heap (the J5/ST2 broadcast-LUT
-    pattern, SURVEY §2.6)."""
+    pattern, SURVEY §2.6). Full outer is NOT supported: each left batch
+    would re-emit the whole right side's unmatched rows, duplicating them
+    once per block — use :func:`hash_join`."""
     import ray
+
+    if how not in ("inner", "left outer"):
+        raise ValueError(
+            f"broadcast_join supports inner/left outer, not {how!r}: a "
+            "per-batch full outer would duplicate unmatched right rows "
+            "once per left block"
+        )
 
     small = right_table.select(on + right_cols).combine_chunks()
     ref = ray.put(small)
@@ -626,7 +635,9 @@ def auto_join(
     """
     mright = right.materialize()
     size = mright.size_bytes() or 0
-    if size <= broadcast_threshold:
+    # full outer can't broadcast (per-block unmatched-right duplication) —
+    # the shuffle plan is the only correct physical plan for it
+    if how != "full outer" and size <= broadcast_threshold:
         blocks = [b for b in mright.to_arrow_refs()]
         import ray
 

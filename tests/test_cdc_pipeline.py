@@ -623,3 +623,27 @@ def test_export_resume_skips_finished(ray_session, tmp_path):
         rd.from_arrow(t).repartition(3), out, by="lang", resume=False
     )
     assert rep3 == {"written": 3, "skipped": 0}
+
+
+def test_export_distinct_values_never_collide(ray_session, tmp_path):
+    """'en us' vs 'en_us' (and None vs 'null') sanitize to the same stem;
+    the crc suffix keeps their files distinct (review finding)."""
+    import ray.data as rd
+
+    from bcdc2bcdc_ray.stages import export
+
+    t = pa.table(
+        {
+            "g": ["en us", "en_us", None, "null"],
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "exp2")
+    rep = export.write_partitioned(rd.from_arrow(t).repartition(2), out, by="g")
+    assert rep == {"written": 4, "skipped": 0}
+    files = {
+        export.partition_file(out, v) for v in ["en us", "en_us", None, "null"]
+    }
+    assert len(files) == 4 and all(os.path.exists(f) for f in files)
+    back = export.read_partitioned(out).sort_by("doc_id")
+    assert back.column("doc_id").to_pylist() == [1, 2, 3, 4]

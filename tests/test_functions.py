@@ -629,3 +629,41 @@ def test_topk_cosine_multi_matches_numpy(ray_session):
         expect = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
         got = out[out["query_idx"] == qi]["vec_id"].tolist()
         assert got == expect.tolist(), qi
+
+
+def test_png_unsupported_variant_falls_back_nonstrict():
+    """A palette/grayscale PNG must byte-stat-fallback under strict=False
+    (the documented codec policy) and raise only under strict=True."""
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from bcdc2bcdc_ray.functions import multimodal as mm
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00" * 2))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    batch = pa.table(
+        {
+            "media_id": [1],
+            "media_type": ["image/png"],
+            "payload": pa.array([bad], pa.binary()),
+            "meta_width": pa.array([2], pa.int32()),
+            "meta_height": pa.array([2], pa.int32()),
+        }
+    )
+    feat = mm.DecodeImage(strict=False)(batch)  # must not raise
+    assert feat.column("decoded_width").to_pylist() == [-1]  # fallback marker
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mm.DecodeImage(strict=True)(batch)
+    resized = mm.ResizeImage(3, 3, strict=False)(batch)  # pass-through
+    assert resized.column("payload").to_pylist()[0] == bad
+    with _pt.raises(ValueError):
+        mm.ResizeImage(3, 3, strict=True)(batch)

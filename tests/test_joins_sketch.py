@@ -699,3 +699,24 @@ def test_histogram_quantiles_within_one_bin(ray_session):
     const = rd.from_arrow(pa.table({"value": np.full(10, 3.5)}))
     out2 = sketch.histogram_quantiles(const, "value", [0.5])
     assert out2.column("estimate").to_pylist() == [3.5]
+
+
+def test_auto_join_full_outer_never_broadcasts(ray_session):
+    """full outer through auto_join must take the shuffle plan even when
+    the right side is tiny — a per-batch broadcast full outer would emit
+    one spurious unmatched-right copy per left block (review finding)."""
+    left = pa.table({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    right = pa.table({"k": [3, 4, 9], "rv": ["a", "b", "z"]})
+    out = joins.auto_join(
+        _ds(left, 4), _ds(right), on=["k"], left_cols=["lv"],
+        right_cols=["rv"], how="full outer",
+        broadcast_threshold=1 << 40,  # would have broadcast before the fix
+    ).to_pandas()
+    # exactly ONE row for the unmatched right key, not one per left block
+    assert len(out) == 5
+    assert (out["k"] == 9).sum() == 1
+    with pytest.raises(ValueError):
+        joins.broadcast_join(
+            _ds(left), right, on=["k"], left_cols=["lv"],
+            right_cols=["rv"], how="full outer",
+        )
