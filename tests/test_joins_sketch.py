@@ -720,3 +720,46 @@ def test_auto_join_full_outer_never_broadcasts(ray_session):
             _ds(left), right, on=["k"], left_cols=["lv"],
             right_cols=["rv"], how="full outer",
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),        # group
+            st.integers(-50, 50),     # order value (ties likely)
+            st.integers(0, 10_000),   # tiebreak id
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    k=st.integers(1, 6),
+    asc=st.booleans(),
+)
+def test_topk_partial_matches_pandas_reference(rows, k, asc):
+    """topk_partial (the combiner under group_topk, stratified sampling,
+    heavy hitters and multi-query ANN) must equal the pandas reference
+    top-k per group with (order ±, tiebreak asc) under arbitrary ties."""
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.int64()),
+            "o": pa.array([r[1] for r in rows], pa.int64()),
+            "id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = sketch.topk_partial(t, "g", "o", "id", k, asc=asc).to_pandas()
+    got = got.sort_values(["g", "o", "id"], ignore_index=True)
+    import pandas as pd
+
+    df = t.to_pandas()
+    exp = (
+        df.sort_values(["g", "o", "id"], ascending=[True, asc, True])
+        .groupby("g", sort=True)
+        .head(k)
+        .sort_values(["g", "o", "id"], ignore_index=True)
+    )
+    assert got.values.tolist() == exp.values.tolist()
