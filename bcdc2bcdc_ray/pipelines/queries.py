@@ -34,14 +34,94 @@ _REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {}
 
 def q(name: str, sql: Optional[str] = None):
     def deco(fn):
+        # a duplicate registration would silently overwrite an earlier query
+        # (and shift every position in the driver's correctness window)
+        assert name not in _REGISTRY, f"duplicate query registration: {name}"
         _REGISTRY[name] = (fn, sql)
         return fn
 
     return deco
 
 
+# The external correctness driver evaluates the FIRST 50 entries of
+# ``queries()``. Registration order in this file is thematic (CDC → dedup →
+# text → ...), so without reordering the flagship replay family (registered
+# late) never lands inside the driver's window. This list pins the window:
+# the 45 queries the round-2 driver never saw (flagship first), then five
+# already-driver-green anchors for regression coverage. Everything else
+# follows in registration order — across rounds the union covers the whole
+# registry.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # flagship CDC replay family
+    "transcripts_replay",
+    "transcripts_replay_remap",
+    "derived_ignore_replay",
+    "two_table_replay",
+    # dedup / training-data family
+    "dedup_components",
+    "neardup_dedup_docs",
+    "incremental_dedup_adds",
+    "training_corpus_build",
+    "contamination_flag",
+    "mixture_sample_docs",
+    "train_val_test_split",
+    # multimodal byte-level decodes
+    "multimodal_checksum",
+    "multimodal_decode",
+    "multimodal_audio",
+    "multimodal_frames",
+    # text-analysis family
+    "pii_redact_contacts",
+    "normalize_text_docs",
+    "gopher_quality_docs",
+    "global_rank_docs",
+    "top_terms",
+    "session_documents",
+    "assemble_conversations",
+    "sessionize",
+    "hourly_rollup",
+    # joins / nested / spec machinery
+    "alt_key_latest_state",
+    "alt_key_delta",
+    "dup_group_drop",
+    "nested_scrub",
+    "nested_defaults",
+    "conditional_const_fill",
+    "user_customer_full_join",
+    # ingestion sources
+    "csv_ingest",
+    "jsonl_ingest",
+    # sketches / windows / rollups
+    "hll_distinct_parts",
+    "group_topk_docs",
+    "cube_pricing",
+    "daily_active_users",
+    "grouped_moments",
+    "daily_retention",
+    "moving_sum_events",
+    "hist_quantiles_events",
+    # similarity search (approximate paths are rows-only by design)
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_multi",
+    # already-driver-green anchors (regression coverage inside the window)
+    "cdc_lww_merge",
+    "cdc_merge_apply",
+    "cdc_delta_classify",
+    "minhash_lsh_pairs",
+    "exact_dedup",
+)
+
+
+def _ordered_names() -> list[str]:
+    prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in _DRIVER_PRIORITY]
+    return prio + rest
+
+
 def queries() -> dict[str, Callable]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -50,7 +130,11 @@ def oracle_sql() -> dict[str, str]:
     # is handed out, whichever side the driver runs first
     _ensure_flagship_fixture()
     _ensure_media_fixture()
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 def _cpus() -> int:
@@ -1091,7 +1175,6 @@ _JACCARD_ORACLE = r"""
 """
 
 
-@q("ngram_jaccard_pairs", _JACCARD_ORACLE)
 @q("ngram_jaccard_pairs", _JACCARD_ORACLE)
 def ngram_jaccard_pairs(sf_dir: str):
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
