@@ -162,6 +162,23 @@ class MergeWriter:
         )
 
 
+def bound_writer(lake_dir: str, spec: TableSpec, dry_run: bool = False) -> type:
+    """MergeWriter subclass with the constructor parameters baked into the
+    serialized class itself (cloudpickle ships the closure with the class):
+    the writer actor is created with ZERO constructor arguments, so no
+    argument ever lands in the object store and an actor RESTART can never
+    fail because a driver-held argument ref went out of scope (Ray's
+    ``core_worker.cc`` warning for ``max_restarts > 0`` actors, ray#53727)
+    — the restart path is exactly the crash-recovery window the
+    exactly-once claim leans on."""
+
+    class _BoundMergeWriter(MergeWriter):
+        def __init__(self):
+            super().__init__(lake_dir, spec, dry_run)
+
+    return _BoundMergeWriter
+
+
 def _maybe_crash_once(lake_dir: str, pid: int) -> None:
     """Crash-consistency test hook — a no-op unless the test suite plants a
     ``_fault_once`` file (containing a partition id) in the lake dir. Then
