@@ -1,0 +1,239 @@
+"""Generic paged streaming-source adapter — non-file ingest for the engine.
+
+Re-expresses the reference's async paged API fetch with bounded in-flight
+windows, per-request retry and post-fetch verify/re-request
+(``/root/reference/bcdc2bcdc/CKAN.py:1085-1266`` ``CKANAsyncWrapper``:
+``TASK_BUNDLE_SIZE``/``MAX_CONCURRENT_TASKS`` windowed thread-pool fan-out,
+``packageRequestTask`` retry loop, ``verify`` re-request of missing
+packages) as a Ray Data pipeline:
+
+- the page-id space is a Dataset (one block per task bundle — the
+  ``TASK_BUNDLE_SIZE`` analog);
+- fetching is an actor-pool ``map_batches`` stage: ONE client/session per
+  actor built in ``__init__`` (the ``requests.Session`` analog), pages
+  fetched per batch; ``concurrency`` bounds the in-flight window
+  (``MAX_CONCURRENT_TASKS``);
+- retry + verify run PER PAGE inside the fetch task: a page is accepted
+  only when the client's own ``expected_rows`` check passes; transient
+  errors and short pages re-fetch with backoff up to ``max_retries`` and
+  then raise ``PagedSourceError`` — stronger than the reference's
+  after-the-fact re-request loop, because a bad page can never silently
+  go missing from the stream, and Ray's task-level retry adds a second
+  layer on worker loss.
+
+The result is a STREAMING Dataset: downstream stages consume pages as they
+arrive (backpressure through the actor pool), nothing materializes. For
+continuous ingest, :func:`stream_pages_to_wal` lands fetched pages as
+ordered WAL chunk files that :func:`~bcdc2bcdc_ray.pipelines.cdc.follow`
+tails with its usual exactly-once replay semantics.
+
+No network libraries exist in this sandbox, so the shipped client is a
+deterministic local stub (:class:`LocalParquetPageClient`) with injectable
+transient failures; any real client only needs ``fetch_page`` /
+``expected_rows`` / ``pages``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class TransientFetchError(RuntimeError):
+    """A retryable fetch failure (connection reset, 5xx, truncated page)."""
+
+
+class PagedSourceError(RuntimeError):
+    """A page could not be fetched+verified within ``max_retries`` — the
+    analog of the reference's ``AsyncPackagesGetError`` (CKAN.py:1259-1266)."""
+
+
+class LocalParquetPageClient:
+    """Deterministic stand-in for a paged HTTP endpoint: serves fixed-size
+    row pages of one parquet file. ``fail_first_attempt_every=k`` makes the
+    FIRST attempt at every k-th page raise :class:`TransientFetchError`
+    (per-client attempt tracking — the retry then succeeds), exercising the
+    retry/verify path the way flaky real endpoints do."""
+
+    def __init__(
+        self, path: str, page_size: int = 1000, fail_first_attempt_every: int = 0
+    ):
+        self.path = path
+        self.page_size = int(page_size)
+        self.fail_every = int(fail_first_attempt_every)
+        self._attempts: dict[int, int] = {}
+        self._num_rows = pq.read_metadata(path).num_rows
+
+    def pages(self) -> list[int]:
+        return list(range(math.ceil(self._num_rows / self.page_size)))
+
+    def expected_rows(self, page: int) -> Optional[int]:
+        lo = page * self.page_size
+        return max(0, min(self._num_rows - lo, self.page_size))
+
+    def fetch_page(self, page: int) -> pa.Table:
+        n = self._attempts.get(page, 0)
+        self._attempts[page] = n + 1
+        if self.fail_every and page % self.fail_every == 0 and n == 0:
+            raise TransientFetchError(f"injected transient failure on page {page}")
+        t = pq.read_table(self.path)
+        return t.slice(page * self.page_size, self.page_size)
+
+
+class TruncatingPageClient(LocalParquetPageClient):
+    """Fault-injection double: the FIRST attempt at every page returns a
+    silently TRUNCATED page (no exception) — the missing-data case the
+    reference's post-fetch ``verify`` exists for (CKAN.py:1240-1258). The
+    per-page verify in :class:`PagedFetcher` must reject and refetch it.
+    Lives in the package (not the test module) so Ray workers can always
+    deserialize it by reference."""
+
+    def fetch_page(self, page: int) -> pa.Table:
+        n = self._attempts.get(page, 0)
+        t = super().fetch_page(page)
+        if n == 0 and t.num_rows > 1:
+            return t.slice(0, t.num_rows - 1)
+        return t
+
+
+class FailingPageClient(LocalParquetPageClient):
+    """Fault-injection double: every fetch raises — exercises retry
+    exhaustion (the reference's ``AsyncPackagesGetError`` path)."""
+
+    def fetch_page(self, page: int) -> pa.Table:
+        raise TransientFetchError("endpoint down")
+
+
+class PagedFetcher:
+    """Actor-pool fetch stage: client built once per actor; each call
+    fetches+verifies the batch's pages with bounded retry."""
+
+    def __init__(
+        self,
+        client_factory: Callable[[], object],
+        max_retries: int = 5,
+        backoff_s: float = 0.0,
+    ):
+        self.client = client_factory()
+        self.max_retries = int(max_retries)
+        self.backoff_s = float(backoff_s)
+
+    def _fetch_verified(self, page: int) -> pa.Table:
+        expected = None
+        if hasattr(self.client, "expected_rows"):
+            expected = self.client.expected_rows(page)
+        last: Optional[str] = None
+        for attempt in range(self.max_retries + 1):
+            if attempt and self.backoff_s:
+                time.sleep(self.backoff_s * attempt)
+            try:
+                t = self.client.fetch_page(page)
+            except TransientFetchError as ex:
+                last = str(ex)
+                continue
+            # verify: the reference re-requests pages missing from the
+            # response set (CKAN.py:1240-1258); here a page that comes back
+            # absent or short is rejected and refetched in place
+            if t is None:
+                last = "fetch returned no data"
+                continue
+            if expected is not None and t.num_rows != expected:
+                last = f"verify failed: got {t.num_rows} rows, expected {expected}"
+                continue
+            return t
+        raise PagedSourceError(
+            f"page {page} failed after {self.max_retries + 1} attempts: {last}"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages = batch.column("page").to_pylist()
+        out = []
+        for p in pages:
+            t = self._fetch_verified(int(p))
+            if t.num_rows:
+                out.append(
+                    t.append_column(
+                        "__page", pa.array([int(p)] * t.num_rows, pa.int64())
+                    )
+                )
+        if not out:
+            return pa.table({"__page": pa.array([], pa.int64())})
+        return pa.concat_tables(out, promote_options="default")
+
+
+def read_paged(
+    client_factory: Callable[[], object],
+    pages: Sequence[int],
+    *,
+    max_in_flight: int = 8,
+    bundle_size: int = 4,
+    max_retries: int = 5,
+    backoff_s: float = 0.0,
+):
+    """Streaming Dataset over a paged source: ``pages`` fan out to an
+    actor-pool fetch stage (``max_in_flight`` concurrent clients ×
+    ``bundle_size`` pages per task — the reference's window shape), each
+    page retried+verified in place. Rows carry a ``__page`` lineage column
+    (drop it downstream if unwanted)."""
+    import ray
+    import ray.data as rd
+
+    pages = [int(p) for p in pages]
+    if not pages:
+        raise ValueError("read_paged needs at least one page id")
+    # a fixed actor pool larger than the cluster's CPU budget never starts —
+    # clamp the window (leaving one CPU of headroom for the consumer side)
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", max_in_flight))
+        max_in_flight = min(int(max_in_flight), max(1, cpus - 1))
+    n_blocks = max(1, math.ceil(len(pages) / max(1, int(bundle_size))))
+    ds = rd.from_items([{"page": p} for p in pages], override_num_blocks=n_blocks)
+
+    factory, retries, backoff = client_factory, max_retries, backoff_s
+
+    class _BoundFetcher(PagedFetcher):
+        def __init__(self):
+            super().__init__(factory, retries, backoff)
+
+    return ds.map_batches(
+        _BoundFetcher,
+        batch_format="pyarrow",
+        concurrency=max(1, int(max_in_flight)),
+    )
+
+
+def stream_pages_to_wal(
+    client_factory: Callable[[], object],
+    pages: Sequence[int],
+    wal_dir: str,
+    **read_kwargs,
+) -> list[str]:
+    """Land fetched pages as WAL chunk files (one ``wal-<page>.parquet``
+    per page) for :func:`~bcdc2bcdc_ray.pipelines.cdc.follow` to tail —
+    the bridge from a live paged endpoint to the engine's exactly-once
+    file-tail replay. Page-keyed names keep the chunk listing in coarse
+    LSN order regardless of fetch completion order, and a crashed ingest
+    rerun simply overwrites the same per-page files (idempotent)."""
+    os.makedirs(wal_dir, exist_ok=True)
+    ds = read_paged(client_factory, pages, **read_kwargs)
+    written = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        import pyarrow.compute as pc
+
+        for p in pc.unique(b.column("__page")).to_pylist():
+            part = b.filter(pc.equal(b.column("__page"), p)).drop_columns(
+                ["__page"]
+            )
+            path = os.path.join(wal_dir, f"wal-{int(p):06d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, path)
+            written.append(path)
+    return sorted(written)
