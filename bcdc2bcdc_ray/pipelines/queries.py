@@ -1221,25 +1221,33 @@ def ngram_jaccard_pairs(sf_dir: str):
         ]
     )
 
-    def distinct_then_explode(g: pa.Table) -> pa.Table:
-        # all copies of a pair co-bucket by (a, b): dedupe locally, then emit
-        # one row per pair side so attachment can co-locate by doc id
-        d = g.group_by(["a", "b"]).aggregate([])
+    def explode_sides(b: pa.Table) -> pa.Table:
+        # batch-local dedup only (a pair surfacing in several bands usually
+        # lands in one candidate batch); GLOBAL dedup happens for free at
+        # the attach bucket, where every copy of (a, b, doc_id) co-locates
+        # by doc_id — this saves a whole pair-keyed exchange
+        d = b.group_by(["a", "b"]).aggregate([])
         a = d.column("a").to_numpy(zero_copy_only=False)
-        b = d.column("b").to_numpy(zero_copy_only=False)
+        bb = d.column("b").to_numpy(zero_copy_only=False)
         n = len(a)
         return pa.table(
             {
                 "a": pa.array(np.concatenate([a, a]), pa.int64()),
-                "b": pa.array(np.concatenate([b, b]), pa.int64()),
-                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "doc_id": pa.array(np.concatenate([a, bb]), pa.int64()),
                 "shingles": pa.nulls(2 * n, sh_t),
                 "__side": pa.array(np.ones(2 * n, np.int8)),
             },
             schema=side_schema,
         )
 
-    side_rows = _bucketed_map_groups(pairs, ["a", "b"], distinct_then_explode)
+    # snap the candidate side once: it feeds BOTH the id collect and the
+    # union below, and an unsnapped Dataset would re-execute the whole
+    # LSH→pairs→explode lineage for each consumer (measured 3× wall). Small
+    # by construction — one row per candidate pair side.
+    side_rows = pairs.map_batches(
+        explode_sides, batch_format="pyarrow"
+    ).materialize()
 
     # the ONE driver-side collect: unique candidate doc IDS (8 B each) for
     # the corpus semi-filter broadcast — never pairs-with-sets
@@ -1300,6 +1308,20 @@ def ngram_jaccard_pairs(sf_dir: str):
         side = g.column("__side").to_numpy(zero_copy_only=False)
         docs = g.take(pa.array(np.flatnonzero(side == 0)))
         prs = g.take(pa.array(np.flatnonzero(side == 1)))
+        # global pair-side dedup: every copy of (a, b, doc_id) shares this
+        # doc bucket, so a run-start mask over the sorted triples finishes
+        # what explode_sides started batch-locally
+        an = prs.column("a").to_numpy(zero_copy_only=False)
+        bn = prs.column("b").to_numpy(zero_copy_only=False)
+        dn = prs.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dn, bn, an))
+        an, bn, dn = an[order], bn[order], dn[order]
+        first = np.ones(len(an), bool)
+        if len(an) > 1:
+            first[1:] = (
+                (an[1:] != an[:-1]) | (bn[1:] != bn[:-1]) | (dn[1:] != dn[:-1])
+            )
+        prs = prs.take(pa.array(order[first]))
         idx = pc.index_in(
             prs.column("doc_id"), value_set=docs.column("doc_id").combine_chunks()
         )

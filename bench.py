@@ -231,8 +231,89 @@ def run_scaling() -> dict:
     }
 
 
+def run_maintenance_once() -> dict:
+    """Time lake maintenance (split P→2P, then merge back) at NUM_CPUS —
+    the per-partition rewrite passes run as a distributed Ray Data stage
+    (pipelines/cdc._foreach_partition), so wall should scale with CPUs."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    work = f"/tmp/bench_maint_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    lake_dir = os.path.join(work, "lake")
+    spec = transcripts_spec()
+    n_convs = int(os.environ.get("MAINT_CONVS", "120000"))
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    rows = lake.num_rows
+    P = 64
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=P)
+    del lake
+    # warm the worker pool so the timing is the maintenance pass, not spawn
+    cdc.split_partitions(lake_dir)
+    cdc.merge_partitions(lake_dir)
+    t0 = time.perf_counter()
+    cdc.split_partitions(lake_dir)
+    split_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cdc.merge_partitions(lake_dir)
+    merge_s = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "lake_maintenance_wall_sec",
+        "rows": rows,
+        "partitions": P,
+        "num_cpus": NUM_CPUS,
+        "split_sec": round(split_s, 3),
+        "merge_sec": round(merge_s, 3),
+    }
+
+
+def run_maintenance_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="maintenance")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    wall_lo = lo["split_sec"] + lo["merge_sec"]
+    wall_hi = hi["split_sec"] + hi["merge_sec"]
+    return {
+        "metric": "maintenance_scaling_8_to_32",
+        "rows": lo["rows"],
+        "partitions": lo["partitions"],
+        "split_sec_8": lo["split_sec"],
+        "merge_sec_8": lo["merge_sec"],
+        "split_sec_32": hi["split_sec"],
+        "merge_sec_32": hi["merge_sec"],
+        "speedup": round(wall_lo / wall_hi, 2),
+        "scaling_efficiency": round((wall_lo / wall_hi) / (32 / 8), 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--maintenance" in sys.argv:
+        print(json.dumps(run_maintenance_scaling()))
+    elif MODE == "maintenance":
+        print(json.dumps(run_maintenance_once()))
     else:
         print(json.dumps(run_bench()))
