@@ -7,11 +7,12 @@ columns end-to-end, schema'd outputs — is real and tested.
 
 Codec policy: formats parseable with numpy + the stdlib are decoded FOR
 REAL — binary PPM (P6) images, 8-bit truecolor PNG (zlib inflate + all
-five scanline filters), PCM16 WAV audio, and a documented raw-frame video
+five scanline filters), baseline JFIF JPEG (pure-numpy Huffman + IDCT,
+``functions/jpeg.py``), PCM16 WAV audio, and a documented raw-frame video
 container (``RV01``) — including a real nearest-neighbor resize and real
 frame sampling. Formats that genuinely require external codec libraries
-(jpeg/mp4 — not present in this container) raise ``NotImplementedError``
-under ``strict=True`` exactly where PIL/ffmpeg would be invoked, or fall
+(mp4 — not present in this container) raise ``NotImplementedError``
+under ``strict=True`` exactly where ffmpeg would be invoked, or fall
 back to deterministic byte-stat features under ``strict=False`` so the
 plumbing stays exercised.
 """
@@ -24,6 +25,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -259,6 +262,49 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+def synth_jpeg_media_table(n: int = 48, seed: int = 11) -> pa.Table:
+    """Deterministic baseline-JPEG payloads covering every stream shape the
+    encoder emits (and the decoder must parse): 3-component 4:4:4, 4:2:0
+    chroma-subsampled, single-component grayscale, and restart-interval
+    (DRI + RSTn) variants, at odd non-multiple-of-8/16 dimensions."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        # smooth gradient + mild noise: realistic JPEG content, deterministic
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 5 + yy * 3) % 200 + rng.integers(0, 24, (h, w))
+        kind = i % 4
+        if kind == 0:  # grayscale
+            blob = encode_jpeg(base.astype(np.uint8), quality=85)
+        else:
+            img = np.stack(
+                [(base + 30 * c) % 256 for c in range(3)], axis=-1
+            ).astype(np.uint8)
+            if kind == 1:
+                blob = encode_jpeg(img, quality=85, subsample="444")
+            elif kind == 2:
+                blob = encode_jpeg(img, quality=75, subsample="420")
+            else:
+                blob = encode_jpeg(img, quality=85, restart_interval=4)
+        ids.append(i)
+        types.append("image/jpeg")
+        payloads.append(blob)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Actor-pool stages
 # ---------------------------------------------------------------------------
@@ -269,9 +315,9 @@ class DecodeImage:
 
     ``__init__`` is where a real deployment loads its codec/model once per
     actor; batches stay SMALL (large binary rows → keep ``batch_size`` low,
-    e.g. 32–128, so batch × concurrency fits worker heaps). PPM and PNG
-    payloads decode for real; jpeg raises under ``strict=True`` (no codec
-    libs in this container) or byte-stat-fallbacks otherwise."""
+    e.g. 32–128, so batch × concurrency fits worker heaps). PPM, PNG and
+    baseline JPEG payloads decode for real (pure numpy + stdlib); other
+    image types raise under ``strict=True`` or byte-stat-fallback."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -287,6 +333,16 @@ class DecodeImage:
                 # palette/alpha/16-bit/interlaced PNG: real decode failure —
                 # raise under strict, byte-stat fallback otherwise (the
                 # module's documented codec policy)
+                if self.strict:
+                    raise
+            else:
+                return len(payload), float(pix.mean()), pix.shape[1], pix.shape[0]
+        if media_type == "image/jpeg":
+            try:
+                pix = decode_jpeg(payload)
+            except ValueError:
+                # progressive/arithmetic/12-bit JPEG: outside the baseline
+                # decoder's profile — raise under strict, fallback otherwise
                 if self.strict:
                     raise
             else:
@@ -355,9 +411,9 @@ class DecodeAudio:
 
 
 class ResizeImage:
-    """REAL nearest-neighbor resize for PPM and PNG payloads (numpy index
-    gather), re-encoded in their own format; other types raise under
-    strict."""
+    """REAL nearest-neighbor resize for PPM, PNG and baseline-JPEG payloads
+    (numpy index gather), re-encoded in their own format; other types raise
+    under strict."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
@@ -379,6 +435,15 @@ class ResizeImage:
                     out.append(v)  # unsupported PNG variant: pass through
                 else:
                     out.append(encode_png(resize_nearest(pix, self.w, self.h)))
+            elif mt == "image/jpeg":
+                try:
+                    pix = decode_jpeg(v)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    out.append(v)  # non-baseline JPEG: pass through
+                else:
+                    out.append(encode_jpeg(resize_nearest(pix, self.w, self.h)))
             elif self.strict:
                 raise NotImplementedError(f"resize of {mt} requires an image library")
             else:

@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     "multimodal_audio",
     "multimodal_frames",
+    "multimodal_jpeg_decode",
     # text-analysis family
     "pii_redact_contacts",
     "normalize_text_docs",
@@ -105,12 +106,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_multi",
-    # already-driver-green anchors (regression coverage inside the window)
+    # already-driver-green anchors (regression coverage inside the window);
+    # exact_dedup yielded its slot to multimodal_jpeg_decode (new code needs
+    # the driver row more than a third consecutive green anchor does)
     "cdc_lww_merge",
     "cdc_merge_apply",
     "cdc_delta_classify",
     "minhash_lsh_pairs",
-    "exact_dedup",
 )
 
 
@@ -3635,6 +3637,7 @@ def conditional_const_fill(sf_dir: str):
 
 
 _MEDIA_FIXTURE = os.path.join(_FIXTURE_DIR, "media.parquet")
+_MEDIA_JPEG_FIXTURE = os.path.join(_FIXTURE_DIR, "media_jpeg.parquet")
 
 
 def _ensure_media_fixture() -> None:
@@ -3643,6 +3646,10 @@ def _ensure_media_fixture() -> None:
     os.makedirs(_FIXTURE_DIR, exist_ok=True)
     if not os.path.exists(_MEDIA_FIXTURE):
         atomic_write_parquet(multimodal.synth_media_table(128, seed=5), _MEDIA_FIXTURE)
+    if not os.path.exists(_MEDIA_JPEG_FIXTURE):
+        atomic_write_parquet(
+            multimodal.synth_jpeg_media_table(48, seed=11), _MEDIA_JPEG_FIXTURE
+        )
 
 
 @q("multimodal_checksum", None)  # oracle installed below (path-dependent SQL)
@@ -3803,6 +3810,56 @@ def multimodal_frames(sf_dir: str):
     )
 
 
+@q("multimodal_jpeg_decode", None)  # oracle installed below (SOF0 byte parse)
+def multimodal_jpeg_decode(sf_dir: str):
+    """Baseline-JPEG decode (REAL pure-numpy codec: marker walk, Huffman
+    entropy decode, dequant + IDCT, 4:2:0 chroma upsample —
+    ``functions/jpeg.py``) over gray/444/420/restart-interval payloads,
+    strict mode (any parse failure raises). Returns the SQL-checkable
+    projection (byte length + decoded dimensions); pixel-level fidelity
+    (PSNR, golden checksums) is pinned by ``tests/test_jpeg.py``. Mirrors
+    the reference's opaque-payload handling (bcdc2bcdc/CKAN.py resource
+    bodies) with a real decode stage."""
+    import ray.data as rd
+
+    _ensure_media_fixture()
+    ds = rd.read_parquet(_MEDIA_JPEG_FIXTURE)
+    decoded = ds.map_batches(
+        multimodal.DecodeImage,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    return decoded.select_columns(
+        ["media_id", "n_bytes", "decoded_width", "decoded_height"]
+    )
+
+
+def _install_jpeg_decode_oracle():
+    """SQL re-parse of the JFIF SOF0 frame header from the same BLOB bytes:
+    the encoder's segment layout is deterministic, so the SOF0 marker sits
+    at byte 89 (grayscale: one DQT) or 158 (color: two DQTs); height/width
+    are big-endian u16 at marker+5 / marker+7. The Ray side gets the same
+    numbers from the full decode (decoded pixel-array shape), making the
+    dims an end-to-end decoder check, not a metadata echo."""
+    B = lambda i: f"({_sql_byte_at('bs', i)})"  # noqa: E731
+    sof = f"CASE WHEN {B('89')} = 255 AND {B('90')} = 192 THEN 89 ELSE 158 END"
+    sql = f"""
+    WITH m AS (SELECT media_id, CAST(payload AS BITSTRING) AS bs,
+                      octet_length(payload) AS n
+               FROM read_parquet('{_MEDIA_JPEG_FIXTURE}')),
+    s AS (SELECT media_id, n, bs, {sof} AS mk FROM m)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(256*{B('mk + 7')} + {B('mk + 8')} AS INTEGER) AS decoded_width,
+           CAST(256*{B('mk + 5')} + {B('mk + 6')} AS INTEGER) AS decoded_height
+    FROM s
+    """
+    fn, _ = _REGISTRY["multimodal_jpeg_decode"]
+    _REGISTRY["multimodal_jpeg_decode"] = (fn, sql)
+
+
 @q("dedup_components")  # oracle installed below (recursive CTE over LSH pairs)
 def dedup_components(sf_dir: str):
     """Near-dup CLUSTERING: LSH candidate pairs → distributed connected
@@ -3887,6 +3944,7 @@ def _install_cc_oracles(minhash_sql: str):
 # connected-components oracles close over the minhash SQL
 _install_cc_oracles(_install_minhash_oracle())
 _install_multimodal_checksum_oracle()
+_install_jpeg_decode_oracle()
 _install_media_decode_oracles()
 _install_assemble_oracle()
 _install_jsonl_oracle()

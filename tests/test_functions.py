@@ -249,21 +249,35 @@ def test_wav_codec_and_audio_features():
         assert out.column("n_samples")[i].as_py() == len(s)
 
 
-def test_decode_strict_raises_on_external_codec_formats():
-    import pytest
-
-    media = pa.table(
+def _one_media(media_type: str, payload: bytes) -> pa.Table:
+    return pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "media_type": pa.array(["image/jpeg"], pa.string()),
-            "payload": pa.array([b"\xff\xd8 fake jfif"], pa.binary()),
+            "media_type": pa.array([media_type], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
             "meta_width": pa.array([1], pa.int32()),
             "meta_height": pa.array([1], pa.int32()),
         },
         schema=multimodal.MEDIA_SCHEMA,
     )
+
+
+def test_decode_strict_raises_on_external_codec_formats():
+    import pytest
+
+    # tiff genuinely needs an external codec library → NotImplementedError
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeImage(strict=True)(media)
+        multimodal.DecodeImage(strict=True)(_one_media("image/tiff", b"II*\x00"))
+    # jpeg decodes for REAL now — a corrupt stream is a codec ValueError,
+    # and non-strict mode byte-stat-fallbacks instead of failing the batch
+    with pytest.raises(ValueError):
+        multimodal.DecodeImage(strict=True)(
+            _one_media("image/jpeg", b"\xff\xd8 fake jfif")
+        )
+    out = multimodal.DecodeImage(strict=False)(
+        _one_media("image/jpeg", b"\xff\xd8 fake jfif")
+    )
+    assert out.column("decoded_width").to_pylist() == [-1]
 
 
 def test_real_resize_and_frame_sampling():
