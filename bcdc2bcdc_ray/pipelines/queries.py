@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from ..functions import dedup, multimodal, similarity, text
 from ..spec import TableSpec
-from ..stages import delta, transforms
+from ..stages import delta, joins, transforms
 
 # registry: name -> (ray_fn(sf_dir) -> result, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {}
@@ -1297,7 +1297,7 @@ def ngram_jaccard_pairs(sf_dir: str):
         lambda b: _cached(CandidateFilter, ids_ref)(b), batch_format="pyarrow"
     ).map_batches(doc_rows, batch_format="pyarrow")
 
-    both = side_rows.union(doc_sets).materialize()  # Ray 2.49 union-snap workaround
+    both = joins.union_snap(side_rows.union(doc_sets))
     attached_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("shingles", sh_t)]
     )
@@ -4347,7 +4347,7 @@ def incremental_dedup_adds(sf_dir: str):
     right = rd.read_parquet(_FLAGSHIP_LAKE, columns=["text"]).map_batches(
         lake_fp, batch_format="pyarrow"
     )
-    both = left.union(right).materialize()  # Ray 2.49 union-snap workaround
+    both = joins.union_snap(left.union(right))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

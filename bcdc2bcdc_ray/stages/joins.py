@@ -44,6 +44,21 @@ def _as_int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return col
 
 
+def union_snap(ds):
+    """Two-sided-exchange union, optionally snapped (materialized) before
+    the bucket shuffle. Early Ray 2.49 measurements showed UnionOperator
+    handing the sort ONE ref bundle and serializing the SortMap (2.6×
+    wall); re-measured in round 3 the streaming union ties or WINS (the
+    sort parallelizes fine), and streaming is the right 100 TB shape —
+    map-side blocks flow into the shuffle instead of pinning the whole
+    two-sided input in the object store first. ``SNAP_UNION=True`` restores
+    the old barrier if a regression reappears on some Ray point release."""
+    return ds.materialize() if SNAP_UNION else ds
+
+
+SNAP_UNION = False
+
+
 def _normalize_side(
     batch: pa.Table,
     side: int,
@@ -116,12 +131,7 @@ def _cobucket(
     rnorm = right.map_batches(
         norm_tag(0, right_key, right_ts, right_tiebreak), batch_format="pyarrow"
     )
-    # materialize() after union: Ray 2.49's UnionOperator hands the sort
-    # shuffle ONE ref bundle, serializing the SortMap to a single task
-    # (measured 2.6x slower end-to-end). The groupby sort is a full barrier
-    # over the same rows anyway, so snapping blocks here costs no extra
-    # memory at scale — the object store spills either way.
-    return lnorm.union(rnorm).materialize().groupby("__b")
+    return union_snap(lnorm.union(rnorm)).groupby("__b")
 
 
 def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
@@ -548,9 +558,7 @@ def hash_join(
 
     lnorm = left.map_batches(tag(1), batch_format="pyarrow")
     rnorm = right.map_batches(tag(0), batch_format="pyarrow")
-    # materialize() before the groupby shuffle — same Ray 2.49 UnionOperator
-    # single-bundle serialization workaround as _cobucket above
-    grouped = lnorm.union(rnorm).materialize().groupby("__b")
+    grouped = union_snap(lnorm.union(rnorm)).groupby("__b")
     return grouped.map_groups(per_bucket, batch_format="pyarrow")
 
 
@@ -791,11 +799,8 @@ def semi_join(
 
     lnorm = probe.map_batches(tag(1), batch_format="pyarrow")
     rnorm = right.map_batches(tag(0), batch_format="pyarrow")
-    # materialize() before the groupby shuffle — same Ray 2.49 UnionOperator
-    # single-bundle serialization workaround as _cobucket above
     exact = (
-        lnorm.union(rnorm)
-        .materialize()
+        union_snap(lnorm.union(rnorm))
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
