@@ -1,0 +1,266 @@
+"""Job entry point: ``python -m bcdc2bcdc_ray <cmd> ...``.
+
+The Ray-native analog of the reference's main binary
+(``/root/reference/bin/runBCDC2BCDC.py:231-279``): one process that owns
+the Ray session, loads a declarative table spec, runs a lifecycle command
+(seed / replay / follow / maintain / query) and emits ONE JSON report line
+(the CacheFiles update-report analog) on stdout.
+
+Designed for ``ray job submit -- python -m bcdc2bcdc_ray replay ...`` on a
+multi-node cluster: the driver connects to the running cluster via
+``RAY_ADDRESS`` (falls back to a local session when unset), all heavy work
+is the distributed pipelines in :mod:`bcdc2bcdc_ray.pipelines.cdc`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    """Connect to the job's cluster (``ray job submit`` sets RAY_ADDRESS)
+    or start a local one. Guarded: only the CLI owns a session — library
+    code never calls ray.init (driver/pytest own theirs)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def _load_spec(arg: str | None):
+    """``--spec path.json[:table]`` → TableSpec via the declarative config
+    loader (bind-time hook/column validation); default transcripts spec."""
+    from .spec import transcripts_spec
+
+    if not arg:
+        return transcripts_spec()
+    from .config import load_spec
+
+    path, _, table = arg.partition(":")
+    return load_spec(path, table or None)
+
+
+def _emit(report: dict) -> None:
+    print(json.dumps(report, default=str))
+
+
+def cmd_init_lake(args) -> dict:
+    import pyarrow.parquet as pq
+
+    from .pipelines import cdc
+
+    table = pq.read_table(args.input)
+    cdc.init_lake(table, args.lake, _load_spec(args.spec), args.partitions)
+    return {"cmd": "init-lake", "rows": table.num_rows, "partitions": args.partitions}
+
+
+def cmd_replay(args) -> dict:
+    from .pipelines import cdc
+
+    rep = cdc.replay(
+        args.lake,
+        args.wal,
+        _load_spec(args.spec),
+        salt=args.salt,
+        combine=not args.no_combine,
+        dry_run=args.dry_run,
+        force=args.force,
+        audit_dir=args.audit_dir,
+        auto_compact_bytes=args.auto_compact_bytes,
+        stats=args.stats,
+    )
+    rep.pop("lineage", None)  # per-partition rows go to --audit-dir, not stdout
+    return {"cmd": "replay", **rep}
+
+
+def cmd_follow(args) -> dict:
+    from .pipelines import cdc
+
+    rep = cdc.follow(
+        args.lake,
+        args.wal_dir,
+        _load_spec(args.spec),
+        max_rounds=args.max_rounds,
+        idle_rounds_to_stop=args.idle_rounds,
+        poll_sleep_s=args.poll_sleep,
+    )
+    return {"cmd": "follow", **rep}
+
+
+def cmd_maintain(args) -> dict:
+    from .pipelines import cdc
+
+    if args.op == "split":
+        cdc.split_partitions(args.lake)
+    elif args.op == "merge":
+        cdc.merge_partitions(args.lake)
+    else:
+        cdc.compact(args.lake, target_bytes=args.target_bytes)
+    return {
+        "cmd": "maintain",
+        "op": args.op,
+        "num_partitions": cdc.lake_meta(args.lake)["num_partitions"],
+    }
+
+
+def cmd_query(args) -> dict:
+    from .pipelines.queries import queries
+
+    fn = queries().get(args.name)
+    if fn is None:
+        raise SystemExit(f"unknown query {args.name!r}; see `list-queries`")
+    res = fn(args.sf_dir)
+    tbl = res if not hasattr(res, "to_arrow_refs") else None
+    if tbl is None:
+        import ray
+
+        blocks = [ray.get(r) for r in res.to_arrow_refs()]
+        blocks = [b for b in blocks if b.num_columns > 0]
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(blocks) if blocks else pa.table({})
+    elif hasattr(tbl, "to_arrow"):  # pandas
+        import pyarrow as pa
+
+        tbl = pa.Table.from_pandas(tbl)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, args.out)
+    return {
+        "cmd": "query",
+        "name": args.name,
+        "rows": tbl.num_rows,
+        "columns": tbl.column_names,
+        "out": args.out,
+    }
+
+
+def cmd_list_queries(_args) -> dict:
+    from .pipelines.queries import oracle_sql, queries
+
+    qs, sq = queries(), oracle_sql()
+    return {
+        "cmd": "list-queries",
+        "count": len(qs),
+        "queries": [{"name": n, "oracle": n in sq} for n in qs],
+    }
+
+
+def cmd_demo(args) -> dict:
+    """Self-contained smoke job: synthesize a lake + WAL, replay, verify
+    against the in-process oracle, rerun for exactly-once. The one-command
+    ``ray job submit`` acceptance check."""
+    import tempfile
+
+    from . import changegen as cg
+    from .pipelines import cdc
+    from .spec import transcripts_spec
+
+    spec = transcripts_spec()
+    root = tempfile.mkdtemp(prefix="bcdc2bcdc_demo_")
+    lake_dir = os.path.join(root, "lake")
+    lake = cg.gen_transcripts(args.convs, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=args.partitions)
+    ev = cg.gen_change_events(args.events, args.convs, seed=43)
+    paths = cg.write_wal_chunks(ev, os.path.join(root, "wal"), num_chunks=8)
+    rep = cdc.replay(lake_dir, paths, spec, salt=args.salt)
+    ok = cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, ev))
+    rep2 = cdc.replay(lake_dir, paths, spec)
+    exactly_once = rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+    return {
+        "cmd": "demo",
+        "events": args.events,
+        "oracle_match": ok,
+        "exactly_once_rerun": exactly_once,
+        "adds": rep["adds"],
+        "updates": rep["updates"],
+        "deletes": rep["deletes"],
+        "workdir": root,
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m bcdc2bcdc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    il = sub.add_parser("init-lake", help="seed a lake from a parquet table")
+    il.add_argument("--input", required=True)
+    il.add_argument("--lake", required=True)
+    il.add_argument("--spec")
+    il.add_argument("--partitions", type=int, default=16)
+    il.set_defaults(fn=cmd_init_lake)
+
+    rp = sub.add_parser("replay", help="replay WAL chunks against a lake")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--wal", nargs="+", required=True)
+    rp.add_argument("--spec")
+    rp.add_argument("--salt", type=int)
+    rp.add_argument("--no-combine", action="store_true")
+    rp.add_argument("--dry-run", action="store_true")
+    rp.add_argument("--force", action="store_true")
+    rp.add_argument("--audit-dir")
+    rp.add_argument("--auto-compact-bytes", type=int)
+    rp.add_argument("--stats", action="store_true")
+    rp.set_defaults(fn=cmd_replay)
+
+    fl = sub.add_parser("follow", help="tail a WAL directory (micro-batch)")
+    fl.add_argument("--lake", required=True)
+    fl.add_argument("--wal-dir", required=True)
+    fl.add_argument("--spec")
+    fl.add_argument("--max-rounds", type=int, default=100)
+    fl.add_argument("--idle-rounds", type=int, default=1)
+    fl.add_argument("--poll-sleep", type=float, default=0.0)
+    fl.set_defaults(fn=cmd_follow)
+
+    mt = sub.add_parser("maintain", help="lake maintenance (distributed)")
+    mt.add_argument("op", choices=["split", "merge", "compact"])
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--target-bytes", type=int, default=256 << 20)
+    mt.set_defaults(fn=cmd_maintain)
+
+    qr = sub.add_parser("query", help="run one registered pipeline")
+    qr.add_argument("--name", required=True)
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qr.add_argument("--out")
+    qr.set_defaults(fn=cmd_query)
+
+    lq = sub.add_parser("list-queries", help="list registered pipelines")
+    lq.set_defaults(fn=cmd_list_queries)
+
+    dm = sub.add_parser("demo", help="synthesize + replay + verify smoke job")
+    dm.add_argument("--convs", type=int, default=300)
+    dm.add_argument("--events", type=int, default=20_000)
+    dm.add_argument("--partitions", type=int, default=16)
+    dm.add_argument("--salt", type=int)
+    dm.set_defaults(fn=cmd_demo)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    owned = not ray.is_initialized()  # in-process callers keep their session
+    _ray_session()
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        _emit(args.fn(args))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""`python -m bcdc2bcdc_ray` job entry point — the Ray-native analog of the
+reference's main binary (bin/runBCDC2BCDC.py:231-279): full lifecycle
+(init-lake → replay with a declarative --spec config file → exactly-once
+rerun → maintain → query → demo) driven through the CLI surface, in-process
+under the session Ray fixture (main() only tears down a session it owns).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from bcdc2bcdc_ray import changegen as cg
+from bcdc2bcdc_ray.__main__ import main
+from bcdc2bcdc_ray.pipelines import cdc
+from tests.test_config import TRANSCRIPTS_CONFIG
+
+
+def _run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    lake = cg.gen_transcripts(120, seed=42)
+    seed_path = tmp_path / "seed.parquet"
+    pq.write_table(lake, seed_path)
+    ev = cg.gen_change_events(4000, 120, seed=43)
+    wal_paths = cg.write_wal_chunks(ev, str(tmp_path / "wal"), num_chunks=5)
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(TRANSCRIPTS_CONFIG))
+    return {
+        "tmp": tmp_path,
+        "lake_table": lake,
+        "events": ev,
+        "seed": str(seed_path),
+        "wal": wal_paths,
+        "spec": str(spec_path),
+        "lake": str(tmp_path / "lake"),
+    }
+
+
+def test_cli_lifecycle_init_replay_maintain(capsys, workdir):
+    rep = _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    assert rep == {"cmd": "init-lake", "rows": workdir["lake_table"].num_rows,
+                   "partitions": 8}
+
+    rep = _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    assert rep["cmd"] == "replay" and rep["adds"] > 0
+    assert cdc.read_lake_table(workdir["lake"]).equals(
+        cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    )
+
+    # exactly-once through the CLI
+    rep2 = _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+
+    rep3 = _run(capsys, "maintain", "split", "--lake", workdir["lake"])
+    assert rep3["num_partitions"] == 16
+    assert cdc.read_lake_table(workdir["lake"]).equals(
+        cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    )
+
+
+def test_cli_dry_run_writes_nothing(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--partitions", "4",
+    )
+    before = cdc.read_lake_table(workdir["lake"])
+    rep = _run(
+        capsys, "replay", "--dry-run",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+    )
+    assert rep["adds"] > 0  # the what-would-change report
+    assert cdc.read_lake_table(workdir["lake"]).equals(before)
+
+
+def test_cli_query_and_listing(capsys, tmp_path):
+    listing = _run(capsys, "list-queries")
+    names = {q["name"] for q in listing["queries"]}
+    assert listing["count"] >= 96 and "transcripts_replay" in names
+    out = str(tmp_path / "out.parquet")
+    rep = _run(
+        capsys, "query", "--name", "multimodal_checksum",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    )
+    assert rep["rows"] == 128
+    assert pq.read_table(out).num_rows == 128
+
+
+def test_cli_demo_verifies_oracle_and_exactly_once(capsys):
+    rep = _run(capsys, "demo", "--convs", "80", "--events", "3000")
+    assert rep["oracle_match"] is True and rep["exactly_once_rerun"] is True
