@@ -1,0 +1,268 @@
+"""ISO BMFF (MP4) container codec — REAL box-level parsing, pure stdlib.
+
+What's real: the writer emits a spec-conformant minimal MP4 (ftyp + moov
+with mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl(stsd,stts,stsc,stsz,stco) +
+mdat), and the reader is a genuine box walker — length-prefixed box
+traversal with container recursion, fixed-point dims, u32/u64 fields —
+that parses ANY baseline MP4's structure, not just our own output.
+
+What's honestly stubbed: decoding the mdat sample payloads to pixels
+requires an H.264/H.265 entropy decoder (external codec libs, not in this
+container) — ``decode_mp4_frames`` raises ``NotImplementedError`` loudly,
+exactly where ffmpeg would be invoked. Sample-level METADATA (count,
+sizes, timing) is real and comes from the stbl tables.
+
+Reference analog: bcdc2bcdc ships opaque resource payloads around without
+looking inside (CKAN.py resource bodies); this module gives the engine's
+binary columns the same treatment with the container structure made
+queryable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4(
+    sample_sizes: list[int],
+    *,
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    codec: bytes = b"mp4v",
+    mdat_seed: int = 0,
+) -> bytes:
+    """Minimal valid single-video-track MP4. ``sample_sizes`` become the
+    stsz table; mdat carries deterministic pseudo-entropy bytes (the
+    payload a real encoder would write — we don't fake a codec, we fake
+    its OUTPUT bytes, which is all a container-level pipeline touches)."""
+    n = len(sample_sizes)
+    duration = n * sample_delta
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+
+    # 86-byte VisualSampleEntry (no codec-specific config box — the honest
+    # minimal entry; a real avc1 would append avcC here)
+    entry = _box(
+        codec,
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 0x0018, -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sample_sizes),
+    )
+    # stco patched after we know the mdat offset
+    stco_placeholder = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
+
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco_placeholder)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    total = sum(sample_sizes)
+    rng = np.random.default_rng(mdat_seed)
+    mdat = _box(b"mdat", rng.integers(0, 256, total, dtype=np.uint8).tobytes())
+
+    out = bytearray(ftyp + moov + mdat)
+    # patch the one chunk offset to point at mdat's payload
+    stco_field = out.find(b"stco") + 4 + 4 + 4  # type + ver/flags + entry_count
+    mdat_payload_off = len(ftyp) + len(moov) + 8
+    out[stco_field : stco_field + 4] = struct.pack(">I", mdat_payload_off)
+    return bytes(out)
+
+
+def _walk(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for each box in [start, end).
+    Handles 64-bit largesize boxes; stops cleanly at truncation."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """REAL ISO BMFF structure parse: brand, movie timescale/duration,
+    first video track's dims + codec fourcc, sample count/sizes (stsz),
+    sample delta (stts), mdat payload size. Works on any baseline MP4 —
+    the walker recurses through standard container boxes."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (missing ftyp)")
+    out: dict = {"brand": payload[8:12].decode("latin1"), "mdat_bytes": 0}
+
+    def visit(start: int, end: int) -> None:
+        for btype, body, bend in _walk(payload, start, end):
+            if btype in _CONTAINERS:
+                visit(body, bend)
+            elif btype == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 4 + 16)
+                else:
+                    _, _, ts, dur = struct.unpack_from(">IIII", payload, body + 4)
+                out["timescale"], out["duration"] = ts, dur
+            elif btype == b"tkhd":
+                w, h = struct.unpack_from(">II", payload, bend - 8)
+                out["width"], out["height"] = w >> 16, h >> 16
+            elif btype == b"stsd":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                if n_entries >= 1:
+                    out["codec"] = payload[body + 12 : body + 16].decode("latin1")
+            elif btype == b"stsz":
+                fixed, count = struct.unpack_from(">II", payload, body + 4)
+                out["n_samples"] = count
+                out["sample_sizes"] = (
+                    [fixed] * count
+                    if fixed
+                    else list(struct.unpack_from(f">{count}I", payload, body + 12))
+                )
+            elif btype == b"stts":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                if n_entries >= 1:
+                    _, out["sample_delta"] = struct.unpack_from(
+                        ">II", payload, body + 8
+                    )
+            elif btype == b"mdat":
+                out["mdat_bytes"] += bend - body
+
+    visit(0, len(payload))
+    if "timescale" not in out:
+        raise ValueError("MP4 missing moov/mvhd")
+    return out
+
+
+def synth_mp4_media_table(n: int = 32, seed: int = 13):
+    """Deterministic valid MP4 payloads (no external data): varied sample
+    counts/sizes/dims/timescales/codec fourccs over the engine's MEDIA
+    schema."""
+    import pyarrow as pa
+
+    from .multimodal import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        k = int(rng.integers(2, 24))
+        sizes = [int(s) for s in rng.integers(40, 4000, k)]
+        w = int(rng.integers(2, 120)) * 2
+        h = int(rng.integers(2, 68)) * 2
+        ts, delta = [(1000, 40), (90000, 3000), (600, 25)][i % 3]
+        codec = [b"mp4v", b"avc1"][i % 2]
+        payloads.append(
+            encode_mp4(
+                sizes, width=w, height=h, timescale=ts,
+                sample_delta=delta, codec=codec, mdat_seed=i,
+            )
+        )
+        ids.append(i)
+        types.append("video/mp4")
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def mp4_meta_batch(batch):
+    """Batch stage: REAL container parse per payload → typed metadata
+    columns. Payload parsing is inherently per-row (variable-length box
+    walk); everything around it stays Arrow."""
+    import pyarrow as pa
+
+    rows = [parse_mp4(v) for v in batch.column("payload").to_pylist()]
+    import pyarrow.compute as pc
+
+    pl = batch.column("payload")
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "n_bytes": pc.cast(pc.binary_length(pl), pa.int64()),
+            "width": pa.array([r["width"] for r in rows], pa.int32()),
+            "height": pa.array([r["height"] for r in rows], pa.int32()),
+            "timescale": pa.array([r["timescale"] for r in rows], pa.int64()),
+            "duration": pa.array([r["duration"] for r in rows], pa.int64()),
+            "n_samples": pa.array([r["n_samples"] for r in rows], pa.int64()),
+            "mdat_bytes": pa.array([r["mdat_bytes"] for r in rows], pa.int64()),
+            "codec": pa.array([r["codec"] for r in rows], pa.string()),
+        }
+    )
+
+
+def decode_mp4_frames(payload: bytes):
+    """Decoding mdat samples to pixels requires an H.264/H.265/MPEG-4
+    entropy decoder — an external codec library (ffmpeg/libavcodec) that is
+    not available in this container. Loud stub, never a fake result; the
+    container METADATA path (:func:`parse_mp4`) is fully real."""
+    meta = parse_mp4(payload)  # validate structure before refusing
+    raise NotImplementedError(
+        f"frame decode of codec {meta.get('codec')!r} requires an external "
+        "video codec library (ffmpeg), not available in this container"
+    )

@@ -10,11 +10,12 @@ REAL — binary PPM (P6) images, 8-bit truecolor PNG (zlib inflate + all
 five scanline filters), baseline JFIF JPEG (pure-numpy Huffman + IDCT,
 ``functions/jpeg.py``), PCM16 WAV audio, and a documented raw-frame video
 container (``RV01``) — including a real nearest-neighbor resize and real
-frame sampling. Formats that genuinely require external codec libraries
-(mp4 — not present in this container) raise ``NotImplementedError``
-under ``strict=True`` exactly where ffmpeg would be invoked, or fall
-back to deterministic byte-stat features under ``strict=False`` so the
-plumbing stays exercised.
+frame sampling. MP4 container STRUCTURE parses for real too
+(``functions/mp4.py`` box walker); only mp4 FRAME decode — the one step
+that genuinely requires an external codec library (ffmpeg) — raises
+``NotImplementedError`` under ``strict=True`` exactly where ffmpeg would
+be invoked, or falls back to deterministic byte-stat features under
+``strict=False`` so the plumbing stays exercised.
 """
 
 from __future__ import annotations

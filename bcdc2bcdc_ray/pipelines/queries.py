@@ -3860,6 +3860,71 @@ def _install_jpeg_decode_oracle():
     _REGISTRY["multimodal_jpeg_decode"] = (fn, sql)
 
 
+_MEDIA_MP4_FIXTURE = os.path.join(_FIXTURE_DIR, "media_mp4.parquet")
+
+
+@q("multimodal_mp4_meta", None)  # oracle installed below (box-offset SQL)
+def multimodal_mp4_meta(sf_dir: str):
+    """REAL ISO BMFF container parse (``functions/mp4.py``: length-prefixed
+    box walk with container recursion) → movie timescale/duration, track
+    dims, codec fourcc, stsz sample count, mdat payload bytes. Frame
+    decode stays a loud NotImplementedError (H.264 needs external codec
+    libs); the container structure — what a data-plane pipeline actually
+    routes on — is fully parsed and SQL-oracle-verified byte-by-byte."""
+    import ray.data as rd
+
+    from ..functions import mp4 as mp4f
+    from ..state.manifest import atomic_write_parquet
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    if not os.path.exists(_MEDIA_MP4_FIXTURE):
+        atomic_write_parquet(mp4f.synth_mp4_media_table(32, seed=13), _MEDIA_MP4_FIXTURE)
+    ds = rd.read_parquet(_MEDIA_MP4_FIXTURE)
+    return ds.map_batches(mp4f.mp4_meta_batch, batch_format="pyarrow", batch_size=16)
+
+
+def _install_mp4_meta_oracle():
+    """SQL re-parse of the MP4 structure from the same BLOB bytes. The
+    encoder's pre-stsz layout is fixed-size, so every field sits at a
+    constant offset (verified against varied payloads): mvhd timescale @52
+    / duration @56 (BE u32), tkhd 16.16 width @232 / height @236 (integer
+    = high u16), stsd fourcc @406 (4 raw bytes), stsz sample count @556,
+    per-sample sizes from @560 (BE u32 each); mdat payload bytes = sum of
+    the stsz table — so the SQL walks the real sample-size table, not an
+    echo of metadata columns."""
+    B = lambda i: f"({_sql_byte_at('bs', i)})"  # noqa: E731
+
+    def u32(off: str) -> str:
+        return (
+            f"(16777216*{B(off)} + 65536*{B(f'({off})+1')}"
+            f" + 256*{B(f'({off})+2')} + {B(f'({off})+3')})"
+        )
+
+    def u16(off: int) -> str:
+        return f"(256*{B(str(off))} + {B(str(off + 1))})"
+
+    sql = f"""
+    WITH m AS (SELECT media_id, payload, CAST(payload AS BITSTRING) AS bs,
+                      octet_length(payload) AS n
+               FROM read_parquet('{_MEDIA_MP4_FIXTURE}')),
+    p AS (SELECT media_id, payload, bs, n, {u32("556")} AS ns FROM m)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST({u16(232)} AS INTEGER) AS width,
+           CAST({u16(236)} AS INTEGER) AS height,
+           CAST({u32("52")} AS BIGINT) AS timescale,
+           CAST({u32("56")} AS BIGINT) AS duration,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, ns),
+                i -> {u32("560 + 4*i")})) AS BIGINT) AS mdat_bytes,
+           chr({B("406")}) || chr({B("407")}) || chr({B("408")})
+               || chr({B("409")}) AS codec
+    FROM p
+    """
+    fn, _ = _REGISTRY["multimodal_mp4_meta"]
+    _REGISTRY["multimodal_mp4_meta"] = (fn, sql)
+
+
 @q("dedup_components")  # oracle installed below (recursive CTE over LSH pairs)
 def dedup_components(sf_dir: str):
     """Near-dup CLUSTERING: LSH candidate pairs → distributed connected
@@ -3945,6 +4010,7 @@ def _install_cc_oracles(minhash_sql: str):
 _install_cc_oracles(_install_minhash_oracle())
 _install_multimodal_checksum_oracle()
 _install_jpeg_decode_oracle()
+_install_mp4_meta_oracle()
 _install_media_decode_oracles()
 _install_assemble_oracle()
 _install_jsonl_oracle()
