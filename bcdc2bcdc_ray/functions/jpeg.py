@@ -514,7 +514,18 @@ def _assemble_jfif(w, h, samp, qy, qc, scan: bytes, restart_interval: int) -> by
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicates)."""
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicates).
+
+    Every corruption failure surfaces as ``ValueError`` — a data-plane
+    stage must be able to catch ONE exception type per bad row instead of
+    letting a stray KeyError/struct.error kill the whole batch task."""
+    try:
+        return _decode_jpeg(payload)
+    except (KeyError, IndexError, OverflowError, struct.error) as ex:
+        raise ValueError(f"corrupt JPEG stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -146,7 +146,15 @@ def parse_mp4(payload: bytes) -> dict:
     """REAL ISO BMFF structure parse: brand, movie timescale/duration,
     first video track's dims + codec fourcc, sample count/sizes (stsz),
     sample delta (stts), mdat payload size. Works on any baseline MP4 —
-    the walker recurses through standard container boxes."""
+    the walker recurses through standard container boxes. All corruption
+    failures surface as ``ValueError`` (one catchable type per bad row)."""
+    try:
+        return _parse_mp4(payload)
+    except (KeyError, IndexError, OverflowError, struct.error) as ex:
+        raise ValueError(f"corrupt MP4 stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _parse_mp4(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF payload (missing ftyp)")
     out: dict = {"brand": payload[8:12].decode("latin1"), "mdat_bytes": 0}

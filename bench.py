@@ -81,6 +81,8 @@ QUERY_NAMES = [
     "daily_retention",
     "moving_sum_events",
     "ann_topk_multi",
+    "multimodal_jpeg_decode",
+    "multimodal_mp4_meta",
 ]
 
 

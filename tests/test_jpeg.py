@@ -147,3 +147,24 @@ def test_resize_preserves_content_not_just_dims():
     dec = jpeg.decode_jpeg(small.column("payload")[0].as_py())
     ref = multimodal.resize_nearest(img, 16, 16)
     assert _psnr(ref, dec) > 30
+
+
+def test_corruption_fuzz_surfaces_only_valueerror():
+    # non-strict DecodeImage catches ValueError per row — any other
+    # exception type escaping the decoder would kill the whole batch task
+    img = _smooth_rgb(16, 24)
+    blob = jpeg.encode_jpeg(img, quality=85)
+    rng = np.random.default_rng(3)
+    for cut in range(2, len(blob), 5):
+        try:
+            jpeg.decode_jpeg(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(blob)
+        for _ in range(4):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            jpeg.decode_jpeg(bytes(b))
+        except ValueError:
+            pass

@@ -103,3 +103,21 @@ def test_fixture_deterministic():
         meta = mp4.parse_mp4(payload)
         assert (meta["width"], meta["height"]) == (w, h)
         assert meta["mdat_bytes"] == sum(meta["sample_sizes"])
+
+
+def test_corruption_fuzz_surfaces_only_valueerror():
+    blob = mp4.encode_mp4([50, 60], width=32, height=16)
+    rng = np.random.default_rng(3)
+    for cut in range(2, len(blob), 5):
+        try:
+            mp4.parse_mp4(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(blob)
+        for _ in range(4):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            mp4.parse_mp4(bytes(b))
+        except ValueError:
+            pass
