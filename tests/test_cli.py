@@ -109,3 +109,20 @@ def test_cli_query_and_listing(capsys, tmp_path):
 def test_cli_demo_verifies_oracle_and_exactly_once(capsys):
     rep = _run(capsys, "demo", "--convs", "80", "--events", "3000")
     assert rep["oracle_match"] is True and rep["exactly_once_rerun"] is True
+
+
+def test_cli_follow_drains_wal_dir(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    rep = _run(
+        capsys, "follow",
+        "--lake", workdir["lake"], "--wal-dir", str(workdir["tmp"] / "wal"),
+        "--spec", workdir["spec"], "--max-rounds", "5",
+    )
+    assert rep["cmd"] == "follow" and rep["adds"] > 0
+    assert cdc.read_lake_table(workdir["lake"]).equals(
+        cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    )
