@@ -76,6 +76,7 @@ def cmd_replay(args) -> dict:
         audit_dir=args.audit_dir,
         auto_compact_bytes=args.auto_compact_bytes,
         stats=args.stats,
+        changes_dir=args.changes_dir,
     )
     rep.pop("lineage", None)  # per-partition rows go to --audit-dir, not stdout
     return {"cmd": "replay", **rep}
@@ -208,6 +209,7 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--dry-run", action="store_true")
     rp.add_argument("--force", action="store_true")
     rp.add_argument("--audit-dir")
+    rp.add_argument("--changes-dir", help="emit the outbound CDC change feed here")
     rp.add_argument("--auto-compact-bytes", type=int)
     rp.add_argument("--stats", action="store_true")
     rp.set_defaults(fn=cmd_replay)

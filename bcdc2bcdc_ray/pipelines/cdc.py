@@ -135,6 +135,28 @@ def read_lake_table(lake_dir: str) -> pa.Table:
     )
 
 
+def read_changes(changes_dir: str) -> pa.Table:
+    """Driver-side read of an outbound change feed (``replay(...,
+    changes_dir=...)``): unify schemas across partition files (schema
+    evolution may appear mid-feed) and return one (lsn, key)-sorted
+    WAL-shaped table — directly consumable by another lake's ``replay``
+    (write it back out with ``changegen.write_wal_chunks``)."""
+    files = sorted(
+        os.path.join(changes_dir, f)
+        for f in os.listdir(changes_dir)
+        if f.startswith("changes-") and f.endswith(".parquet")
+    )
+    if not files:
+        return pa.schema([("lsn", pa.int64()), ("op", pa.string())]).empty_table()
+    parts = [pq.read_table(f).replace_schema_metadata(None) for f in files]
+    parts = evolve.unify_tables(parts)
+    out = pa.concat_tables(parts)
+    sort_keys = [("lsn", "ascending")] + [
+        (k, "ascending") for k in out.column_names if k in ("conv_id", "turn_idx")
+    ]
+    return out.sort_by(sort_keys)
+
+
 def read_lake(lake_dir: str):
     """Streaming read of the lake as a Ray Dataset (scale path). Drops the
     internal persisted-hash column."""
@@ -472,6 +494,7 @@ def replay(
     audit_dir: Optional[str] = None,
     auto_compact_bytes: Optional[int] = None,
     stats: bool = False,
+    changes_dir: Optional[str] = None,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
@@ -496,7 +519,12 @@ def replay(
     marked ``mark_protected`` refuses a mutating replay unless ``force=True``
     (the reference's do-not-write guard, ``CKAN.py:431-460``).
     ``audit_dir`` persists the run report + per-partition lineage as a JSON
-    audit file (K2 debug-dump analog). ``auto_compact_bytes`` runs
+    audit file (K2 debug-dump analog). ``changes_dir`` additionally emits
+    the OUTBOUND change feed: per partition, one WAL-shaped parquet of the
+    rows this replay actually added/updated/deleted (no-ops suppressed —
+    the reference's debug dumps of changed records, ``CacheFiles.py``, as
+    a first-class CDC fan-out: the feed replays into another lake; see
+    :func:`read_changes`). ``auto_compact_bytes`` runs
     :func:`compact` toward that per-partition target after a successful
     mutating replay (post-commit maintenance; adds
     ``partitions_after_compact`` to the report)."""
@@ -603,7 +631,7 @@ def replay(
     from ..stages.merge import bound_writer
 
     lineage_ds = ds.groupby(PART_COL).map_groups(
-        bound_writer(lake_dir, spec, dry_run),
+        bound_writer(lake_dir, spec, dry_run, changes_dir),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

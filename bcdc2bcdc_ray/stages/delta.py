@@ -261,6 +261,49 @@ def _resolve_add_conflicts(out: pa.Table, ops: pa.ChunkedArray, spec: TableSpec)
     )
 
 
+def change_feed(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa.Table:
+    """Materialize the partition's OUTBOUND change feed from the classified
+    join: one WAL-shaped row per ADD/UPDATE/DELETE — ``(lsn, op, *key,
+    *data)`` with the incoming payload for add/update and null payload for
+    delete. NOOP/KEEP rows are excluded, so the no-op suppression the
+    content hash buys (the reference's dataCache/diff pattern,
+    ``bcdc2bcdc/CKANData.py:1426-1466``) propagates to every downstream
+    consumer: the feed is exactly what CHANGED, already deduplicated and
+    LWW-reduced. Because the shape matches the inbound WAL, the feed can
+    chain straight into another engine's ``replay`` (CDC fan-out) —
+    pinned by test_change_feed_chains_to_identical_lake."""
+    op = joined.column(OP_COL)
+    emit = pc.is_in(op, value_set=pa.array([ADD, UPDATE, DELETE], pa.int8()))
+    sel = joined.filter(emit)
+    op_np = sel.column(OP_COL).to_numpy(zero_copy_only=False)
+    names = np.empty(len(op_np), dtype=object)
+    names[op_np == ADD] = "add"
+    names[op_np == UPDATE] = "update"
+    names[op_np == DELETE] = "delete"
+    is_del = op_np == DELETE
+    cols: dict = {
+        "lsn": sel.column("__lsn"),
+        "op": pa.array(names, pa.string()),
+    }
+    for fld in data_schema:
+        if fld.name in spec.key:
+            cols[fld.name] = sel.column(fld.name)
+        else:
+            # incoming payload; nulled for deletes (consumers key-route them)
+            cols[fld.name] = pc.if_else(
+                pa.array(~is_del),
+                sel.column(f"__in_{fld.name}"),
+                pa.nulls(len(op_np), fld.type),
+            )
+    feed_schema = pa.schema(
+        [("lsn", pa.int64()), ("op", pa.string())]
+        + [(f.name, f.type) for f in data_schema]
+    )
+    return pa.table(cols, schema=feed_schema).sort_by(
+        [("lsn", "ascending")] + [(k, "ascending") for k in spec.key]
+    )
+
+
 def delta_counts(joined: pa.Table) -> dict:
     """adds/updates/deletes/noops counters — the reference's
     ``CKANDataSetDeltas.__str__`` report (§2.5 A2)."""
@@ -308,10 +351,18 @@ def apply_delta_with_hash(
 
 
 def merge_partition(
-    current: pa.Table, events: pa.Table, spec: TableSpec, persist_hash: bool = False
-) -> tuple[pa.Table, dict]:
+    current: pa.Table,
+    events: pa.Table,
+    spec: TableSpec,
+    persist_hash: bool = False,
+    changes: bool = False,
+):
     """One partition's full merge: ignore-filter → LWW reduce → classify →
-    apply. Returns (new_state sorted by key, counters).
+    apply. Returns (new_state sorted by key, counters); with
+    ``changes=True`` returns (new_state, counters, change_feed) — the
+    WAL-shaped outbound feed of what this merge actually changed (feed
+    values are the pre-``on_apply``-hook payload, same caveat as the
+    persist_hash path).
 
     ``persist_hash=True`` (the merge writer's path) keeps the internal
     ``__content_hash`` column + its schema metadata on the output so the
@@ -330,4 +381,6 @@ def merge_partition(
         new_state = apply_delta(joined, data_schema, spec)
         for hook in spec.on_apply:
             new_state = hook(new_state)
+    if changes:
+        return new_state, delta_counts(joined), change_feed(joined, data_schema, spec)
     return new_state, delta_counts(joined)

@@ -86,7 +86,13 @@ class MergeWriter:
     partition merge per call. State (spec, manifest store) built once per
     actor in ``__init__``."""
 
-    def __init__(self, lake_dir: str, spec: TableSpec, dry_run: bool = False):
+    def __init__(
+        self,
+        lake_dir: str,
+        spec: TableSpec,
+        dry_run: bool = False,
+        changes_dir: str | None = None,
+    ):
         # Each writer actor reserves 1 CPU; Arrow's default thread pool is
         # sized to the MACHINE, so N concurrent actors × machine-width acero
         # joins oversubscribe the node ~N× (measured 3-20× per-call inflation
@@ -100,6 +106,9 @@ class MergeWriter:
         self.lake_dir = lake_dir
         self.spec = spec
         self.dry_run = dry_run  # classify + count, write nothing
+        self.changes_dir = changes_dir  # outbound CDC feed (None = off)
+        if changes_dir and not dry_run:
+            os.makedirs(changes_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir)
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -128,12 +137,32 @@ class MergeWriter:
             )
 
         current = read_partition(self.lake_dir, pid, self.spec.schema)
-        new_state, counts = delta.merge_partition(
-            current, events, self.spec, persist_hash=True
-        )
+        if self.changes_dir is not None:
+            new_state, counts, feed = delta.merge_partition(
+                current, events, self.spec, persist_hash=True, changes=True
+            )
+        else:
+            new_state, counts = delta.merge_partition(
+                current, events, self.spec, persist_hash=True
+            )
+            feed = None
         lsn_hi = int(pc.max(events.column("lsn")).as_py())
 
         if not self.dry_run:
+            if feed is not None and feed.num_rows:
+                # outbound change feed, written BEFORE the data/manifest
+                # commit under a deterministic (pid, lsn_hi) name: a task
+                # retry rewrites the same file atomically, and a replay of
+                # already-committed chunks never reaches here (watermark
+                # filter above) — so downstream consumers see each change
+                # exactly once
+                atomic_write_parquet(
+                    feed,
+                    os.path.join(
+                        self.changes_dir,
+                        f"changes-{pid:05d}-{max(lsn_hi, wm):012d}.parquet",
+                    ),
+                )
             atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
             _maybe_crash_once(self.lake_dir, pid)
             self.store.commit(
@@ -162,7 +191,12 @@ class MergeWriter:
         )
 
 
-def bound_writer(lake_dir: str, spec: TableSpec, dry_run: bool = False) -> type:
+def bound_writer(
+    lake_dir: str,
+    spec: TableSpec,
+    dry_run: bool = False,
+    changes_dir: str | None = None,
+) -> type:
     """MergeWriter subclass with the constructor parameters baked into the
     serialized class itself (cloudpickle ships the closure with the class):
     the writer actor is created with ZERO constructor arguments, so no
@@ -174,7 +208,7 @@ def bound_writer(lake_dir: str, spec: TableSpec, dry_run: bool = False) -> type:
 
     class _BoundMergeWriter(MergeWriter):
         def __init__(self):
-            super().__init__(lake_dir, spec, dry_run)
+            super().__init__(lake_dir, spec, dry_run, changes_dir)
 
     return _BoundMergeWriter
 

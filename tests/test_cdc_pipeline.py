@@ -647,3 +647,54 @@ def test_export_distinct_values_never_collide(ray_session, tmp_path):
     assert len(files) == 4 and all(os.path.exists(f) for f in files)
     back = export.read_partitioned(out).sort_by("doc_id")
     assert back.column("doc_id").to_pylist() == [1, 2, 3, 4]
+
+
+def test_change_feed_chains_to_identical_lake(ray_session, dirs, tmp_path):
+    """CDC fan-out: replay with changes_dir emits a WAL-shaped feed of only
+    what changed (no-ops suppressed); replaying THAT feed into a second
+    lake seeded with the same initial table reproduces the first lake
+    byte-for-byte — the engine consumes its own change stream."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    changes = str(tmp_path / "changes")
+    rep = cdc.replay(lake_dir, paths, spec, changes_dir=changes)
+
+    feed = cdc.read_changes(changes)
+    # the feed is MINIMAL: one row per actually-applied add/update/delete
+    assert feed.num_rows == rep["adds"] + rep["updates"] + rep["deletes"]
+    assert feed.column_names[:2] == ["lsn", "op"]
+    ops = set(feed.column("op").to_pylist())
+    assert ops <= {"add", "update", "delete"} and "add" in ops
+
+    # chain: feed -> WAL chunks -> replay into an identically-seeded lake B
+    lake_b = str(tmp_path / "lake_b")
+    cdc.init_lake(lake, lake_b, spec, num_partitions=8)
+    feed_paths = cg.write_wal_chunks(feed, str(tmp_path / "feed_wal"), num_chunks=3)
+    rep_b = cdc.replay(lake_b, feed_paths, spec)
+    assert cdc.read_lake_table(lake_b).equals(cdc.read_lake_table(lake_dir))
+    # and B applied exactly the feed's row count (nothing was a no-op twice)
+    assert rep_b["adds"] + rep_b["updates"] + rep_b["deletes"] == feed.num_rows
+
+    # exactly-once on the feed itself: re-replaying the same chunks into A
+    # emits NO new change files
+    n_files = len(os.listdir(changes))
+    rep2 = cdc.replay(lake_dir, paths, spec, changes_dir=changes)
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+    assert len(os.listdir(changes)) == n_files
+
+
+def test_change_feed_carries_schema_evolution(ray_session, dirs, tmp_path):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec)
+    ev2 = cg.gen_change_events(800, 120, seed=44, lsn_start=1_000_000, evolved=True)
+    p2 = cg.write_wal_chunks(ev2, str(tmp_path / "wal2"), num_chunks=2)
+    changes = str(tmp_path / "changes")
+    cdc.replay(lake_dir, p2, spec, changes_dir=changes)
+    feed = cdc.read_changes(changes)
+    assert "lang" in feed.column_names  # evolved column rides the feed
+    assert feed.schema.field("turn_idx").type == pa.int64()
