@@ -106,12 +106,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_multi",
+    # new round-3 CDC surface (the driver row matters most for new code)
+    "cdc_change_feed",
     # already-driver-green anchors (regression coverage inside the window);
-    # exact_dedup yielded its slot to multimodal_jpeg_decode (new code needs
-    # the driver row more than a third consecutive green anchor does)
+    # exact_dedup and cdc_delta_classify yielded their slots to the new
+    # multimodal_jpeg_decode / cdc_change_feed rows
     "cdc_lww_merge",
     "cdc_merge_apply",
-    "cdc_delta_classify",
     "minhash_lsh_pairs",
 )
 
@@ -3413,6 +3414,77 @@ def transcripts_replay(sf_dir: str):
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec)
         return cdc.read_lake_table(lake_dir)
+
+
+def _change_feed_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """The outbound-feed analog of ``_replay_oracle_sql``: same LWW winner
+    + both-falsy-equal NOOP rule, but emitting the CHANGE rows instead of
+    the final state — op ∈ add/update/delete with the winner's lsn, raw
+    incoming payload for add/update, null payload for delete (the engine's
+    ``delta.change_feed`` contract)."""
+    return f"""
+    WITH lake AS (SELECT * FROM read_parquet('{lake_path}')),
+    ev AS (SELECT * FROM read_parquet('{wal_path}')
+           QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                                      ORDER BY lsn DESC) = 1),
+    j AS (
+        SELECT e.lsn AS e_lsn, e.op AS e_op,
+               coalesce(l.conv_id, e.conv_id) AS conv_id,
+               coalesce(l.turn_idx, e.turn_idx) AS turn_idx,
+               l.conv_id IS NOT NULL AS has_l, e.conv_id IS NOT NULL AS has_e,
+               l.role AS l_role, l.text AS l_text, l.tool AS l_tool, l.ts AS l_ts,
+               e.role AS e_role, e.text AS e_text, e.tool AS e_tool, e.ts AS e_ts
+        FROM lake l FULL OUTER JOIN ev e
+          ON l.conv_id = e.conv_id AND l.turn_idx = e.turn_idx
+    ),
+    decided AS (
+        SELECT *,
+               CASE WHEN NOT has_e THEN 'keep'
+                    WHEN e_op = 'delete' AND has_l THEN 'delete'
+                    WHEN e_op = 'delete' THEN 'keep'
+                    WHEN NOT has_l THEN 'add'
+                    WHEN l_role IS NOT DISTINCT FROM e_role
+                         AND nullif(nullif(l_text, ''), 'None')
+                             IS NOT DISTINCT FROM nullif(nullif(e_text, ''), 'None')
+                         AND nullif(nullif(l_tool, ''), 'None')
+                             IS NOT DISTINCT FROM nullif(nullif(e_tool, ''), 'None')
+                         AND l_ts IS NOT DISTINCT FROM e_ts
+                    THEN 'keep'
+                    ELSE 'update' END AS d
+        FROM j
+    )
+    SELECT e_lsn AS lsn, d AS op, conv_id, turn_idx,
+           CASE WHEN d = 'delete' THEN NULL ELSE e_role END AS role,
+           CASE WHEN d = 'delete' THEN NULL ELSE e_text END AS text,
+           CASE WHEN d = 'delete' THEN NULL ELSE e_tool END AS tool,
+           CASE WHEN d = 'delete' THEN NULL ELSE e_ts END AS ts
+    FROM decided WHERE d <> 'keep'
+    """
+
+
+@q("cdc_change_feed", _change_feed_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL))
+def cdc_change_feed(sf_dir: str):
+    """Outbound CDC fan-out: replay the flagship fixture WAL with
+    ``changes_dir`` set and return the emitted change feed — one WAL-shaped
+    row per APPLIED add/update/delete, no-ops suppressed by content hash
+    (the reference's changed-record debug dumps, CacheFiles.py, as a
+    first-class exactly-once feed). The SQL oracle re-derives the same
+    diff relationally; the chaining e2e (feed → second lake → byte-equal
+    state) lives in tests/test_cdc_pipeline.py."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txcf_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes)
+        return cdc.read_changes(changes)
 
 
 _TOOL_REMAP = {
