@@ -698,3 +698,71 @@ def test_change_feed_carries_schema_evolution(ray_session, dirs, tmp_path):
     feed = cdc.read_changes(changes)
     assert "lang" in feed.column_names  # evolved column rides the feed
     assert feed.schema.field("turn_idx").type == pa.int64()
+
+
+def test_change_feed_equivalence_across_random_workloads(ray_session, tmp_path):
+    """Property-style: for several generator seeds (different op mixes,
+    dup rates, delete rates), initial_lake + change_feed must replay to the
+    same final state as initial_lake + full WAL."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    for i, (seed_l, seed_e, dfrac) in enumerate(
+        [(1, 2, 0.1), (7, 8, 0.4), (21, 22, 0.0)]
+    ):
+        base = tmp_path / f"w{i}"
+        lake = cg.gen_transcripts(60, seed=seed_l)
+        events = cg.gen_change_events(
+            1500, 60, seed=seed_e, delete_frac=dfrac
+        )
+        lake_a = str(base / "a")
+        cdc.init_lake(lake, lake_a, spec, num_partitions=4)
+        paths = cg.write_wal_chunks(events, str(base / "wal"), num_chunks=3)
+        changes = str(base / "changes")
+        cdc.replay(lake_a, paths, spec, changes_dir=changes)
+
+        lake_b = str(base / "b")
+        cdc.init_lake(lake, lake_b, spec, num_partitions=4)
+        feed = cdc.read_changes(changes)
+        if feed.num_rows:
+            fp = cg.write_wal_chunks(feed, str(base / "feed"), num_chunks=2)
+            cdc.replay(lake_b, fp, spec)
+        assert cdc.read_lake_table(lake_b).equals(cdc.read_lake_table(lake_a))
+
+
+def test_cdc_relay_follow_chains_through_feed(ray_session, tmp_path):
+    """CDC relay: lake A tails the producer WAL and emits its change feed;
+    lake B tails A's CHANGES DIRECTORY as its own WAL (the feed is
+    WAL-shaped parquet, so `follow` consumes it unmodified). After two
+    producer waves both lakes converge to the oracle state."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(80, seed=42)
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cdc.init_lake(lake, lake_a, spec, num_partitions=4)
+    cdc.init_lake(lake, lake_b, spec, num_partitions=4)
+    wal_dir = str(tmp_path / "wal")
+    changes = str(tmp_path / "changes")
+
+    ev1 = cg.gen_change_events(1200, 80, seed=43)
+    cg.write_wal_chunks(ev1, wal_dir, num_chunks=2)
+    cdc.follow(lake_a, wal_dir, spec, max_rounds=3, changes_dir=changes)
+    cdc.follow(lake_b, changes, spec, max_rounds=3)
+    assert cdc.read_lake_table(lake_b).equals(cdc.read_lake_table(lake_a))
+
+    # second wave appends to the SAME wal dir; both followers resume
+    # exactly-once from their watermarks
+    ev2 = cg.gen_change_events(800, 80, seed=44, lsn_start=500_000)
+    cg.write_wal_chunks(ev2, str(tmp_path / "wal2"), num_chunks=2)
+    import shutil as _sh
+
+    for f in os.listdir(str(tmp_path / "wal2")):
+        _sh.move(os.path.join(str(tmp_path / "wal2"), f),
+                 os.path.join(wal_dir, f"wave2-{f}"))
+    cdc.follow(lake_a, wal_dir, spec, max_rounds=3, changes_dir=changes)
+    cdc.follow(lake_b, changes, spec, max_rounds=3)
+
+    both = pa.concat_tables([ev1, ev2])
+    assert cdc.read_lake_table(lake_a).equals(cg.oracle_replay(lake, both))
+    assert cdc.read_lake_table(lake_b).equals(cdc.read_lake_table(lake_a))
