@@ -6,7 +6,7 @@ only, same codec policy as the sibling PPM/PNG/WAV/RV01 codecs in
 ``multimodal.py``.
 
 Encoder (``encode_jpeg``): RGB → YCbCr (JFIF matrix), optional 4:2:0 chroma
-subsampling (2×2 mean), per-block 2-D DCT (one einsum over every block),
+subsampling (2×2 mean), per-block 2-D DCT (broadcasted BLAS matmuls),
 Annex-K-style quantization tables scaled by ``quality`` (libjpeg's
 5000/Q / 200−2Q rule), zigzag, DC-difference + AC run-length entropy
 coding with the standard Huffman tables, byte stuffing, optional restart
@@ -184,32 +184,6 @@ def _decode_lut(bits, vals):
 # ---------------------------------------------------------------------------
 
 
-class _BitWriter:
-    __slots__ = ("out", "acc", "n")
-
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, value: int, length: int) -> None:
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            byte = (self.acc >> (self.n - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.n -= 8
-            self.acc &= (1 << self.n) - 1
-
-    def pad_to_byte(self) -> None:
-        if self.n:
-            pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)
-
 
 class _BitReader:
     """MSB-first reader over a DESTUFFED entropy-coded segment; reads past
@@ -315,6 +289,204 @@ def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _code_arrays(tab: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Huffman table dict → dense (codes, lengths) arrays for vector gather."""
+    codes = np.zeros(256, np.uint32)
+    lens = np.zeros(256, np.uint8)
+    for sym, (c, ln) in tab.items():
+        codes[sym] = c
+        lens[sym] = ln
+    return codes, lens
+
+
+def _pack_bits(bits: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized bit writer: MSB-first pack of (value, length) records,
+    1-padded to a whole byte (T.81 pad convention), 0x00 stuffed after every
+    0xFF. One np.repeat/packbits pass instead of a per-symbol Python loop."""
+    keep = lens > 0
+    bits = bits[keep].astype(np.uint64)
+    lens64 = lens[keep].astype(np.int64)
+    total = int(lens64.sum())
+    if total == 0:
+        return b""
+    starts = np.cumsum(lens64) - lens64
+    rep = np.repeat(np.arange(len(lens64)), lens64)
+    within = np.arange(total, dtype=np.int64) - starts[rep]
+    shift = (lens64[rep] - 1 - within).astype(np.uint64)
+    bitarr = ((bits[rep] >> shift) & np.uint64(1)).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bitarr = np.concatenate([bitarr, np.ones(pad, np.uint8)])
+    packed = np.packbits(bitarr)
+    stuff = np.flatnonzero(packed == 0xFF)
+    if len(stuff):
+        packed = np.insert(packed, stuff + 1, np.uint8(0))
+    return packed.tobytes()
+
+
+def _bit_sizes(v: np.ndarray) -> np.ndarray:
+    """Per-element bit_length(|v|) — exact via frexp for |v| < 2^53 (JPEG
+    coefficient magnitudes are < 2^16)."""
+    return np.where(
+        v == 0, 0, np.frexp(np.abs(v).astype(np.float64))[1]
+    ).astype(np.int64)
+
+
+def _entropy_encode(
+    zz: np.ndarray,
+    comp_ids: np.ndarray,
+    dc_code_arrs: list,
+    ac_code_arrs: list,
+) -> bytes:
+    """One restart segment's entropy-coded bytes, fully vectorized: DC
+    difference chains per component, AC run-length symbols with ZRL
+    expansion and EOB, canonical Huffman gather, then one bit-pack pass.
+    ``zz`` is (N, 64) quantized zigzag coefficients in STREAM (MCU-
+    interleaved) order; ``comp_ids`` maps each block to its component
+    (DC prediction chain + table choice: 0 = luma tables)."""
+    n = zz.shape[0]
+    tab_of = (comp_ids != 0).astype(np.int64)  # 0 luma, 1 chroma tables
+    dc_codes = np.stack([dc_code_arrs[0][0], dc_code_arrs[1][0]])
+    dc_lens = np.stack([dc_code_arrs[0][1], dc_code_arrs[1][1]])
+    ac_codes = np.stack([ac_code_arrs[0][0], ac_code_arrs[1][0]])
+    ac_lens = np.stack([ac_code_arrs[0][1], ac_code_arrs[1][1]])
+
+    # ---- DC: per-component difference chain in stream order
+    dc = zz[:, 0]
+    diff = dc.copy()
+    for ci in np.unique(comp_ids):
+        idx = np.flatnonzero(comp_ids == ci)
+        diff[idx[1:]] = dc[idx[1:]] - dc[idx[:-1]]
+    dsz = _bit_sizes(diff)
+    dvbits = np.where(diff > 0, diff, diff + (np.int64(1) << dsz) - 1)
+    dc_block = np.arange(n, dtype=np.int64)
+    dc_seq = np.zeros(n, np.int64)
+    dc_code = dc_codes[tab_of, dsz]
+    dc_clen = dc_lens[tab_of, dsz]
+
+    # ---- AC: run-length over the 63 AC positions of every block at once
+    ac = zz[:, 1:]
+    r, c = np.nonzero(ac)  # row-major: grouped by block, ascending position
+    if len(r):
+        v = ac[r, c]
+        first = np.empty(len(r), bool)
+        first[0] = True
+        first[1:] = r[1:] != r[:-1]
+        prev_c = np.empty_like(c)
+        prev_c[0] = -1
+        prev_c[1:] = c[:-1]
+        run = np.where(first, c, c - prev_c - 1)
+        nzrl = run >> 4
+        # run == 16k exactly: ZRL consumes all 16s but the final symbol's
+        # run field is run % 16 — matches the scalar while-loop semantics
+        final_run = run & 15
+        vsz = _bit_sizes(v)
+        avbits = np.where(v > 0, v, v + (np.int64(1) << vsz) - 1)
+        sym = (final_run << 4) | vsz
+        # records-per-nonzero (ZRLs + the value symbol), cumulative within block
+        tot = nzrl + 1
+        excl = np.cumsum(tot) - tot
+        gid = np.cumsum(first) - 1
+        row_base = excl[np.flatnonzero(first)]
+        within_prior = excl - row_base[gid]
+        val_seq = 1 + within_prior + nzrl
+        ac_block = r.astype(np.int64)
+        ac_code = ac_codes[tab_of[r], sym]
+        ac_clen = ac_lens[tab_of[r], sym]
+        # ZRL expansion records
+        zsrc = np.repeat(np.arange(len(r)), nzrl)
+        if len(zsrc):
+            zwithin = np.arange(len(zsrc)) - np.repeat(
+                np.cumsum(nzrl) - nzrl, nzrl
+            )
+            z_block = ac_block[zsrc]
+            z_seq = 1 + within_prior[zsrc] + zwithin
+            z_code = ac_codes[tab_of[z_block], 0xF0]
+            z_clen = ac_lens[tab_of[z_block], 0xF0]
+        else:
+            z_block = z_seq = np.zeros(0, np.int64)
+            z_code = np.zeros(0, np.uint32)
+            z_clen = np.zeros(0, np.uint8)
+        last_c = np.full(n, -1, np.int64)
+        last_c[r] = c  # row-major: final write per block is its last nonzero
+        row_tot = np.zeros(n, np.int64)
+        np.add.at(row_tot, r, tot)
+    else:
+        v = vsz = avbits = np.zeros(0, np.int64)
+        ac_block = val_seq = z_block = z_seq = np.zeros(0, np.int64)
+        ac_code = z_code = np.zeros(0, np.uint32)
+        ac_clen = z_clen = np.zeros(0, np.uint8)
+        last_c = np.full(n, -1, np.int64)
+        row_tot = np.zeros(n, np.int64)
+
+    # ---- EOB for every block whose last nonzero is before position 62
+    eob_block = np.flatnonzero(last_c < 62)
+    eob_seq = 1 + row_tot[eob_block]
+    eob_code = ac_codes[tab_of[eob_block], 0x00]
+    eob_clen = ac_lens[tab_of[eob_block], 0x00]
+
+    blocks = np.concatenate([dc_block, ac_block, z_block, eob_block])
+    seqs = np.concatenate([dc_seq, val_seq, z_seq, eob_seq])
+    codes = np.concatenate([dc_code, ac_code, z_code, eob_code]).astype(np.uint64)
+    clens = np.concatenate([dc_clen, ac_clen, z_clen, eob_clen]).astype(np.int64)
+    vbits = np.concatenate(
+        [dvbits, avbits, np.zeros(len(z_block), np.int64),
+         np.zeros(len(eob_block), np.int64)]
+    ).astype(np.uint64)
+    vlens = np.concatenate(
+        [dsz, vsz, np.zeros(len(z_block), np.int64),
+         np.zeros(len(eob_block), np.int64)]
+    )
+
+    order = np.lexsort((seqs, blocks))
+    m = len(order)
+    bits2 = np.empty(2 * m, np.uint64)
+    lens2 = np.empty(2 * m, np.int64)
+    bits2[0::2] = codes[order]
+    lens2[0::2] = clens[order]
+    bits2[1::2] = vbits[order]
+    lens2[1::2] = vlens[order]
+    return _pack_bits(bits2, lens2)
+
+
+def _stream_order(comp_coefs, samp, mcux, mcuy):
+    """Scatter per-component block grids into one MCU-interleaved (N, 64)
+    array + per-block component ids — the T.81 scan interleave."""
+    blocks_per_mcu = sum(sh * sv for sh, sv in samp)
+    n = mcux * mcuy * blocks_per_mcu
+    zz = np.empty((n, 64), np.int64)
+    comp_ids = np.empty(n, np.int8)
+    off = 0
+    for ci, (sh, sv) in enumerate(samp):
+        bh, bw = comp_coefs[ci].shape[:2]
+        by, bx = np.mgrid[0:bh, 0:bw]
+        m = (by // sv) * mcux + (bx // sh)
+        sidx = (m * blocks_per_mcu + off + (by % sv) * sh + (bx % sh)).ravel()
+        zz[sidx] = comp_coefs[ci].reshape(-1, 64)
+        comp_ids[sidx] = ci
+        off += sh * sv
+    return zz, comp_ids, blocks_per_mcu
+
+
+def _encode_scan(zz, comp_ids, blocks_per_mcu, dc_arrs, ac_arrs,
+                 restart_interval: int) -> bytes:
+    """Entropy-encode the whole scan: one vectorized pass without restarts,
+    else one per restart segment (preds reset, byte-aligned, RSTn between)."""
+    if not restart_interval:
+        return _entropy_encode(zz, comp_ids, dc_arrs, ac_arrs)
+    out = bytearray()
+    seg = restart_interval * blocks_per_mcu
+    rst = 0
+    for b0 in range(0, zz.shape[0], seg):
+        if b0:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        out += _entropy_encode(
+            zz[b0 : b0 + seg], comp_ids[b0 : b0 + seg], dc_arrs, ac_arrs
+        )
+    return bytes(out)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
@@ -359,76 +531,26 @@ def encode_jpeg(
     for ci, ((sh_, sv), plane) in enumerate(zip(samp, planes)):
         bw_, bh_ = mcux * sh_, mcuy * sv
         blocks = _plane_to_blocks(plane, bh_, bw_) - 128.0
-        f = np.einsum("ij,njk,kl->nil", _DCT_A, blocks, _DCT_A.T)
+        f = np.matmul(_DCT_A, np.matmul(blocks, _DCT_A.T))
         q = qy if ci == 0 else qc
         zz = f.reshape(-1, 64)[:, _ZIGZAG]
         coefs = np.round(zz / q[np.newaxis, :]).astype(np.int64)
         comp_coefs.append(coefs.reshape(bh_, bw_, 64))
         comp_dims.append((bh_, bw_))
 
-    dc_tabs = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
-        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ] * 2
-    ac_tabs = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
-        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    ] * 2
+    dc_arrs = [
+        _code_arrays(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)),
+        _code_arrays(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+    ]
+    ac_arrs = [
+        _code_arrays(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)),
+        _code_arrays(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+    ]
+    zz_stream, comp_ids, bpm = _stream_order(comp_coefs, samp, mcux, mcuy)
+    scan = _encode_scan(zz_stream, comp_ids, bpm, dc_arrs, ac_arrs, restart_interval)
 
-    bwr = _BitWriter()
-    preds = [0, 0, 0]
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bwr.pad_to_byte()
-                bwr.out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-                preds = [0, 0, 0]
-            for ci in range(3):
-                sh_, sv = samp[ci]
-                for by in range(sv):
-                    for bx in range(sh_):
-                        blk = comp_coefs[ci][my * sv + by, mx * sh_ + bx]
-                        preds[ci] = _encode_block(
-                            bwr, blk, preds[ci], dc_tabs[ci], ac_tabs[ci]
-                        )
-            mcu_count += 1
-    bwr.pad_to_byte()
+    return _assemble_jfif(w, h, samp, qy, qc, scan, restart_interval)
 
-    return _assemble_jfif(
-        w, h, samp, qy, qc, bytes(bwr.out), restart_interval
-    )
-
-
-def _encode_block(bwr, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
-    dc = int(zz[0])
-    diff = dc - pred
-    size = int(abs(diff)).bit_length()
-    code, length = dc_tab[size]
-    bwr.write(code, length)
-    if size:
-        bits = diff if diff > 0 else diff + (1 << size) - 1
-        bwr.write(bits, size)
-    run = 0
-    nz = np.flatnonzero(zz[1:])  # positions (0-based in 1..63 space)
-    prev = 0
-    for p in nz:
-        run = int(p) - prev
-        prev = int(p) + 1
-        while run > 15:
-            c, l = ac_tab[0xF0]  # ZRL
-            bwr.write(c, l)
-            run -= 16
-        v = int(zz[1 + p])
-        size = int(abs(v)).bit_length()
-        c, l = ac_tab[(run << 4) | size]
-        bwr.write(c, l)
-        bits = v if v > 0 else v + (1 << size) - 1
-        bwr.write(bits, size)
-    if prev < 63:
-        c, l = ac_tab[0x00]  # EOB
-        bwr.write(c, l)
-    return dc
 
 
 def _encode_gray(plane: np.ndarray, quality: int, restart_interval: int) -> bytes:
@@ -438,25 +560,19 @@ def _encode_gray(plane: np.ndarray, quality: int, restart_interval: int) -> byte
     qy = _scale_quant(_QUANT_LUMA, quality)
     bw_, bh_ = -(-w // 8), -(-h // 8)
     blocks = _plane_to_blocks(plane.astype(np.float64), bh_, bw_) - 128.0
-    f = np.einsum("ij,njk,kl->nil", _DCT_A, blocks, _DCT_A.T)
+    f = np.matmul(_DCT_A, np.matmul(blocks, _DCT_A.T))
     zz = f.reshape(-1, 64)[:, _ZIGZAG]
-    coefs = np.round(zz / qy[np.newaxis, :]).astype(np.int64).reshape(bh_, bw_, 64)
-    dc_tab = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_tab = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    bwr = _BitWriter()
-    pred = 0
-    rst = 0
-    count = 0
-    for my in range(bh_):
-        for mx in range(bw_):
-            if restart_interval and count and count % restart_interval == 0:
-                bwr.pad_to_byte()
-                bwr.out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-                pred = 0
-            pred = _encode_block(bwr, coefs[my, mx], pred, dc_tab, ac_tab)
-            count += 1
-    bwr.pad_to_byte()
+    coefs = np.round(zz / qy[np.newaxis, :]).astype(np.int64)
+    luma = _code_arrays(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS))
+    luma_ac = _code_arrays(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS))
+    scan = _encode_scan(
+        coefs,
+        np.zeros(coefs.shape[0], np.int8),
+        1,  # grayscale: one block per MCU
+        [luma, luma],
+        [luma_ac, luma_ac],
+        restart_interval,
+    )
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
@@ -471,7 +587,7 @@ def _encode_gray(plane: np.ndarray, quality: int, restart_interval: int) -> byte
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-    out += bytes(bwr.out)
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -681,7 +797,7 @@ def _decode_scan(frame, scomps, qtables, htables, segs, restart_interval):
         bh_, bw_ = coefs[ci].shape[:2]
         zz = coefs[ci].reshape(-1, 64) * q[np.newaxis, :]
         blocks = zz[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        spat = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        spat = np.matmul(_DCT_A.T, np.matmul(blocks, _DCT_A)) + 128.0
         plane = _blocks_to_plane(spat, bh_, bw_)
         if c["h"] < hmax or c["v"] < vmax:
             plane = np.repeat(
