@@ -47,9 +47,83 @@ class ProtectedLakeError(RuntimeError):
     ``checkUrl``; VERDICT r1 missing #5)."""
 
 
+class LakeLockedError(RuntimeError):
+    """Raised when a mutating replay finds another LIVE writer's lock on
+    the lake. Two concurrent replays would race partition rewrites and
+    manifests (last-writer-wins per partition → a torn mix of the two
+    runs), so mutating replays serialize through an advisory lock."""
+
+
 def lake_meta(lake_dir: str) -> dict:
     with open(os.path.join(lake_dir, "_meta.json")) as f:
         return json.load(f)
+
+
+class _LakeLock:
+    """Advisory writer lock: O_EXCL-create ``_lock.json`` holding
+    {pid, started_utc}. A lock whose holder process is dead — or older
+    than ``stale_after_s`` (the shared-storage lease fallback, where pid
+    liveness means nothing across nodes) — is reclaimed atomically. Held
+    only for the mutating section of one replay; ``dry_run`` never locks."""
+
+    def __init__(self, lake_dir: str, stale_after_s: float = 3600.0):
+        self.path = os.path.join(lake_dir, "_lock.json")
+        self.stale_after_s = stale_after_s
+        self._held = False
+
+    def _holder_is_stale(self) -> bool:
+        try:
+            with open(self.path) as f:
+                info = json.load(f)
+            st = os.stat(self.path)
+        except (OSError, ValueError):
+            return True  # unreadable/vanished lock: treat as stale
+        import time as _time
+
+        if _time.time() - st.st_mtime > self.stale_after_s:
+            return True
+        pid = int(info.get("pid", -1))
+        try:
+            os.kill(pid, 0)  # liveness probe, no signal delivered
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, owned by someone else
+        return False
+
+    def __enter__(self):
+        import time as _time
+
+        payload = json.dumps(
+            {"pid": os.getpid(), "started_utc": _time.time()}
+        ).encode()
+        for _ in range(2):  # one reclaim attempt, then give up loudly
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload)
+                os.close(fd)
+                self._held = True
+                return self
+            except FileExistsError:
+                if self._holder_is_stale():
+                    try:  # reclaim: remove + retry the exclusive create
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise LakeLockedError(
+                    f"lake is locked by a live writer ({self.path}); "
+                    "concurrent mutating replays are not allowed"
+                )
+        raise LakeLockedError(f"could not acquire lake lock {self.path}")
+
+    def __exit__(self, *exc):
+        if self._held:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+        return False
 
 
 def mark_protected(lake_dir: str, protected: bool = True) -> None:
@@ -480,99 +554,19 @@ class AssignPartition:
         return batch
 
 
-def replay(
-    lake_dir: str,
-    wal_paths: Sequence[str] | str,
-    spec: Optional[TableSpec] = None,
-    *,
-    salt: Optional[int] = None,
-    hot_key_threshold: Optional[int] = None,
-    concurrency: Optional[int] = None,
-    combine: bool = True,
-    dry_run: bool = False,
-    force: bool = False,
-    audit_dir: Optional[str] = None,
-    auto_compact_bytes: Optional[int] = None,
-    stats: bool = False,
-    changes_dir: Optional[str] = None,
-) -> dict:
-    """Replay WAL parquet chunks against the lake. Returns the run report:
-    total adds/updates/deletes/noops/skipped + per-partition lineage rows.
 
-    ``combine`` (default on) applies the shuffle-free per-block LWW combiner
-    before the merge groupby — collapses duplicate keys (hot conversations
-    especially) so the one all-to-all shuffle moves only surviving rows.
-    ``salt=S`` additionally enables the salted pre-reduce SHUFFLE; with
-    ``hot_key_threshold`` set, only detected hot conversations are salted
-    (two-pass), otherwise every key is (single-pass, no detection scan).
-    Reserve salting for streams where one partition's distinct keyspace
-    exceeds a single writer's capacity; the combiner already flattens
-    duplicate-heavy skew without moving data.
 
-    Report note: ``skipped`` counts events that never reached a writer's
-    classifier — watermark-filtered replays plus (when ``combine`` is on)
-    lower-LSN duplicates collapsed by the combiner.
-
-    ``dry_run=True`` runs the full pipeline — pruning, shuffle, classify,
-    counters — but writes NOTHING (no partition files, no manifests, no
-    watermark advance): the sink-side what-would-change report. A lake
-    marked ``mark_protected`` refuses a mutating replay unless ``force=True``
-    (the reference's do-not-write guard, ``CKAN.py:431-460``).
-    ``audit_dir`` persists the run report + per-partition lineage as a JSON
-    audit file (K2 debug-dump analog). ``changes_dir`` additionally emits
-    the OUTBOUND change feed: per partition, one WAL-shaped parquet of the
-    rows this replay actually added/updated/deleted (no-ops suppressed —
-    the reference's debug dumps of changed records, ``CacheFiles.py``, as
-    a first-class CDC fan-out: the feed replays into another lake; see
-    :func:`read_changes`). ``auto_compact_bytes`` runs
-    :func:`compact` toward that per-partition target after a successful
-    mutating replay (post-commit maintenance; adds
-    ``partitions_after_compact`` to the report)."""
+def _replay_execute(
+    lake_dir, spec, P, store, watermarks, live_paths, wal_paths, *,
+    salt, hot_key_threshold, concurrency, combine, dry_run, audit_dir,
+    auto_compact_bytes, stats, changes_dir,
+):
+    """The mutating half of :func:`replay` — runs under the lake lock
+    (non-dry-run) so concurrent replays cannot interleave partition
+    rewrites; all distributed execution happens here."""
     import ray.data as rd
-
-    spec = spec or transcripts_spec()
-    meta = lake_meta(lake_dir)
-    P = meta["num_partitions"]
-    from ..canonical import HASH_VERSION
-
-    lake_hash = meta.get("hash", HASH_VERSION)
-    if lake_hash != HASH_VERSION:
-        raise ValueError(
-            f"lake {lake_dir} was partitioned with hash '{lake_hash}' but this "
-            f"engine uses '{HASH_VERSION}' — re-init or migrate the lake "
-            "(partition assignment would silently mis-route keys otherwise)"
-        )
-    if meta.get("protected") and not (force or dry_run):
-        raise ProtectedLakeError(
-            f"lake {lake_dir} is marked protected (do-not-write); pass "
-            "force=True to override or dry_run=True for a what-would-change "
-            "report"
-        )
-    store = ManifestStore(lake_dir)
-
     from ..sources import wal as wal_src
 
-    if isinstance(wal_paths, str):
-        wal_paths = (
-            wal_src.list_wal_chunks(wal_paths)
-            if os.path.isdir(wal_paths)
-            else [wal_paths]
-        )
-    # chunk-level resume: skip whole chunks committed on every partition
-    # using parquet FOOTER lsn stats only (no data read).
-    watermarks = store.watermarks()
-    live_paths, pruned_rows = wal_src.prune_committed_chunks(
-        wal_paths, watermarks, P, global_watermark=store.global_watermark()
-    )
-    if not live_paths:
-        total_wal = sum(pq.read_metadata(p).num_rows for p in wal_paths)
-        return {
-            "events": total_wal, "adds": 0, "updates": 0, "deletes": 0,
-            "noops": 0, "skipped": total_wal, "partitions_touched": 0,
-            "rows": ManifestStore(lake_dir).total_counts()["rows"],
-            "lsn_hi": max(watermarks.values(), default=-1),
-            "lineage": [],
-        }
     # Shuffle cost in Ray Data's sort-based groupby grows with the SQUARE of
     # the block count (every map block exchanges a chunk with every reduce
     # block): reading this 2M-event WAL at Ray's default split produced 224
@@ -686,6 +680,116 @@ def replay(
     if stats:
         report["ray_stats"] = _stats_text
     return report
+
+def replay(
+    lake_dir: str,
+    wal_paths: Sequence[str] | str,
+    spec: Optional[TableSpec] = None,
+    *,
+    salt: Optional[int] = None,
+    hot_key_threshold: Optional[int] = None,
+    concurrency: Optional[int] = None,
+    combine: bool = True,
+    dry_run: bool = False,
+    force: bool = False,
+    audit_dir: Optional[str] = None,
+    auto_compact_bytes: Optional[int] = None,
+    stats: bool = False,
+    changes_dir: Optional[str] = None,
+) -> dict:
+    """Replay WAL parquet chunks against the lake. Returns the run report:
+    total adds/updates/deletes/noops/skipped + per-partition lineage rows.
+
+    ``combine`` (default on) applies the shuffle-free per-block LWW combiner
+    before the merge groupby — collapses duplicate keys (hot conversations
+    especially) so the one all-to-all shuffle moves only surviving rows.
+    ``salt=S`` additionally enables the salted pre-reduce SHUFFLE; with
+    ``hot_key_threshold`` set, only detected hot conversations are salted
+    (two-pass), otherwise every key is (single-pass, no detection scan).
+    Reserve salting for streams where one partition's distinct keyspace
+    exceeds a single writer's capacity; the combiner already flattens
+    duplicate-heavy skew without moving data.
+
+    Report note: ``skipped`` counts events that never reached a writer's
+    classifier — watermark-filtered replays plus (when ``combine`` is on)
+    lower-LSN duplicates collapsed by the combiner.
+
+    ``dry_run=True`` runs the full pipeline — pruning, shuffle, classify,
+    counters — but writes NOTHING (no partition files, no manifests, no
+    watermark advance): the sink-side what-would-change report. A lake
+    marked ``mark_protected`` refuses a mutating replay unless ``force=True``
+    (the reference's do-not-write guard, ``CKAN.py:431-460``).
+    ``audit_dir`` persists the run report + per-partition lineage as a JSON
+    audit file (K2 debug-dump analog). ``changes_dir`` additionally emits
+    the OUTBOUND change feed: per partition, one WAL-shaped parquet of the
+    rows this replay actually added/updated/deleted (no-ops suppressed —
+    the reference's debug dumps of changed records, ``CacheFiles.py``, as
+    a first-class CDC fan-out: the feed replays into another lake; see
+    :func:`read_changes`). ``auto_compact_bytes`` runs
+    :func:`compact` toward that per-partition target after a successful
+    mutating replay (post-commit maintenance; adds
+    ``partitions_after_compact`` to the report)."""
+    import ray.data as rd
+
+    spec = spec or transcripts_spec()
+    meta = lake_meta(lake_dir)
+    P = meta["num_partitions"]
+    from ..canonical import HASH_VERSION
+
+    lake_hash = meta.get("hash", HASH_VERSION)
+    if lake_hash != HASH_VERSION:
+        raise ValueError(
+            f"lake {lake_dir} was partitioned with hash '{lake_hash}' but this "
+            f"engine uses '{HASH_VERSION}' — re-init or migrate the lake "
+            "(partition assignment would silently mis-route keys otherwise)"
+        )
+    if meta.get("protected") and not (force or dry_run):
+        raise ProtectedLakeError(
+            f"lake {lake_dir} is marked protected (do-not-write); pass "
+            "force=True to override or dry_run=True for a what-would-change "
+            "report"
+        )
+    store = ManifestStore(lake_dir)
+
+    from ..sources import wal as wal_src
+
+    if isinstance(wal_paths, str):
+        wal_paths = (
+            wal_src.list_wal_chunks(wal_paths)
+            if os.path.isdir(wal_paths)
+            else [wal_paths]
+        )
+    # chunk-level resume: skip whole chunks committed on every partition
+    # using parquet FOOTER lsn stats only (no data read).
+    watermarks = store.watermarks()
+    live_paths, pruned_rows = wal_src.prune_committed_chunks(
+        wal_paths, watermarks, P, global_watermark=store.global_watermark()
+    )
+    if not live_paths:
+        total_wal = sum(pq.read_metadata(p).num_rows for p in wal_paths)
+        return {
+            "events": total_wal, "adds": 0, "updates": 0, "deletes": 0,
+            "noops": 0, "skipped": total_wal, "partitions_touched": 0,
+            "rows": ManifestStore(lake_dir).total_counts()["rows"],
+            "lsn_hi": max(watermarks.values(), default=-1),
+            "lineage": [],
+        }
+    if dry_run:  # read-only: no lock needed, safe beside a live writer
+        return _replay_execute(
+        lake_dir, spec, P, store, watermarks, live_paths, wal_paths,
+        salt=salt, hot_key_threshold=hot_key_threshold,
+        concurrency=concurrency, combine=combine, dry_run=dry_run,
+        audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
+        stats=stats, changes_dir=changes_dir,
+        )
+    with _LakeLock(lake_dir):
+        return _replay_execute(
+        lake_dir, spec, P, store, watermarks, live_paths, wal_paths,
+        salt=salt, hot_key_threshold=hot_key_threshold,
+        concurrency=concurrency, combine=combine, dry_run=dry_run,
+        audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
+        stats=stats, changes_dir=changes_dir,
+        )
 
 
 def follow(

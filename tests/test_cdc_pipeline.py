@@ -766,3 +766,51 @@ def test_cdc_relay_follow_chains_through_feed(ray_session, tmp_path):
     both = pa.concat_tables([ev1, ev2])
     assert cdc.read_lake_table(lake_a).equals(cg.oracle_replay(lake, both))
     assert cdc.read_lake_table(lake_b).equals(cdc.read_lake_table(lake_a))
+
+
+def test_lake_lock_blocks_concurrent_writers(ray_session, dirs, tmp_path):
+    """A live writer's lock makes a second mutating replay fail loudly
+    (racing replays would interleave partition rewrites); dry_run stays
+    readable beside it; a dead holder's lock is reclaimed."""
+    import json as _json
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=1500)
+
+    # plant a LIVE lock (our own pid is alive by definition)
+    lock_path = os.path.join(lake_dir, "_lock.json")
+    with open(lock_path, "w") as f:
+        _json.dump({"pid": os.getpid(), "started_utc": 0}, f)
+    with pytest.raises(cdc.LakeLockedError, match="live writer"):
+        cdc.replay(lake_dir, paths, spec)
+    # read-only dry run is allowed beside a live writer
+    rep = cdc.replay(lake_dir, paths, spec, dry_run=True)
+    assert rep["adds"] > 0
+
+    # dead-holder lock: reclaimed, replay proceeds, lock released after
+    with open(lock_path, "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "started_utc": 0}, f)
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["adds"] > 0
+    assert not os.path.exists(lock_path)
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_lake_lock_released_on_failure(ray_session, dirs, tmp_path):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=1000)
+    # poison one chunk so the replay raises mid-execution
+    bad = os.path.join(wal_dir, "chunk-zz-bad.parquet")
+    with open(bad, "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        cdc.replay(lake_dir, paths + [bad], spec)
+    # the context manager released the lock on the way out
+    assert not os.path.exists(os.path.join(lake_dir, "_lock.json"))
+    os.remove(bad)
+    rep = cdc.replay(lake_dir, paths, spec)  # lake still usable
+    assert rep["adds"] > 0
