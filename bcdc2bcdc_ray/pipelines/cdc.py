@@ -231,6 +231,24 @@ def read_changes(changes_dir: str) -> pa.Table:
     return out.sort_by(sort_keys)
 
 
+def read_changes_ds(changes_dir: str):
+    """Streaming read of an outbound change feed as a Ray Dataset — the
+    scale path for downstream consumers (the driver-side
+    :func:`read_changes` is for tests/small results). Files are
+    per-partition per-replay; consumers needing global LSN order sort the
+    Dataset (or, like ``replay`` itself, reduce LWW per key instead)."""
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(changes_dir, f)
+        for f in os.listdir(changes_dir)
+        if f.startswith("changes-") and f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no change files in {changes_dir}")
+    return rd.read_parquet(files)
+
+
 def read_lake(lake_dir: str):
     """Streaming read of the lake as a Ray Dataset (scale path). Drops the
     internal persisted-hash column."""
