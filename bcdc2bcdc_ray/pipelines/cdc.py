@@ -606,6 +606,8 @@ def _replay_execute(
     # saturate memory bandwidth (measured: 16 blocks beat 32 at 32 CPUs);
     # at real scale the bytes term dominates anyway.
     n_blocks = max(min(cluster_cpus, 16), total_bytes // (128 << 20), 1)
+    if os.environ.get("BCDC_READ_BLOCKS"):  # measured-override knob (bench)
+        n_blocks = int(os.environ["BCDC_READ_BLOCKS"])
     ds = rd.read_parquet(list(live_paths), override_num_blocks=n_blocks)
     ds = ds.map_batches(
         AssignPartition(spec, P, watermarks), batch_format="pyarrow"
