@@ -168,3 +168,17 @@ def test_corruption_fuzz_surfaces_only_valueerror():
             jpeg.decode_jpeg(bytes(b))
         except ValueError:
             pass
+
+
+def test_edge_dimensions_roundtrip():
+    # 1-pixel to just-past-MCU sizes, both subsamplings and grayscale —
+    # the block/chroma padding edges
+    rng = np.random.default_rng(0)
+    for h in (1, 2, 7, 8, 9, 17):
+        for w in (1, 3, 15, 16):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for sub in ("444", "420"):
+                out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=sub))
+                assert out.shape == (h, w, 3)
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90)).shape == (h, w, 3)
