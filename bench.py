@@ -83,6 +83,7 @@ QUERY_NAMES = [
     "ann_topk_multi",
     "multimodal_jpeg_decode",
     "multimodal_mp4_meta",
+    "cdc_change_feed",
 ]
 
 
