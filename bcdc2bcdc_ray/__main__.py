@@ -53,9 +53,16 @@ def _emit(report: dict) -> None:
 
 
 def cmd_init_lake(args) -> dict:
-    import pyarrow.parquet as pq
-
     from .pipelines import cdc
+
+    if args.streaming:
+        # 100-TB shape: snapshot streams through the distributed writer
+        rep = cdc.bootstrap_lake(
+            args.input, args.lake, _load_spec(args.spec), args.partitions
+        )
+        return {"cmd": "init-lake", "streaming": True,
+                "rows": rep["rows"], "partitions": args.partitions}
+    import pyarrow.parquet as pq
 
     table = pq.read_table(args.input)
     cdc.init_lake(table, args.lake, _load_spec(args.spec), args.partitions)
@@ -198,6 +205,11 @@ def build_parser() -> argparse.ArgumentParser:
     il.add_argument("--lake", required=True)
     il.add_argument("--spec")
     il.add_argument("--partitions", type=int, default=16)
+    il.add_argument(
+        "--streaming", action="store_true",
+        help="stream the snapshot through the distributed writer "
+             "(exactly-once, resumable) instead of loading it on the driver",
+    )
     il.set_defaults(fn=cmd_init_lake)
 
     rp = sub.add_parser("replay", help="replay WAL chunks against a lake")

@@ -184,6 +184,92 @@ def init_lake(
     ManifestStore(lake_dir)  # create _manifests/
 
 
+def bootstrap_lake(
+    source,
+    lake_dir: str,
+    spec: Optional[TableSpec] = None,
+    num_partitions: int = 64,
+    concurrency: Optional[int] = None,
+) -> dict:
+    """100-TB-shape initial load: STREAM the snapshot into a new lake
+    through the same distributed machinery as replay (AssignPartition →
+    one groupby shuffle → writer actor pool), instead of :func:`init_lake`'s
+    driver-side argsort (which is the fixture/tests path — it materializes
+    the whole snapshot in the driver process).
+
+    ``source`` is a Ray Dataset or parquet path(s). Rows become lsn=0
+    ``add`` events, so the load inherits replay's exactly-once semantics
+    for free: each partition's manifest commits watermark 0, a crashed
+    bootstrap rerun skips committed partitions (idempotent resume), and
+    the first real WAL replay (lsn ≥ 1) proceeds normally. Returns the
+    replay-shaped report."""
+    from ..canonical import HASH_VERSION
+    from ..stages.merge import LINEAGE_SCHEMA, bound_writer
+
+    spec = spec or transcripts_spec()
+    os.makedirs(lake_dir, exist_ok=True)
+    meta_path = os.path.join(lake_dir, "_meta.json")
+    if not os.path.exists(meta_path):  # idempotent re-run keeps the meta
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "num_partitions": num_partitions,
+                    "key": list(spec.key),
+                    "name": spec.name,
+                    "hash": HASH_VERSION,
+                },
+                f,
+            )
+        os.replace(meta_path + ".tmp", meta_path)
+    store = ManifestStore(lake_dir)
+
+    import ray
+    import ray.data as rd
+
+    ds = (
+        rd.read_parquet(source)
+        if isinstance(source, (str, list, tuple))
+        else source
+    )
+
+    def as_add_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        b = b.append_column("lsn", pa.array(np.zeros(n, np.int64)))
+        return b.append_column("op", pa.array(["add"] * n, pa.string()))
+
+    P = num_partitions
+    ds = ds.map_batches(as_add_events, batch_format="pyarrow")
+    ds = ds.map_batches(
+        AssignPartition(spec, P, store.watermarks()), batch_format="pyarrow"
+    )
+    cluster_cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    if concurrency is None:
+        concurrency = max(1, min(16, P // 2, cluster_cpus - 1))
+    with _LakeLock(lake_dir):
+        lineage_ds = ds.groupby(PART_COL).map_groups(
+            bound_writer(lake_dir, spec, False, None),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        batches = [
+            b
+            for b in lineage_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+    lineage = (
+        pa.concat_tables(batches) if batches else LINEAGE_SCHEMA.empty_table()
+    ).to_pandas()
+    report = {
+        k: int(lineage[k].sum())
+        for k in ("events", "adds", "updates", "deletes", "noops", "skipped")
+    }
+    report["partitions_touched"] = int(len(lineage))
+    report["rows"] = int(lineage["rows"].sum())
+    return report
+
+
 def read_lake_table(lake_dir: str) -> pa.Table:
     """Driver-side full read (tests / small results only): unify partition
     schemas (evolution may have touched only some partitions) and return one

@@ -814,3 +814,33 @@ def test_lake_lock_released_on_failure(ray_session, dirs, tmp_path):
     os.remove(bad)
     rep = cdc.replay(lake_dir, paths, spec)  # lake still usable
     assert rep["adds"] > 0
+
+
+def test_bootstrap_lake_streams_to_same_state_as_init(ray_session, tmp_path):
+    """Streaming initial load == driver-side init_lake, byte for byte; a
+    rerun is idempotent (watermark-0 resume); replaying real WAL on top
+    reaches the oracle state."""
+    import pyarrow.parquet as pq
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(150, seed=42)
+    snap = str(tmp_path / "snapshot.parquet")
+    pq.write_table(lake, snap)
+
+    ref_dir, boot_dir = str(tmp_path / "ref"), str(tmp_path / "boot")
+    cdc.init_lake(lake, ref_dir, spec, num_partitions=8)
+    rep = cdc.bootstrap_lake(snap, boot_dir, spec, num_partitions=8)
+    assert rep["adds"] == lake.num_rows and rep["deletes"] == 0
+    assert cdc.read_lake_table(boot_dir).equals(cdc.read_lake_table(ref_dir))
+
+    # idempotent rerun: everything watermark-filtered, nothing rewritten
+    rep2 = cdc.bootstrap_lake(snap, boot_dir, spec, num_partitions=8)
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+
+    # replay real WAL (lsn >= 1) on top of the bootstrapped lake
+    events = cg.gen_change_events(3000, 150, seed=43)
+    paths = cg.write_wal_chunks(events, str(tmp_path / "wal"), num_chunks=4)
+    cdc.replay(boot_dir, paths, spec)
+    assert cdc.read_lake_table(boot_dir).equals(cg.oracle_replay(lake, events))

@@ -126,3 +126,22 @@ def test_cli_follow_drains_wal_dir(capsys, workdir):
     assert cdc.read_lake_table(workdir["lake"]).equals(
         cg.oracle_replay(workdir["lake_table"], workdir["events"])
     )
+
+
+def test_cli_init_lake_streaming(capsys, workdir):
+    rep = _run(
+        capsys, "init-lake", "--streaming",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    assert rep["streaming"] is True
+    assert rep["rows"] == workdir["lake_table"].num_rows
+    rep2 = _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    assert rep2["adds"] > 0
+    assert cdc.read_lake_table(workdir["lake"]).equals(
+        cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    )
