@@ -226,11 +226,25 @@ def bootstrap_lake(
     import ray
     import ray.data as rd
 
-    ds = (
-        rd.read_parquet(source)
-        if isinstance(source, (str, list, tuple))
-        else source
+    cluster_cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     )
+    if isinstance(source, (str, list, tuple)):
+        # same explicit block sizing as replay: Ray's auto-split produced
+        # 372 blocks for a 1.4M-row snapshot and the sort shuffle is
+        # quadratic in block count (measured 16.6s wall on ~2s of CPU);
+        # max(CPUs, bytes/128MB) blocks sort the same data in ~3s
+        paths = [source] if isinstance(source, str) else list(source)
+        total_bytes = 0
+        for p in paths:
+            try:
+                total_bytes += os.path.getsize(p)
+            except OSError:
+                pass
+        n_blocks = max(min(cluster_cpus, 16), total_bytes // (128 << 20), 1)
+        ds = rd.read_parquet(paths, override_num_blocks=n_blocks)
+    else:
+        ds = source  # caller-built Dataset: caller controls block sizing
 
     def as_add_events(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -241,9 +255,6 @@ def bootstrap_lake(
     ds = ds.map_batches(as_add_events, batch_format="pyarrow")
     ds = ds.map_batches(
         AssignPartition(spec, P, store.watermarks()), batch_format="pyarrow"
-    )
-    cluster_cpus = (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     )
     if concurrency is None:
         concurrency = max(1, min(16, P // 2, cluster_cpus - 1))
