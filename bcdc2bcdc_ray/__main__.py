@@ -152,6 +152,24 @@ def cmd_query(args) -> dict:
     }
 
 
+def cmd_stats(args) -> dict:
+    from .pipelines import cdc
+
+    return {"cmd": "stats", **cdc.lake_stats(args.lake)}
+
+
+def cmd_lookup(args) -> dict:
+    from .pipelines import cdc
+
+    t = cdc.lookup(args.lake, args.key)
+    return {
+        "cmd": "lookup",
+        "key": args.key,
+        "rows": t.num_rows,
+        "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
+    }
+
+
 def cmd_list_queries(_args) -> dict:
     from .pipelines.queries import oracle_sql, queries
 
@@ -246,6 +264,15 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     qr.add_argument("--out")
     qr.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("stats", help="lake summary from metadata only")
+    st.add_argument("--lake", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    lk = sub.add_parser("lookup", help="O(1)-file point read by partition key")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", required=True)
+    lk.set_defaults(fn=cmd_lookup)
 
     lq = sub.add_parser("list-queries", help="list registered pipelines")
     lq.set_defaults(fn=cmd_list_queries)

@@ -328,6 +328,56 @@ def read_changes(changes_dir: str) -> pa.Table:
     return out.sort_by(sort_keys)
 
 
+def lookup(lake_dir: str, key_value) -> pa.Table:
+    """O(1)-file point read (the reference's single-package GET,
+    ``CKAN.py`` package_show analog): hash the partition key value with the
+    lake's own partitioner, read ONLY that partition's file, filter to the
+    key. At any lake size this touches one file — no scan, no shuffle."""
+    meta = lake_meta(lake_dir)
+    key_col = meta["key"][0]
+    probe = pa.table({key_col: pa.array([key_value])})
+    pid = int(partition_ids(probe, [key_col], meta["num_partitions"])[0])
+    p = partition_path(lake_dir, pid)
+    from ..canonical import HASH_COL
+
+    if not os.path.exists(p):
+        return transcripts_spec().schema.empty_table()
+    t = pq.read_table(p)
+    if HASH_COL in t.column_names:
+        t = t.drop_columns([HASH_COL])
+    return t.filter(pc.equal(t.column(key_col), key_value)).replace_schema_metadata(None)
+
+
+def lake_stats(lake_dir: str) -> dict:
+    """Operational summary from METADATA only (no data read): partition
+    count, rows/bytes per the parquet footers, watermark spread, committed
+    counters — the reference's update-report rollup as an O(P) footer scan."""
+    meta = lake_meta(lake_dir)
+    store = ManifestStore(lake_dir)
+    wms = store.watermarks()
+    rows = 0
+    bytes_ = 0
+    files = 0
+    for pid in range(meta["num_partitions"]):
+        p = partition_path(lake_dir, pid)
+        if os.path.exists(p):
+            rows += pq.read_metadata(p).num_rows
+            bytes_ += os.path.getsize(p)
+            files += 1
+    return {
+        "name": meta["name"],
+        "num_partitions": meta["num_partitions"],
+        "files": files,
+        "rows": rows,
+        "bytes": bytes_,
+        "watermark_min": min(wms.values(), default=-1),
+        "watermark_max": max(wms.values(), default=-1),
+        "global_watermark": store.global_watermark(),
+        "counters": store.total_counts(),
+        "protected": bool(meta.get("protected", False)),
+    }
+
+
 def read_changes_ds(changes_dir: str):
     """Streaming read of an outbound change feed as a Ray Dataset — the
     scale path for downstream consumers (the driver-side

@@ -145,3 +145,42 @@ def test_cli_init_lake_streaming(capsys, workdir):
     assert cdc.read_lake_table(workdir["lake"]).equals(
         cg.oracle_replay(workdir["lake_table"], workdir["events"])
     )
+
+
+def test_cli_stats_and_lookup(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    full = cdc.read_lake_table(workdir["lake"])
+
+    # stats: footer-only rollup agrees with the actual lake contents
+    rep = _run(capsys, "stats", "--lake", workdir["lake"])
+    assert rep["rows"] == full.num_rows
+    assert rep["files"] == rep["num_partitions"] == 8
+    # per-partition watermarks may lag the global (a partition's watermark
+    # is the max LSN routed to it), never exceed it
+    assert rep["watermark_min"] <= rep["watermark_max"] == rep["global_watermark"]
+    assert rep["counters"]["adds"] > 0
+
+    # lookup: one-file point read equals the driver-side filter of the lake
+    key = full.column("conv_id")[0].as_py()
+    rep = _run(capsys, "lookup", "--lake", workdir["lake"], "--key", key)
+    import pyarrow.compute as pc
+
+    expect = full.filter(pc.equal(full.column("conv_id"), key))
+    assert rep["rows"] == expect.num_rows > 0
+    got = cdc.lookup(workdir["lake"], key).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.equals(expect)
+
+    # lookup of an absent key is empty, still one-file
+    rep = _run(capsys, "lookup", "--lake", workdir["lake"], "--key", "conv-zz")
+    assert rep["rows"] == 0
