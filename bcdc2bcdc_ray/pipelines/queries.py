@@ -108,12 +108,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_topk_multi",
     # new round-3 CDC surface (the driver row matters most for new code)
     "cdc_change_feed",
+    # round-3 MP4 container parse (its only chance at a driver row —
+    # registered last thematically, so pin it into the window)
+    "multimodal_mp4_meta",
     # already-driver-green anchors (regression coverage inside the window);
-    # exact_dedup and cdc_delta_classify yielded their slots to the new
-    # multimodal_jpeg_decode / cdc_change_feed rows
+    # exact_dedup, cdc_delta_classify and minhash_lsh_pairs yielded their
+    # slots to the new multimodal_jpeg_decode / cdc_change_feed /
+    # multimodal_mp4_meta rows
     "cdc_lww_merge",
     "cdc_merge_apply",
-    "minhash_lsh_pairs",
 )
 
 
