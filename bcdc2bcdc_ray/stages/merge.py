@@ -204,7 +204,19 @@ def bound_writer(
     fail because a driver-held argument ref went out of scope (Ray's
     ``core_worker.cc`` warning for ``max_restarts > 0`` actors, ray#53727)
     — the restart path is exactly the crash-recovery window the
-    exactly-once claim leans on."""
+    exactly-once claim leans on.
+
+    Note: Ray 2.49 still logs the core_worker.cc:2246 warning once per
+    actor-pool stage. That instance is upstream, not ours: Ray Data's
+    ``ActorPoolMapOperator._start_actor`` passes its OWN serialized
+    ``map_transformer`` to every ``MapWorker`` by object-store ref, so the
+    warning fires even for ``range(10).map_batches(TrivialCls,
+    concurrency=1)`` with zero user constructor args. It is benign for
+    Dataset pipelines (the operator pins ``self._map_transformer`` for the
+    whole execution, so the ref cannot go out of scope while restarts can
+    still happen); the only way to silence it is ``max_restarts=0``, which
+    would disable the in-run actor recovery the crash test
+    (test_exactly_once_survives_writer_crash) exercises."""
 
     class _BoundMergeWriter(MergeWriter):
         def __init__(self):
