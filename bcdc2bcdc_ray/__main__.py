@@ -84,6 +84,7 @@ def cmd_replay(args) -> dict:
         auto_compact_bytes=args.auto_compact_bytes,
         stats=args.stats,
         changes_dir=args.changes_dir,
+        changes_before=args.changes_before,
     )
     rep.pop("lineage", None)  # per-partition rows go to --audit-dir, not stdout
     return {"cmd": "replay", **rep}
@@ -170,6 +171,24 @@ def cmd_lookup(args) -> dict:
     }
 
 
+def cmd_create_view(args) -> dict:
+    from .pipelines import view
+
+    aggs = [view.AggSpec(*a.split(":")) for a in args.agg]
+    rep = view.create_view(
+        args.view, args.lake, args.group_by.split(","), aggs,
+        num_partitions=args.partitions,
+    )
+    rep.pop("consumed", None)
+    return {"cmd": "create-view", **rep}
+
+
+def cmd_refresh_view(args) -> dict:
+    from .pipelines import view
+
+    return {"cmd": "refresh-view", **view.refresh_view(args.view, args.changes_dir)}
+
+
 def cmd_list_queries(_args) -> dict:
     from .pipelines.queries import oracle_sql, queries
 
@@ -240,6 +259,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--force", action="store_true")
     rp.add_argument("--audit-dir")
     rp.add_argument("--changes-dir", help="emit the outbound CDC change feed here")
+    rp.add_argument(
+        "--changes-before", action="store_true",
+        help="add before_* pre-image columns to the feed (view maintenance)",
+    )
     rp.add_argument("--auto-compact-bytes", type=int)
     rp.add_argument("--stats", action="store_true")
     rp.set_defaults(fn=cmd_replay)
@@ -273,6 +296,26 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--key", required=True)
     lk.set_defaults(fn=cmd_lookup)
+
+    cv = sub.add_parser(
+        "create-view", help="build an incremental aggregate view over a lake"
+    )
+    cv.add_argument("--view", required=True)
+    cv.add_argument("--lake", required=True)
+    cv.add_argument("--group-by", required=True, help="comma-separated columns")
+    cv.add_argument(
+        "--agg", action="append", default=[],
+        help="out:kind[:col], kind in count|sum|sum_len (repeatable)",
+    )
+    cv.add_argument("--partitions", type=int)
+    cv.set_defaults(fn=cmd_create_view)
+
+    rv = sub.add_parser(
+        "refresh-view", help="fold fresh change-feed files into a view"
+    )
+    rv.add_argument("--view", required=True)
+    rv.add_argument("--changes-dir", required=True)
+    rv.set_defaults(fn=cmd_refresh_view)
 
     lq = sub.add_parser("list-queries", help="list registered pipelines")
     lq.set_defaults(fn=cmd_list_queries)

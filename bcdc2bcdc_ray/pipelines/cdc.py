@@ -724,7 +724,7 @@ class AssignPartition:
 def _replay_execute(
     lake_dir, spec, P, store, watermarks, live_paths, wal_paths, *,
     salt, hot_key_threshold, concurrency, combine, dry_run, audit_dir,
-    auto_compact_bytes, stats, changes_dir,
+    auto_compact_bytes, stats, changes_dir, changes_before,
 ):
     """The mutating half of :func:`replay` — runs under the lake lock
     (non-dry-run) so concurrent replays cannot interleave partition
@@ -792,7 +792,7 @@ def _replay_execute(
     from ..stages.merge import bound_writer
 
     lineage_ds = ds.groupby(PART_COL).map_groups(
-        bound_writer(lake_dir, spec, dry_run, changes_dir),
+        bound_writer(lake_dir, spec, dry_run, changes_dir, changes_before),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -863,6 +863,7 @@ def replay(
     auto_compact_bytes: Optional[int] = None,
     stats: bool = False,
     changes_dir: Optional[str] = None,
+    changes_before: bool = False,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
@@ -892,7 +893,10 @@ def replay(
     rows this replay actually added/updated/deleted (no-ops suppressed —
     the reference's debug dumps of changed records, ``CacheFiles.py``, as
     a first-class CDC fan-out: the feed replays into another lake; see
-    :func:`read_changes`). ``auto_compact_bytes`` runs
+    :func:`read_changes`). ``changes_before=True`` adds Debezium-style
+    ``before_<col>`` pre-image columns to the feed (null for adds) —
+    required by incremental view maintenance (``pipelines/view.py``).
+    ``auto_compact_bytes`` runs
     :func:`compact` toward that per-partition target after a successful
     mutating replay (post-commit maintenance; adds
     ``partitions_after_compact`` to the report)."""
@@ -947,7 +951,7 @@ def replay(
         salt=salt, hot_key_threshold=hot_key_threshold,
         concurrency=concurrency, combine=combine, dry_run=dry_run,
         audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
-        stats=stats, changes_dir=changes_dir,
+        stats=stats, changes_dir=changes_dir, changes_before=changes_before,
         )
     with _LakeLock(lake_dir):
         return _replay_execute(
@@ -955,7 +959,7 @@ def replay(
         salt=salt, hot_key_threshold=hot_key_threshold,
         concurrency=concurrency, combine=combine, dry_run=dry_run,
         audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
-        stats=stats, changes_dir=changes_dir,
+        stats=stats, changes_dir=changes_dir, changes_before=changes_before,
         )
 
 

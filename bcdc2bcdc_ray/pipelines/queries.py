@@ -111,11 +111,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-3 MP4 container parse (its only chance at a driver row —
     # registered last thematically, so pin it into the window)
     "multimodal_mp4_meta",
-    # already-driver-green anchors (regression coverage inside the window);
-    # exact_dedup, cdc_delta_classify and minhash_lsh_pairs yielded their
-    # slots to the new multimodal_jpeg_decode / cdc_change_feed /
-    # multimodal_mp4_meta rows
-    "cdc_lww_merge",
+    # round-3 incremental materialized view (new code needs the driver row)
+    "incremental_view_rollup",
+    # already-driver-green anchor (regression coverage inside the window);
+    # exact_dedup, cdc_delta_classify, minhash_lsh_pairs and cdc_lww_merge
+    # yielded their slots to the new multimodal_jpeg_decode /
+    # cdc_change_feed / multimodal_mp4_meta / incremental_view_rollup rows
     "cdc_merge_apply",
 )
 
@@ -3488,6 +3489,63 @@ def cdc_change_feed(sf_dir: str):
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec, changes_dir=changes)
         return cdc.read_changes(changes)
+
+
+def _view_rollup_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """Grouped re-aggregation OVER the replay oracle's final state — the
+    incremental view must land on exactly what a full recompute of the
+    post-replay lake produces."""
+    return f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+           CAST(sum(turn_idx) AS BIGINT) AS sum_turn
+    FROM ({_replay_oracle_sql(lake_path, wal_path)})
+    GROUP BY conv_id
+    """
+
+
+@q(
+    "incremental_view_rollup",
+    _view_rollup_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+)
+def incremental_view_rollup(sf_dir: str):
+    """Incremental materialized-view maintenance (pipelines/view.py): build
+    a per-conversation rollup (count / sum-of-text-length / sum(turn_idx))
+    from the fixture lake, replay the fixture WAL with the PRE-IMAGE change
+    feed enabled, then fold ONLY the feed's signed deltas into the view —
+    no re-aggregation of the lake. The SQL oracle recomputes the rollup
+    from the replayed final state, so a hash match proves the incremental
+    path lands bit-identical to a full recompute. Refresh cost is
+    O(change volume): feed partials → one group-key hash exchange → only
+    touched view partitions rewritten (the 100 TB shape; the reference
+    recomputes its report rollups from full state each run,
+    ``bcdc2bcdc/CKANData.py:1249-1254``)."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txvw_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        view.create_view(
+            os.path.join(tmp, "view"),
+            lake_dir,
+            ["conv_id"],
+            [
+                view.AggSpec("n_rows", "count"),
+                view.AggSpec("n_chars", "sum_len", "text"),
+                view.AggSpec("sum_turn", "sum", "turn_idx"),
+            ],
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+        view.refresh_view(os.path.join(tmp, "view"), changes)
+        return view.read_view(os.path.join(tmp, "view"))
 
 
 _TOOL_REMAP = {

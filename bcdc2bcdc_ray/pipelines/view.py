@@ -1,0 +1,542 @@
+"""Incremental materialized-view maintenance over the outbound CDC feed.
+
+The downstream half of CDC: ``replay(..., changes_dir=..., changes_before=
+True)`` emits a no-op-suppressed feed with Debezium-style pre-images;
+this module keeps a grouped aggregate table (a "view") continuously
+consistent with the lake by folding SIGNED DELTAS derived from that feed —
+``add → +after``, ``delete → -before``, ``update → after - before`` —
+instead of re-aggregating the lake. The reference recomputes its report
+rollups from full state each run (``/root/reference/bcdc2bcdc/CKANData.py:1249-1254``,
+the update-report counters); at 100 TB a per-run full groupby is a
+full-lake pass, while this refresh costs O(change volume): the feed is
+partially aggregated per block (tiny), one hash exchange routes group
+deltas to view partitions, and ONLY touched view partitions are rewritten.
+
+Supported aggregates are the distributive ones that admit retraction:
+``count``, ``sum(col)`` and ``sum_len(col)`` (sum of string lengths) —
+plus anything derivable from them at read time (mean = sum/count). Every
+view carries an ``n_rows`` count; a group whose count folds to zero is
+dropped (all its rows deleted).
+
+Exactly-once, crash-safe by construction:
+
+- a feed FILE is the atomic unit: delta rows are tagged with their source
+  file's ``(src_pid, lsn_hi)`` (parsed from the committed filename) and
+  partially aggregated per ``(group, src_pid, lsn_hi)``;
+- each view partition's parquet file stores, in its SCHEMA METADATA, the
+  per-source-partition lsn watermark vector of everything folded into it.
+  Data + watermark commit as ONE ``os.replace`` — a task retry or crash
+  can never produce a partition whose data and watermark disagree (an
+  additive fold, unlike the lake's LWW merge, is not naturally idempotent,
+  so the two must be a single atomic object);
+- the writer drops incoming delta rows whose ``lsn_hi`` is already covered
+  by its own vector, so re-running a partially-committed refresh (same
+  files re-selected, routing is deterministic by group-key hash) is a
+  no-op on partitions that already applied them;
+- a view-level ``_consumed.json`` cursor (committed only after the whole
+  refresh succeeds) prunes fully-applied files from ever being read again.
+
+On a multi-node cluster the same layout works on shared storage: writers
+are per-partition (no cross-writer contention) and the cursor is a single
+small JSON committed by the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..canonical import HASH_VERSION, partition_ids
+from ..state.manifest import atomic_write_parquet
+
+VIEW_PART = "__vpart"
+SRC_PID = "__src_pid"
+SRC_LSN = "__src_lsn"
+_APPLIED_KEY = b"view_applied"
+_FEED_RE = re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int64()),
+        ("delta_rows", pa.int64()),
+        ("applied_rows", pa.int64()),
+        ("rows", pa.int64()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One view aggregate: ``kind`` ∈ count | sum | sum_len."""
+
+    out: str
+    kind: str
+    col: str | None = None
+
+    def to_json(self) -> dict:
+        return {"out": self.out, "kind": self.kind, "col": self.col}
+
+
+def _view_path(view_dir: str, pid: int) -> str:
+    return os.path.join(view_dir, f"part-{pid:05d}.parquet")
+
+
+def view_meta(view_dir: str) -> dict:
+    with open(os.path.join(view_dir, "_view_meta.json")) as f:
+        return json.load(f)
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _consumed_path(view_dir: str) -> str:
+    return os.path.join(view_dir, "_consumed.json")
+
+
+def _load_consumed(view_dir: str) -> dict[int, int]:
+    p = _consumed_path(view_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
+    if agg.kind in ("count", "sum_len"):
+        return pa.int64()
+    t = schema.field(agg.col).type
+    return pa.float64() if pa.types.is_floating(t) else pa.int64()
+
+
+def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
+    for a in aggs:
+        if a.kind not in ("count", "sum", "sum_len"):
+            raise ValueError(f"unsupported agg kind {a.kind!r} ({a.out})")
+        if a.kind == "count":
+            continue
+        if a.col is None or a.col not in schema.names:
+            raise ValueError(f"agg {a.out}: unknown column {a.col!r}")
+        t = schema.field(a.col).type
+        if a.kind == "sum" and not (
+            pa.types.is_integer(t) or pa.types.is_floating(t)
+        ):
+            raise ValueError(f"agg {a.out}: sum needs a numeric column, got {t}")
+        if a.kind == "sum_len" and not (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            raise ValueError(f"agg {a.out}: sum_len needs a string/binary column")
+
+
+def _contribution(
+    batch: pa.Table, agg: AggSpec, col_prefix: str, out_type: pa.DataType
+) -> pa.Array:
+    """Unsigned per-row contribution of one side (after or before image)."""
+    n = batch.num_rows
+    if agg.kind == "count":
+        return pa.array(np.ones(n, dtype=np.int64), out_type)
+    col = batch.column(f"{col_prefix}{agg.col}")
+    if agg.kind == "sum_len":
+        vals = pc.fill_null(pc.utf8_length(col), 0)
+        return pc.cast(vals, out_type)
+    return pc.cast(pc.fill_null(col, 0), out_type)
+
+
+def _signed_deltas(
+    feed: pa.Table,
+    group_by: list[str],
+    aggs: list[AggSpec],
+    out_types: list,
+    key_cols: set[str],
+) -> pa.Table:
+    """Feed rows → signed per-row delta columns + group keys.
+
+    add: +after; delete: -before; update: after - before. Group keys come
+    from the feed's (coalesced) key columns, valid for every op. For a
+    source KEY column the pre-image is the plain column itself (keys are
+    immutable per row and emitted for every op, deletes included); only
+    non-key payload needs the ``before_`` envelope."""
+    op = feed.column("op")
+    is_add = pc.equal(op, "add")
+    is_del = pc.equal(op, "delete")
+    cols: dict = {g: feed.column(g) for g in group_by}
+    for agg, ot in zip(aggs, out_types):
+        after = _contribution(feed, agg, "", ot)
+        pre = "" if (agg.col in key_cols) else "before_"
+        before = _contribution(feed, agg, pre, ot)
+        # add → after; delete → -before; update → after - before
+        delta = pc.if_else(
+            is_add, after, pc.if_else(is_del, pc.negate_checked(before), pc.subtract_checked(after, before))
+        )
+        cols[agg.out] = pc.cast(delta, ot)
+    return pa.table(cols)
+
+
+def _fold(
+    table: pa.Table, group_by: list[str], agg_names: list[str]
+) -> pa.Table:
+    """Sum agg columns per group (arrow hash aggregate), restoring names."""
+    folded = table.group_by(group_by).aggregate(
+        [(c, "sum") for c in agg_names]
+    )
+    return folded.rename_columns(group_by + agg_names).select(
+        group_by + agg_names
+    )
+
+
+def _read_view_partition(path: str, schema: pa.Schema):
+    """(table, applied_vector) — applied comes from the file's own schema
+    metadata so data+watermark are always mutually consistent."""
+    if not os.path.exists(path):
+        return schema.empty_table(), {}
+    t = pq.read_table(path)
+    meta = t.schema.metadata or {}
+    applied = {
+        int(k): int(v)
+        for k, v in json.loads(meta.get(_APPLIED_KEY, b"{}")).items()
+    }
+    return t.replace_schema_metadata(None), applied
+
+
+class ViewWriter:
+    """Actor-pool callable for ``groupby(VIEW_PART).map_groups`` — folds one
+    view partition's delta rows into its file. Stateful setup (meta parse,
+    schema build) once per actor; zero constructor args via
+    :func:`bound_view_writer` (same restart-safety reasoning as
+    ``stages/merge.bound_writer``)."""
+
+    def __init__(self, view_dir: str):
+        self.view_dir = view_dir
+        m = view_meta(view_dir)
+        self.group_by: list[str] = m["group_by"]
+        self.agg_names: list[str] = [a["out"] for a in m["aggs"]]
+        self.schema = pa.schema(
+            [(g, _type_from_str(t)) for g, t in m["group_types"]]
+            + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        pid = int(group.column(VIEW_PART)[0].as_py())
+        path = _view_path(self.view_dir, pid)
+        current, applied = _read_view_partition(path, self.schema)
+
+        # file-level idempotence: drop delta rows from source files this
+        # partition already folded (crash-rerun window)
+        src_pid = group.column(SRC_PID).to_numpy(zero_copy_only=False)
+        src_lsn = group.column(SRC_LSN).to_numpy(zero_copy_only=False)
+        if applied:
+            hi = np.full(int(max(max(applied), src_pid.max())) + 1, -1, dtype=np.int64)
+            for k, v in applied.items():
+                hi[k] = v
+            fresh = src_lsn > hi[src_pid]
+        else:
+            fresh = np.ones(len(src_pid), dtype=bool)
+        n_in = group.num_rows
+        deltas = group.filter(pa.array(fresh))
+        n_fresh = deltas.num_rows
+
+        if n_fresh:
+            for p, l in zip(
+                deltas.column(SRC_PID).to_numpy(zero_copy_only=False),
+                deltas.column(SRC_LSN).to_numpy(zero_copy_only=False),
+            ):
+                if int(l) > applied.get(int(p), -1):
+                    applied[int(p)] = int(l)
+            deltas = deltas.select(self.group_by + self.agg_names).cast(
+                current.schema
+            )
+            merged = _fold(
+                pa.concat_tables([current, deltas]),
+                self.group_by,
+                self.agg_names,
+            )
+            counts = merged.column("n_rows")
+            if pc.min(counts).as_py() < 0:
+                raise RuntimeError(
+                    f"view partition {pid}: negative group count — "
+                    "feed applied out of order or double-retracted"
+                )
+            merged = merged.filter(pc.greater(counts, 0)).sort_by(
+                [(g, "ascending") for g in self.group_by]
+            )
+            merged = merged.replace_schema_metadata(
+                {_APPLIED_KEY: json.dumps(applied).encode()}
+            )
+            atomic_write_parquet(merged, path)
+            rows = merged.num_rows
+        else:
+            rows = current.num_rows
+        return pa.table(
+            {
+                "partition": [pid],
+                "delta_rows": [n_in],
+                "applied_rows": [n_fresh],
+                "rows": [rows],
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+
+def _type_from_str(s: str) -> pa.DataType:
+    fixed = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "timestamp[us]": pa.timestamp("us"),
+    }
+    return fixed[s] if s in fixed else pa.type_for_alias(s)
+
+
+def bound_view_writer(view_dir: str) -> type:
+    class _BoundViewWriter(ViewWriter):
+        def __init__(self):
+            super().__init__(view_dir)
+
+    return _BoundViewWriter
+
+
+def _writer_concurrency(P: int) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(8, P, cpus - 1))
+
+
+def create_view(
+    view_dir: str,
+    lake_dir: str,
+    group_by: list[str],
+    aggs: list[AggSpec],
+    num_partitions: int | None = None,
+) -> dict:
+    """Build the initial aggregate from the lake (one distributed pass) and
+    record the lake's per-partition feed watermarks as the view's consumed
+    cursor — feed files at or below it are already reflected in this
+    snapshot and will never be re-read. Takes the lake's writer lock so a
+    concurrent replay cannot slide state under the snapshot."""
+    import ray.data as rd
+
+    from ..state.manifest import ManifestStore
+    from . import cdc
+
+    meta = cdc.lake_meta(lake_dir)
+    aggs = list(aggs)
+    if not any(a.kind == "count" for a in aggs):
+        aggs.insert(0, AggSpec("n_rows", "count"))
+    if aggs[0].out != "n_rows" or aggs[0].kind != "count":
+        # normalize: the liveness count is always present and named n_rows
+        aggs = [AggSpec("n_rows", "count")] + [
+            a for a in aggs if a.kind != "count"
+        ]
+
+    with cdc._LakeLock(lake_dir):
+        store = ManifestStore(lake_dir)
+        consumed = dict(store.watermarks())
+        paths = [
+            cdc.partition_path(lake_dir, pid)
+            for pid in range(meta["num_partitions"])
+            if os.path.exists(cdc.partition_path(lake_dir, pid))
+        ]
+        if not paths:
+            raise FileNotFoundError(f"empty lake {lake_dir}")
+        schema = pq.read_schema(paths[0])
+        _validate_aggs(aggs, schema)
+        for g in group_by:
+            if g not in schema.names:
+                raise ValueError(f"unknown group column {g!r}")
+        out_types = [_agg_out_type(a, schema) for a in aggs]
+        P = num_partitions or meta["num_partitions"]
+
+        os.makedirs(view_dir, exist_ok=True)
+        _atomic_json(
+            os.path.join(view_dir, "_view_meta.json"),
+            {
+                "name": f"{meta['name']}_view",
+                "source_lake": os.path.abspath(lake_dir),
+                "source_key": list(meta["key"]),
+                "group_by": list(group_by),
+                "aggs": [a.to_json() for a in aggs],
+                "group_types": [
+                    [g, str(schema.field(g).type)] for g in group_by
+                ],
+                "agg_types": [
+                    [a.out, str(t)] for a, t in zip(aggs, out_types)
+                ],
+                "num_partitions": P,
+                "hash": HASH_VERSION,
+            },
+        )
+
+        need = set(group_by) | {a.col for a in aggs if a.col}
+        ds = rd.read_parquet(paths, columns=sorted(need))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_delta_table(group_by, aggs, out_types, schema)
+            cols: dict = {g: batch.column(g) for g in group_by}
+            for agg, ot in zip(aggs, out_types):
+                cols[agg.out] = _contribution(batch, agg, "", ot)
+            t = _fold(pa.table(cols), group_by, [a.out for a in aggs])
+            vp = partition_ids(t, [group_by[0]], P)
+            t = t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
+            # initial build: tag as source (-1, -1); nothing to filter against
+            t = t.append_column(SRC_PID, pa.array(np.full(t.num_rows, -1), pa.int64()))
+            return t.append_column(SRC_LSN, pa.array(np.full(t.num_rows, -1), pa.int64()))
+
+        lineage = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(VIEW_PART)
+            .map_groups(
+                bound_view_writer(view_dir),
+                batch_format="pyarrow",
+                concurrency=_writer_concurrency(P),
+            )
+            .take_all()
+        )
+        _atomic_json(
+            _consumed_path(view_dir),
+            {str(k): int(v) for k, v in consumed.items()},
+        )
+    rows = sum(r["rows"] for r in lineage)
+    return {"view_rows": rows, "partitions": P, "consumed": consumed}
+
+
+def _empty_delta_table(group_by, aggs, out_types, schema) -> pa.Table:
+    fields = [(g, schema.field(g).type) for g in group_by]
+    fields += [(a.out, t) for a, t in zip(aggs, out_types)]
+    fields += [(VIEW_PART, pa.int64()), (SRC_PID, pa.int64()), (SRC_LSN, pa.int64())]
+    return pa.schema(fields).empty_table()
+
+
+def refresh_view(view_dir: str, changes_dir: str) -> dict:
+    """Fold every not-yet-consumed feed file into the view. Streaming shape:
+    read only fresh feed files (columns pruned to keys + needed payload +
+    pre-images), partial-aggregate per block, ONE hash exchange on the
+    group key, per-partition fold — cost proportional to the change volume,
+    never to the view or lake size."""
+    import ray.data as rd
+
+    m = view_meta(view_dir)
+    group_by: list[str] = m["group_by"]
+    aggs = [AggSpec(**a) for a in m["aggs"]]
+    out_types = [_type_from_str(t) for _, t in m["agg_types"]]
+    P = int(m["num_partitions"])
+
+    consumed = _load_consumed(view_dir)
+    picked: list[tuple[str, int, int]] = []
+    for fn in sorted(os.listdir(changes_dir)):
+        mm = _FEED_RE.search(fn)
+        if not mm:
+            continue
+        src_pid, lsn_hi = int(mm.group(1)), int(mm.group(2))
+        if lsn_hi > consumed.get(src_pid, -1):
+            picked.append((os.path.join(changes_dir, fn), src_pid, lsn_hi))
+    if not picked:
+        return {"files": 0, "applied_rows": 0, "view_rows": None}
+
+    feed_schema = pq.read_schema(picked[0][0])
+    key_cols = set(m.get("source_key", []))
+    need_payload = {a.col for a in aggs if a.col}
+    missing = {
+        f"before_{c}" for c in need_payload - key_cols
+    } - set(feed_schema.names)
+    if missing:
+        raise ValueError(
+            f"feed lacks pre-image columns {sorted(missing)} — emit it with "
+            "replay(..., changes_dir=..., changes_before=True)"
+        )
+    cols = (
+        ["op"]
+        + group_by
+        + sorted(need_payload - set(group_by))
+        + sorted(f"before_{c}" for c in need_payload - key_cols)
+    )
+    by_file = {p: (sp, lh) for p, sp, lh in picked}
+    ds = rd.read_parquet(list(by_file), columns=cols, include_paths=True)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_delta_table(
+                group_by,
+                aggs,
+                out_types,
+                pa.schema([(g, _type_from_str(t)) for g, t in m["group_types"]]),
+            )
+        # vectorized path → (src_pid, lsn) tagging: dictionary-encode the
+        # path column, map only the (few) unique file paths through Python
+        enc = pc.dictionary_encode(batch.column("path").combine_chunks())
+        uniq = np.array(
+            [by_file[p] for p in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        t = _signed_deltas(batch, group_by, aggs, out_types, key_cols)
+        t = t.append_column(SRC_PID, pa.array(uniq[idx, 0], pa.int64()))
+        t = t.append_column(SRC_LSN, pa.array(uniq[idx, 1], pa.int64()))
+        t = _fold(
+            t,
+            group_by + [SRC_PID, SRC_LSN],
+            [a.out for a in aggs],
+        )
+        vp = partition_ids(t, [group_by[0]], P)
+        return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
+
+    lineage = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(VIEW_PART)
+        .map_groups(
+            bound_view_writer(view_dir),
+            batch_format="pyarrow",
+            concurrency=_writer_concurrency(P),
+        )
+        .take_all()
+    )
+    # cursor commit LAST: only after every touched partition durably folded
+    for _, sp, lh in picked:
+        if lh > consumed.get(sp, -1):
+            consumed[sp] = lh
+    _atomic_json(
+        _consumed_path(view_dir), {str(k): int(v) for k, v in consumed.items()}
+    )
+    return {
+        "files": len(picked),
+        "delta_rows": int(sum(r["delta_rows"] for r in lineage)),
+        "applied_rows": int(sum(r["applied_rows"] for r in lineage)),
+        "partitions_touched": len(lineage),
+        "view_rows": int(sum(r["rows"] for r in lineage)),
+    }
+
+
+def read_view(view_dir: str) -> pa.Table:
+    """Driver-side full read (tests / small results): concat partitions,
+    sorted by the group key."""
+    m = view_meta(view_dir)
+    parts = []
+    for pid in range(int(m["num_partitions"])):
+        p = _view_path(view_dir, pid)
+        if os.path.exists(p):
+            t = pq.read_table(p).replace_schema_metadata(None)
+            if t.num_rows:
+                parts.append(t)
+    if not parts:
+        return pa.schema(
+            [(g, _type_from_str(t)) for g, t in m["group_types"]]
+            + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
+        ).empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [(g, "ascending") for g in m["group_by"]]
+    )

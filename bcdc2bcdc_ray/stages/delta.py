@@ -261,7 +261,12 @@ def _resolve_add_conflicts(out: pa.Table, ops: pa.ChunkedArray, spec: TableSpec)
     )
 
 
-def change_feed(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa.Table:
+def change_feed(
+    joined: pa.Table,
+    data_schema: pa.Schema,
+    spec: TableSpec,
+    before: bool = False,
+) -> pa.Table:
     """Materialize the partition's OUTBOUND change feed from the classified
     join: one WAL-shaped row per ADD/UPDATE/DELETE — ``(lsn, op, *key,
     *data)`` with the incoming payload for add/update and null payload for
@@ -271,7 +276,15 @@ def change_feed(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa
     consumer: the feed is exactly what CHANGED, already deduplicated and
     LWW-reduced. Because the shape matches the inbound WAL, the feed can
     chain straight into another engine's ``replay`` (CDC fan-out) —
-    pinned by test_change_feed_chains_to_identical_lake."""
+    pinned by test_change_feed_chains_to_identical_lake.
+
+    ``before=True`` additionally emits the PRE-IMAGE of every non-key data
+    column as ``before_<col>`` (null for adds) — a Debezium-style
+    before/after envelope. Pre-images make the feed sufficient for
+    downstream INCREMENTAL aggregation (``pipelines/view.py``): an
+    update's/delete's old contribution can be retracted without consulting
+    the lake. They are free to produce — the classified join already holds
+    the lake side of every changed row."""
     op = joined.column(OP_COL)
     emit = pc.is_in(op, value_set=pa.array([ADD, UPDATE, DELETE], pa.int8()))
     sel = joined.filter(emit)
@@ -295,11 +308,18 @@ def change_feed(joined: pa.Table, data_schema: pa.Schema, spec: TableSpec) -> pa
                 sel.column(f"__in_{fld.name}"),
                 pa.nulls(len(op_np), fld.type),
             )
-    feed_schema = pa.schema(
-        [("lsn", pa.int64()), ("op", pa.string())]
-        + [(f.name, f.type) for f in data_schema]
-    )
-    return pa.table(cols, schema=feed_schema).sort_by(
+    fields = [("lsn", pa.int64()), ("op", pa.string())] + [
+        (f.name, f.type) for f in data_schema
+    ]
+    if before:
+        # pre-image of the lake side: the full-outer join leaves these null
+        # for ADD rows (no lake side existed), which is exactly the envelope
+        # contract — no masking needed
+        for fld in data_schema:
+            if fld.name not in spec.key:
+                cols[f"before_{fld.name}"] = sel.column(fld.name)
+                fields.append((f"before_{fld.name}", fld.type))
+    return pa.table(cols, schema=pa.schema(fields)).sort_by(
         [("lsn", "ascending")] + [(k, "ascending") for k in spec.key]
     )
 
@@ -356,6 +376,7 @@ def merge_partition(
     spec: TableSpec,
     persist_hash: bool = False,
     changes: bool = False,
+    changes_before: bool = False,
 ):
     """One partition's full merge: ignore-filter → LWW reduce → classify →
     apply. Returns (new_state sorted by key, counters); with
@@ -382,5 +403,9 @@ def merge_partition(
         for hook in spec.on_apply:
             new_state = hook(new_state)
     if changes:
-        return new_state, delta_counts(joined), change_feed(joined, data_schema, spec)
+        return (
+            new_state,
+            delta_counts(joined),
+            change_feed(joined, data_schema, spec, before=changes_before),
+        )
     return new_state, delta_counts(joined)

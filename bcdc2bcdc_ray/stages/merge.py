@@ -92,6 +92,7 @@ class MergeWriter:
         spec: TableSpec,
         dry_run: bool = False,
         changes_dir: str | None = None,
+        changes_before: bool = False,
     ):
         # Each writer actor reserves 1 CPU; Arrow's default thread pool is
         # sized to the MACHINE, so N concurrent actors × machine-width acero
@@ -107,6 +108,7 @@ class MergeWriter:
         self.spec = spec
         self.dry_run = dry_run  # classify + count, write nothing
         self.changes_dir = changes_dir  # outbound CDC feed (None = off)
+        self.changes_before = changes_before  # emit before_* pre-images
         if changes_dir and not dry_run:
             os.makedirs(changes_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir)
@@ -139,7 +141,8 @@ class MergeWriter:
         current = read_partition(self.lake_dir, pid, self.spec.schema)
         if self.changes_dir is not None:
             new_state, counts, feed = delta.merge_partition(
-                current, events, self.spec, persist_hash=True, changes=True
+                current, events, self.spec, persist_hash=True, changes=True,
+                changes_before=self.changes_before,
             )
         else:
             new_state, counts = delta.merge_partition(
@@ -196,6 +199,7 @@ def bound_writer(
     spec: TableSpec,
     dry_run: bool = False,
     changes_dir: str | None = None,
+    changes_before: bool = False,
 ) -> type:
     """MergeWriter subclass with the constructor parameters baked into the
     serialized class itself (cloudpickle ships the closure with the class):
@@ -220,7 +224,7 @@ def bound_writer(
 
     class _BoundMergeWriter(MergeWriter):
         def __init__(self):
-            super().__init__(lake_dir, spec, dry_run, changes_dir)
+            super().__init__(lake_dir, spec, dry_run, changes_dir, changes_before)
 
     return _BoundMergeWriter
 

@@ -184,3 +184,45 @@ def test_cli_stats_and_lookup(capsys, workdir):
     # lookup of an absent key is empty, still one-file
     rep = _run(capsys, "lookup", "--lake", workdir["lake"], "--key", "conv-zz")
     assert rep["rows"] == 0
+
+
+def test_cli_view_lifecycle(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    view_dir = str(workdir["tmp"] / "view")
+    changes = str(workdir["tmp"] / "changes")
+    rep = _run(
+        capsys, "create-view",
+        "--view", view_dir, "--lake", workdir["lake"],
+        "--group-by", "conv_id", "--agg", "n_chars:sum_len:text",
+    )
+    assert rep["view_rows"] > 0
+    _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+        "--changes-dir", changes, "--changes-before",
+    )
+    rep = _run(capsys, "refresh-view", "--view", view_dir, "--changes-dir", changes)
+    assert rep["files"] > 0 and rep["applied_rows"] > 0
+
+    # the maintained view equals a recompute over the replayed lake
+    import pyarrow as pa
+    from bcdc2bcdc_ray.pipelines import view as vw
+
+    final = cg.oracle_replay(workdir["lake_table"], workdir["events"]).to_pandas()
+    final["n_chars"] = final.text.str.len().fillna(0).astype("int64")
+    g = final.groupby("conv_id").agg(
+        n_rows=("conv_id", "size"), n_chars=("n_chars", "sum")
+    ).reset_index()
+    expect = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert vw.read_view(view_dir).equals(expect)

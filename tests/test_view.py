@@ -1,0 +1,203 @@
+"""Incremental materialized-view maintenance (pipelines/view.py): the
+downstream consumer of the pre-image change feed. Oracle for every test is
+a full re-aggregation of the lake's current state — the view must stay
+bit-identical to it through creation, multi-round incremental refresh,
+deletes-to-zero groups, no-op refreshes, and crash-rerun windows."""
+
+import os
+import pyarrow as pa
+import pytest
+
+from bcdc2bcdc_ray import changegen as cg
+from bcdc2bcdc_ray.pipelines import view
+from bcdc2bcdc_ray.pipelines.view import AggSpec
+from bcdc2bcdc_ray.spec import transcripts_spec
+
+AGGS = [
+    AggSpec("n_rows", "count"),
+    AggSpec("n_chars", "sum_len", "text"),
+    AggSpec("sum_turn", "sum", "turn_idx"),
+]
+
+
+@pytest.fixture
+def vdirs(tmp_path):
+    return {
+        "lake": str(tmp_path / "lake"),
+        "wal": str(tmp_path / "wal"),
+        "changes": str(tmp_path / "changes"),
+        "view": str(tmp_path / "view"),
+    }
+
+
+def _setup(d, n_convs=150, P=8):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    cdc.init_lake(lake, d["lake"], spec, num_partitions=P)
+    return spec
+
+
+def _recompute(lake_dir) -> pa.Table:
+    """Driver-side full re-aggregation of the current lake state."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    df = cdc.read_lake_table(lake_dir).to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("conv_id")
+        .agg(
+            n_rows=("conv_id", "size"),
+            n_chars=("n_chars", "sum"),
+            sum_turn=("turn_idx", "sum"),
+        )
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "sum_turn": pa.array(g.sum_turn, pa.int64()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+
+
+def _replay_round(d, spec, n_events, seed, lsn_start=1, n_convs=150):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    ev = cg.gen_change_events(n_events, n_convs, seed=seed, lsn_start=lsn_start)
+    paths = cg.write_wal_chunks(
+        ev, os.path.join(d["wal"], f"r{seed}"), num_chunks=4
+    )
+    cdc.replay(d["lake"], paths, spec, changes_dir=d["changes"], changes_before=True)
+
+
+def test_view_create_matches_full_aggregate(ray_session, vdirs):
+    _setup(vdirs)
+    rep = view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute(vdirs["lake"]))
+    assert rep["view_rows"] == got.num_rows
+
+
+def test_view_incremental_matches_recompute_across_rounds(ray_session, vdirs):
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    for rnd, seed in enumerate((7, 11, 13)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+        assert rep["applied_rows"] > 0
+        assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
+    # a second refresh with nothing new must be a pure no-op
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["files"] == 0
+
+
+def test_view_deletes_drop_groups_to_zero(ray_session, vdirs):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs, n_convs=40)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    # hand-craft a WAL deleting EVERY turn of two conversations
+    lake = cdc.read_lake_table(vdirs["lake"])
+    import pyarrow.compute as pc
+
+    victims = ["conv-00000003", "conv-00000017"]
+    doomed = lake.filter(pc.is_in(lake.column("conv_id"), pa.array(victims)))
+    assert doomed.num_rows > 0
+    wal = pa.table(
+        {
+            "lsn": pa.array(range(1, doomed.num_rows + 1), pa.int64()),
+            "op": pa.array(["delete"] * doomed.num_rows),
+            "conv_id": doomed.column("conv_id"),
+            "turn_idx": doomed.column("turn_idx"),
+            "role": pa.nulls(doomed.num_rows, pa.string()),
+            "text": pa.nulls(doomed.num_rows, pa.string()),
+            "tool": pa.nulls(doomed.num_rows, pa.string()),
+            "ts": pa.nulls(doomed.num_rows, pa.timestamp("us")),
+        }
+    )
+    paths = cg.write_wal_chunks(wal, os.path.join(vdirs["wal"], "del"), num_chunks=2)
+    cdc.replay(
+        vdirs["lake"], paths, spec, changes_dir=vdirs["changes"], changes_before=True
+    )
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute(vdirs["lake"]))
+    remaining = set(got.column("conv_id").to_pylist())
+    assert not (set(victims) & remaining)
+
+
+def test_view_crash_rerun_is_exactly_once(ray_session, vdirs):
+    """Simulate the crash window: refresh committed some partitions but
+    died before the cursor commit. Roll the cursor back AND roll one view
+    partition's file back to its pre-refresh copy; the rerun must re-apply
+    deltas ONLY on the stale partition (per-file watermark vectors in the
+    partition metadata filter the rest) and land on the recompute oracle."""
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 3000, seed=5)
+
+    # snapshot pre-refresh state: cursor + every partition file
+    snap = {}
+    for fn in os.listdir(vdirs["view"]):
+        if fn.endswith(".parquet") or fn == "_consumed.json":
+            snap[fn] = open(os.path.join(vdirs["view"], fn), "rb").read()
+    consumed_pre = snap.get("_consumed.json")
+
+    rep1 = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep1["applied_rows"] > 0
+    oracle = _recompute(vdirs["lake"])
+    assert view.read_view(vdirs["view"]).equals(oracle)
+
+    # crash simulation: cursor never committed, one partition never folded
+    stale_pid = sorted(
+        int(fn[5:10]) for fn in snap if fn.endswith(".parquet")
+    )[0]
+    stale_fn = f"part-{stale_pid:05d}.parquet"
+    with open(os.path.join(vdirs["view"], stale_fn), "wb") as f:
+        f.write(snap[stale_fn])
+    cpath = os.path.join(vdirs["view"], "_consumed.json")
+    if consumed_pre is None:
+        os.remove(cpath)
+    else:
+        with open(cpath, "wb") as f:
+            f.write(consumed_pre)
+
+    rep2 = view.refresh_view(vdirs["view"], vdirs["changes"])
+    # every delta row is routed again, but only the stale partition applies
+    assert rep2["files"] == rep1["files"]
+    assert 0 < rep2["applied_rows"] < rep1["applied_rows"]
+    assert view.read_view(vdirs["view"]).equals(oracle)
+
+    # and a third pass is a no-op
+    rep3 = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep3["files"] == 0
+
+
+def test_view_requires_before_images(ray_session, vdirs):
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    ev = cg.gen_change_events(500, 150, seed=3)
+    paths = cg.write_wal_chunks(ev, os.path.join(vdirs["wal"], "nb"), num_chunks=2)
+    cdc.replay(vdirs["lake"], paths, spec, changes_dir=vdirs["changes"])
+    with pytest.raises(ValueError, match="pre-image"):
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+
+
+def test_view_validation_errors(ray_session, vdirs):
+    _setup(vdirs)
+    with pytest.raises(ValueError, match="unknown group column"):
+        view.create_view(vdirs["view"], vdirs["lake"], ["nope"], AGGS)
+    with pytest.raises(ValueError, match="sum needs a numeric"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("s", "sum", "text")]
+        )
+    with pytest.raises(ValueError, match="unsupported agg kind"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("s", "max", "turn_idx")]
+        )
