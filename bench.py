@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "multimodal_jpeg_decode",
     "multimodal_mp4_meta",
     "cdc_change_feed",
+    "incremental_view_rollup",
 ]
 
 
@@ -311,11 +312,90 @@ def run_maintenance_scaling() -> dict:
     }
 
 
+def run_view_bench() -> dict:
+    """Incremental-view economics: on a lake ~15x the change volume, time
+    (a) a full view (re)build — the recompute a non-incremental engine pays
+    every round — vs (b) refresh_view folding only the feed's signed
+    deltas. The ratio is the point: refresh cost tracks CHANGE volume, so
+    at 100 TB (lake/change ratios of 10^3-10^4) the gap is proportionally
+    larger than measured here."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc, view
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    work = f"/tmp/bench_view_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    lake_dir = os.path.join(work, "lake")
+    changes = os.path.join(work, "changes")
+    spec = transcripts_spec()
+    n_convs = int(os.environ.get("VIEW_CONVS", "120000"))
+    n_events = int(os.environ.get("VIEW_EVENTS", "200000"))
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    rows = lake.num_rows
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=64)
+    del lake
+    aggs = [
+        view.AggSpec("n_rows", "count"),
+        view.AggSpec("n_chars", "sum_len", "text"),
+    ]
+    # warm pass (worker spawn) then the timed full build
+    view.create_view(os.path.join(work, "vwarm"), lake_dir, ["conv_id"], aggs)
+    t0 = time.perf_counter()
+    view.create_view(os.path.join(work, "view"), lake_dir, ["conv_id"], aggs)
+    create_s = time.perf_counter() - t0
+
+    paths = cg.gen_wal_chunks(
+        n_events, n_convs, os.path.join(work, "wal"), num_chunks=8, seed=43
+    )
+    cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+    feed_rows = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(
+            os.path.join(changes, f)
+        ).num_rows
+        for f in os.listdir(changes)
+    )
+    t0 = time.perf_counter()
+    rep = view.refresh_view(os.path.join(work, "view"), changes)
+    refresh_s = time.perf_counter() - t0
+    # the non-incremental alternative at the same point in time
+    t0 = time.perf_counter()
+    view.create_view(os.path.join(work, "view2"), lake_dir, ["conv_id"], aggs)
+    recreate_s = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "view_refresh_wall_sec",
+        "lake_rows": rows,
+        "feed_rows": feed_rows,
+        "applied_rows": rep["applied_rows"],
+        "num_cpus": NUM_CPUS,
+        "create_sec": round(create_s, 3),
+        "refresh_sec": round(refresh_s, 3),
+        "recreate_sec": round(recreate_s, 3),
+        "refresh_vs_recompute": round(recreate_s / refresh_s, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--maintenance" in sys.argv:
         print(json.dumps(run_maintenance_scaling()))
+    elif "--view" in sys.argv:
+        print(json.dumps(run_view_bench()))
     elif MODE == "maintenance":
         print(json.dumps(run_maintenance_once()))
     else:

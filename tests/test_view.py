@@ -201,3 +201,37 @@ def test_view_validation_errors(ray_session, vdirs):
         view.create_view(
             vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("s", "max", "turn_idx")]
         )
+
+
+def test_view_refresh_survives_writer_crash(ray_session, vdirs):
+    """Fault injection: the view writer hard-exits AFTER its atomic
+    data+watermark commit. Ray retries the task; the retry re-reads the
+    folded partition, filters every delta as already-applied and no-ops —
+    the view still lands exactly on the recompute oracle."""
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 3000, seed=21)
+    with open(os.path.join(vdirs["view"], "_fault_once"), "w") as f:
+        f.write("0")
+    try:
+        rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    finally:
+        os.remove(os.path.join(vdirs["view"], "_fault_once"))
+    # the crash really happened (marker), and the refresh still converged
+    assert os.path.exists(os.path.join(vdirs["view"], "_crashed-0"))
+    assert rep["applied_rows"] > 0
+    assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
+    assert view.refresh_view(vdirs["view"], vdirs["changes"])["files"] == 0
+
+
+def test_view_follow_tails_the_feed(ray_session, vdirs):
+    """Full CDC relay: replay rounds append feed files while view.follow
+    polls the changes directory — the view tracks the lake continuously."""
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    for rnd, seed in enumerate((31, 37)):
+        _replay_round(vdirs, spec, 2000, seed, lsn_start=1 + rnd * 100_000)
+        rep = view.follow(vdirs["view"], vdirs["changes"], max_rounds=5)
+        assert rep["applied_rows"] > 0
+    assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
+    assert view.follow(vdirs["view"], vdirs["changes"], max_rounds=3)["applied_rows"] == 0
