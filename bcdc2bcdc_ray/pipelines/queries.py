@@ -3499,7 +3499,9 @@ def _view_rollup_oracle_sql(lake_path: str, wal_path: str) -> str:
     SELECT conv_id,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
-           CAST(sum(turn_idx) AS BIGINT) AS sum_turn
+           CAST(sum(turn_idx) AS BIGINT) AS sum_turn,
+           max(turn_idx) AS max_turn,
+           min(ts) AS first_ts
     FROM ({_replay_oracle_sql(lake_path, wal_path)})
     GROUP BY conv_id
     """
@@ -3511,16 +3513,18 @@ def _view_rollup_oracle_sql(lake_path: str, wal_path: str) -> str:
 )
 def incremental_view_rollup(sf_dir: str):
     """Incremental materialized-view maintenance (pipelines/view.py): build
-    a per-conversation rollup (count / sum-of-text-length / sum(turn_idx))
-    from the fixture lake, replay the fixture WAL with the PRE-IMAGE change
-    feed enabled, then fold ONLY the feed's signed deltas into the view —
-    no re-aggregation of the lake. The SQL oracle recomputes the rollup
-    from the replayed final state, so a hash match proves the incremental
-    path lands bit-identical to a full recompute. Refresh cost is
-    O(change volume): feed partials → one group-key hash exchange → only
-    touched view partitions rewritten (the 100 TB shape; the reference
-    recomputes its report rollups from full state each run,
-    ``bcdc2bcdc/CKANData.py:1249-1254``)."""
+    a per-conversation rollup (count / sum-of-text-length / sum(turn_idx)
+    / max(turn_idx) / min(ts)) from the fixture lake, replay the fixture
+    WAL with the PRE-IMAGE change feed enabled, then fold ONLY the feed's
+    signed deltas into the view — no re-aggregation of the lake. The WAL's
+    deletes retract stored max/min bounds, so this also exercises the
+    dirty-bound + partition-pruned lake-repair path end to end. The SQL
+    oracle recomputes the rollup from the replayed final state, so a hash
+    match proves the incremental path lands bit-identical to a full
+    recompute. Refresh cost is O(change volume): feed partials → one
+    group-key hash exchange → only touched view partitions rewritten (the
+    100 TB shape; the reference recomputes its report rollups from full
+    state each run, ``bcdc2bcdc/CKANData.py:1249-1254``)."""
     from .. import changegen as cg
     from ..spec import transcripts_spec
     from . import cdc, view
@@ -3539,6 +3543,9 @@ def incremental_view_rollup(sf_dir: str):
                 view.AggSpec("n_rows", "count"),
                 view.AggSpec("n_chars", "sum_len", "text"),
                 view.AggSpec("sum_turn", "sum", "turn_idx"),
+                # min/max exercise the dirty-bound + lake-repair path
+                view.AggSpec("max_turn", "max", "turn_idx"),
+                view.AggSpec("first_ts", "min", "ts"),
             ],
         )
         events = pq.read_table(_FLAGSHIP_WAL)

@@ -12,11 +12,16 @@ full-lake pass, while this refresh costs O(change volume): the feed is
 partially aggregated per block (tiny), one hash exchange routes group
 deltas to view partitions, and ONLY touched view partitions are rewritten.
 
-Supported aggregates are the distributive ones that admit retraction:
-``count``, ``sum(col)`` and ``sum_len(col)`` (sum of string lengths) —
-plus anything derivable from them at read time (mean = sum/count). Every
-view carries an ``n_rows`` count; a group whose count folds to zero is
-dropped (all its rows deleted).
+Supported aggregates: the distributive kinds that admit retraction —
+``count``, ``sum(col)``, ``sum_len(col)`` (sum of string lengths), plus
+anything derivable at read time (mean = sum/count) — and ``min``/``max``
+bounds, which do NOT admit retraction: a delete/update whose pre-image
+reaches the stored bound makes it untrustworthy, so the writer nulls it
+(dirty) and a REPAIR pass recomputes only the dirty groups from the
+source lake (pruned to the lake partitions that can hold them when the
+view is keyed on the lake's partition key — never a full-lake pass; see
+:func:`repair_view`). Every view carries an ``n_rows`` count; a group
+whose count folds to zero is dropped (all its rows deleted).
 
 Exactly-once, crash-safe by construction:
 
@@ -70,6 +75,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("delta_rows", pa.int64()),
         ("applied_rows", pa.int64()),
         ("rows", pa.int64()),
+        ("dirty", pa.int64()),  # groups whose min/max bound awaits repair
     ]
 )
 
@@ -114,16 +120,35 @@ def _load_consumed(view_dir: str) -> dict[int, int]:
         return {int(k): int(v) for k, v in json.load(f).items()}
 
 
+_MINMAX = ("min", "max")
+
+
+def _retract_col(out: str) -> str:
+    return f"__retract_{out}"
+
+
 def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
     if agg.kind in ("count", "sum_len"):
         return pa.int64()
+    if agg.kind in _MINMAX:  # bounds keep the source column's type
+        return schema.field(agg.col).type
     t = schema.field(agg.col).type
     return pa.float64() if pa.types.is_floating(t) else pa.int64()
 
 
+def _is_orderable(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_temporal(t)
+    )
+
+
 def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
     for a in aggs:
-        if a.kind not in ("count", "sum", "sum_len"):
+        if a.kind not in ("count", "sum", "sum_len") + _MINMAX:
             raise ValueError(f"unsupported agg kind {a.kind!r} ({a.out})")
         if a.kind == "count":
             continue
@@ -134,6 +159,8 @@ def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
             pa.types.is_integer(t) or pa.types.is_floating(t)
         ):
             raise ValueError(f"agg {a.out}: sum needs a numeric column, got {t}")
+        if a.kind in _MINMAX and not _is_orderable(t):
+            raise ValueError(f"agg {a.out}: {a.kind} needs an orderable column")
         if a.kind == "sum_len" and not (
             pa.types.is_string(t)
             or pa.types.is_large_string(t)
@@ -143,14 +170,32 @@ def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
             raise ValueError(f"agg {a.out}: sum_len needs a string/binary column")
 
 
+def _fold_specs(aggs: list[AggSpec], retract: bool) -> list[tuple[str, str]]:
+    """(column, arrow-aggregate) pairs for one fold pass. Additive kinds
+    fold with sum; min/max bounds fold in their own direction, and (with
+    ``retract=True``, the refresh path) so does the per-group retraction
+    threat column."""
+    specs: list[tuple[str, str]] = []
+    for a in aggs:
+        fn = a.kind if a.kind in _MINMAX else "sum"
+        specs.append((a.out, fn))
+        if retract and a.kind in _MINMAX:
+            specs.append((_retract_col(a.out), a.kind))
+    return specs
+
+
 def _contribution(
     batch: pa.Table, agg: AggSpec, col_prefix: str, out_type: pa.DataType
 ) -> pa.Array:
-    """Unsigned per-row contribution of one side (after or before image)."""
+    """Unsigned per-row contribution of one side (after or before image).
+    Additive kinds coalesce null to 0 (an absent value contributes
+    nothing); min/max keep nulls (arrow's min/max aggregates skip them)."""
     n = batch.num_rows
     if agg.kind == "count":
         return pa.array(np.ones(n, dtype=np.int64), out_type)
     col = batch.column(f"{col_prefix}{agg.col}")
+    if agg.kind in _MINMAX:
+        return pc.cast(col, out_type)
     if agg.kind == "sum_len":
         vals = pc.fill_null(pc.utf8_length(col), 0)
         return pc.cast(vals, out_type)
@@ -179,6 +224,17 @@ def _signed_deltas(
         after = _contribution(feed, agg, "", ot)
         pre = "" if (agg.col in key_cols) else "before_"
         before = _contribution(feed, agg, pre, ot)
+        if agg.kind in _MINMAX:
+            # bounds don't subtract: emit a CANDIDATE (after-side values of
+            # adds/updates — may tighten the bound) and a RETRACTION THREAT
+            # (before-side values of deletes/updates — if one reaches the
+            # stored bound, the bound is no longer trustworthy and the
+            # writer nulls it for repair)
+            cols[agg.out] = pc.if_else(is_del, pa.nulls(feed.num_rows, ot), after)
+            cols[_retract_col(agg.out)] = pc.if_else(
+                is_add, pa.nulls(feed.num_rows, ot), before
+            )
+            continue
         # add → after; delete → -before; update → after - before
         delta = pc.if_else(
             is_add, after, pc.if_else(is_del, pc.negate_checked(before), pc.subtract_checked(after, before))
@@ -188,15 +244,14 @@ def _signed_deltas(
 
 
 def _fold(
-    table: pa.Table, group_by: list[str], agg_names: list[str]
+    table: pa.Table, group_by: list[str], specs: list[tuple[str, str]]
 ) -> pa.Table:
-    """Sum agg columns per group (arrow hash aggregate), restoring names."""
-    folded = table.group_by(group_by).aggregate(
-        [(c, "sum") for c in agg_names]
-    )
-    return folded.rename_columns(group_by + agg_names).select(
-        group_by + agg_names
-    )
+    """Per-group fold (arrow hash aggregate) with a per-column aggregate
+    function — sum for additive kinds, min/max for bounds — restoring the
+    input column names."""
+    folded = table.group_by(group_by).aggregate(specs)
+    names = [c for c, _ in specs]
+    return folded.rename_columns(group_by + names).select(group_by + names)
 
 
 def _read_view_partition(path: str, schema: pa.Schema):
@@ -224,11 +279,63 @@ class ViewWriter:
         self.view_dir = view_dir
         m = view_meta(view_dir)
         self.group_by: list[str] = m["group_by"]
-        self.agg_names: list[str] = [a["out"] for a in m["aggs"]]
+        self.aggs = [AggSpec(**a) for a in m["aggs"]]
+        self.agg_types = {a: _type_from_str(t) for a, t in m["agg_types"]}
+        self.fold_specs = _fold_specs(self.aggs, retract=True)
         self.schema = pa.schema(
             [(g, _type_from_str(t)) for g, t in m["group_types"]]
             + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
         )
+
+    def _dirty_count(self, merged: pa.Table) -> int:
+        dirty = None
+        for a in self.aggs:
+            if a.kind in _MINMAX:
+                nulls = pc.is_null(merged.column(a.out))
+                dirty = nulls if dirty is None else pc.or_(dirty, nulls)
+        if dirty is None:
+            return 0
+        return int(pc.sum(pc.cast(dirty, pa.int64())).as_py() or 0)
+
+    def _merge(self, current: pa.Table, deltas: pa.Table) -> pa.Table:
+        """Full-outer join current groups with folded deltas and combine
+        per kind: additive kinds add; min/max bounds tighten with the
+        candidate, then go NULL (= dirty, awaiting repair) when a
+        retraction threat reaches the tentative bound — a removed value
+        strictly above (below, for max) the bound cannot have held it."""
+        d = _fold(deltas, self.group_by, self.fold_specs)
+        dnames = [c for c, _ in self.fold_specs]
+        d = d.rename_columns(self.group_by + [f"__d_{c}" for c in dnames])
+        joined = current.join(d, keys=self.group_by, join_type="full outer")
+        n = joined.num_rows
+        has_cur = pc.is_valid(joined.column("n_rows"))
+        cols: dict = {g: joined.column(g) for g in self.group_by}
+        for a in self.aggs:
+            cur = joined.column(a.out)
+            dd = joined.column(f"__d_{a.out}")
+            ot = self.agg_types[a.out]
+            if a.kind in _MINMAX:
+                threat = joined.column(f"__d_{_retract_col(a.out)}")
+                combine = (
+                    pc.min_element_wise if a.kind == "min" else pc.max_element_wise
+                )
+                tentative = combine(cur, pc.cast(dd, ot))  # skips nulls
+                # a bound already dirty (null while the group exists) stays
+                # dirty — a candidate alone can't certify it
+                tentative = pc.if_else(
+                    pc.and_(has_cur, pc.is_null(cur)),
+                    pa.nulls(n, ot),
+                    tentative,
+                )
+                cmp = pc.less_equal if a.kind == "min" else pc.greater_equal
+                hit = pc.fill_null(cmp(pc.cast(threat, ot), tentative), False)
+                cols[a.out] = pc.if_else(hit, pa.nulls(n, ot), tentative)
+            else:
+                cols[a.out] = pc.add_checked(
+                    pc.fill_null(pc.cast(cur, ot), 0),
+                    pc.fill_null(pc.cast(dd, ot), 0),
+                )
+        return pa.table(cols, schema=self.schema)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -251,6 +358,7 @@ class ViewWriter:
         n_in = group.num_rows
         deltas = group.filter(pa.array(fresh))
         n_fresh = deltas.num_rows
+        dirty = 0
 
         if n_fresh:
             for p, l in zip(
@@ -259,13 +367,9 @@ class ViewWriter:
             ):
                 if int(l) > applied.get(int(p), -1):
                     applied[int(p)] = int(l)
-            deltas = deltas.select(self.group_by + self.agg_names).cast(
-                current.schema
-            )
-            merged = _fold(
-                pa.concat_tables([current, deltas]),
-                self.group_by,
-                self.agg_names,
+            merged = self._merge(
+                current,
+                deltas.select(self.group_by + [c for c, _ in self.fold_specs]),
             )
             counts = merged.column("n_rows")
             if pc.min(counts).as_py() < 0:
@@ -276,6 +380,7 @@ class ViewWriter:
             merged = merged.filter(pc.greater(counts, 0)).sort_by(
                 [(g, "ascending") for g in self.group_by]
             )
+            dirty = self._dirty_count(merged)
             merged = merged.replace_schema_metadata(
                 {_APPLIED_KEY: json.dumps(applied).encode()}
             )
@@ -289,12 +394,14 @@ class ViewWriter:
             rows = merged.num_rows
         else:
             rows = current.num_rows
+            dirty = self._dirty_count(current)
         return pa.table(
             {
                 "partition": [pid],
                 "delta_rows": [n_in],
                 "applied_rows": [n_fresh],
                 "rows": [rows],
+                "dirty": [dirty],
             },
             schema=LINEAGE_SCHEMA,
         )
@@ -382,6 +489,10 @@ def create_view(
         P = num_partitions or meta["num_partitions"]
 
         os.makedirs(view_dir, exist_ok=True)
+        # (re)create from scratch: stale partitions would be folded INTO
+        for fn in os.listdir(view_dir):
+            if fn.endswith(".parquet") or fn in ("_consumed.json", "_needs_repair"):
+                os.remove(os.path.join(view_dir, fn))
         _atomic_json(
             os.path.join(view_dir, "_view_meta.json"),
             {
@@ -410,7 +521,10 @@ def create_view(
             cols: dict = {g: batch.column(g) for g in group_by}
             for agg, ot in zip(aggs, out_types):
                 cols[agg.out] = _contribution(batch, agg, "", ot)
-            t = _fold(pa.table(cols), group_by, [a.out for a in aggs])
+                if agg.kind in _MINMAX:
+                    # initial build retracts nothing
+                    cols[_retract_col(agg.out)] = pa.nulls(batch.num_rows, ot)
+            t = _fold(pa.table(cols), group_by, _fold_specs(aggs, retract=True))
             vp = partition_ids(t, [group_by[0]], P)
             t = t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
             # initial build: tag as source (-1, -1); nothing to filter against
@@ -435,7 +549,10 @@ def create_view(
 
 def _empty_delta_table(group_by, aggs, out_types, schema) -> pa.Table:
     fields = [(g, schema.field(g).type) for g in group_by]
-    fields += [(a.out, t) for a, t in zip(aggs, out_types)]
+    for a, t in zip(aggs, out_types):
+        fields.append((a.out, t))
+        if a.kind in _MINMAX:
+            fields.append((_retract_col(a.out), t))
     fields += [(VIEW_PART, pa.int64()), (SRC_PID, pa.int64()), (SRC_LSN, pa.int64())]
     return pa.schema(fields).empty_table()
 
@@ -464,7 +581,13 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         if lsn_hi > consumed.get(src_pid, -1):
             picked.append((os.path.join(changes_dir, fn), src_pid, lsn_hi))
     if not picked:
-        return {"files": 0, "applied_rows": 0, "view_rows": None}
+        rep0 = {"files": 0, "applied_rows": 0, "view_rows": None}
+        if os.path.exists(_repair_flag(view_dir)):
+            # a prior refresh crashed after its cursor commit but before
+            # (or during) repair — self-heal now
+            rep0["repair"] = repair_view(view_dir)
+            os.remove(_repair_flag(view_dir))
+        return rep0
 
     feed_schema = pq.read_schema(picked[0][0])
     key_cols = set(m.get("source_key", []))
@@ -507,7 +630,7 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         t = _fold(
             t,
             group_by + [SRC_PID, SRC_LSN],
-            [a.out for a in aggs],
+            _fold_specs(aggs, retract=True),
         )
         vp = partition_ids(t, [group_by[0]], P)
         return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
@@ -520,19 +643,210 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         )
         .take_all()
     )
-    # cursor commit LAST: only after every touched partition durably folded
+    dirty = int(sum(r["dirty"] for r in lineage))
+    if dirty:
+        # sentinel BEFORE the cursor commit: whatever crashes from here on,
+        # a later refresh (even an idle one) sees the flag and repairs
+        with open(_repair_flag(view_dir), "w") as f:
+            f.write(str(dirty))
+    # cursor commit: only after every touched partition durably folded
     for _, sp, lh in picked:
         if lh > consumed.get(sp, -1):
             consumed[sp] = lh
     _atomic_json(
         _consumed_path(view_dir), {str(k): int(v) for k, v in consumed.items()}
     )
-    return {
+    rep = {
         "files": len(picked),
         "delta_rows": int(sum(r["delta_rows"] for r in lineage)),
         "applied_rows": int(sum(r["applied_rows"] for r in lineage)),
         "partitions_touched": len(lineage),
         "view_rows": int(sum(r["rows"] for r in lineage)),
+    }
+    if os.path.exists(_repair_flag(view_dir)):
+        rep["repair"] = repair_view(view_dir)
+        os.remove(_repair_flag(view_dir))
+    return rep
+
+
+class RepairWriter:
+    """Second-phase writer: fill NULL (dirty) min/max bounds in one view
+    partition from freshly recomputed lake bounds. Idempotent and
+    watermark-free — a recompute from current lake state is always correct,
+    so a crash mid-repair just leaves some bounds null for the next pass
+    (the ``_needs_repair`` sentinel guarantees there IS a next pass)."""
+
+    def __init__(self, view_dir: str):
+        m = view_meta(view_dir)
+        self.view_dir = view_dir
+        self.group_by: list[str] = m["group_by"]
+        self.minmax = [
+            AggSpec(**a) for a in m["aggs"] if a["kind"] in _MINMAX
+        ]
+        self.agg_types = {a: _type_from_str(t) for a, t in m["agg_types"]}
+        self.schema = pa.schema(
+            [(g, _type_from_str(t)) for g, t in m["group_types"]]
+            + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        pid = int(group.column(VIEW_PART)[0].as_py())
+        path = _view_path(self.view_dir, pid)
+        current, applied = _read_view_partition(path, self.schema)
+        fixed = 0
+        if current.num_rows:
+            b = _fold(
+                group.select(self.group_by + [a.out for a in self.minmax]),
+                self.group_by,
+                [(a.out, a.kind) for a in self.minmax],
+            )
+            b = b.rename_columns(
+                self.group_by + [f"__r_{a.out}" for a in self.minmax]
+            )
+            joined = current.join(b, keys=self.group_by, join_type="left outer")
+            # join may permute rows; rebuild in schema column order
+            cols = {c: joined.column(c) for c in current.column_names}
+            for a in self.minmax:
+                cur = cols[a.out]
+                rep = pc.cast(
+                    joined.column(f"__r_{a.out}"), self.agg_types[a.out]
+                )
+                heal = pc.and_(pc.is_null(cur), pc.is_valid(rep))
+                fixed += int(pc.sum(pc.cast(heal, pa.int64())).as_py() or 0)
+                cols[a.out] = pc.if_else(heal, rep, cur)
+            merged = pa.table(cols, schema=self.schema).sort_by(
+                [(g, "ascending") for g in self.group_by]
+            )
+            merged = merged.replace_schema_metadata(
+                {_APPLIED_KEY: json.dumps(applied).encode()}
+            )
+            atomic_write_parquet(merged, path)
+        return pa.table(
+            {
+                "partition": [pid],
+                "delta_rows": [group.num_rows],
+                "applied_rows": [fixed],
+                "rows": [current.num_rows],
+                "dirty": [0],
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+
+def bound_repair_writer(view_dir: str):
+    def apply(group: pa.Table) -> pa.Table:
+        st = os.stat(os.path.join(view_dir, "_view_meta.json"))
+        key = ("repair", view_dir, st.st_mtime_ns, st.st_size)
+        w = _WRITER_CACHE.get(key)
+        if w is None:
+            w = _WRITER_CACHE.setdefault(key, RepairWriter(view_dir))
+        return w(group)
+
+    return apply
+
+
+def _repair_flag(view_dir: str) -> str:
+    return os.path.join(view_dir, "_needs_repair")
+
+
+def repair_view(view_dir: str) -> dict:
+    """Recompute every DIRTY min/max bound (nulled by a retraction that hit
+    it) from the source lake — reading only the lake partitions that can
+    hold the dirty groups, never the whole lake:
+
+    1. scan view partitions for null bounds → the dirty group keys
+       (volume bounded by recent change volume, not view size);
+    2. when the view group key is the lake's partition key, hash the dirty
+       keys to lake partition ids and read ONLY those files; otherwise read
+       all lake files with columns pruned to group + bound sources;
+    3. per-block coarse filter against the broadcast dirty-key set →
+       partial min/max per group → one hash exchange to view partitions →
+       fill nulls in place (applied vectors untouched; repair is
+       idempotent by construction).
+
+    A conservative retraction can null a bound that was actually safe
+    (another row still holds the same value) — repair then rediscovers the
+    identical bound; correctness never depends on the threat test being
+    tight, only on it never missing a real hit."""
+    import ray.data as rd
+
+    from . import cdc
+
+    m = view_meta(view_dir)
+    group_by: list[str] = m["group_by"]
+    aggs = [AggSpec(**a) for a in m["aggs"]]
+    minmax = [a for a in aggs if a.kind in _MINMAX]
+    if not minmax:
+        return {"dirty_groups": 0, "repaired": 0}
+    P = int(m["num_partitions"])
+    view_files = [
+        _view_path(view_dir, pid)
+        for pid in range(P)
+        if os.path.exists(_view_path(view_dir, pid))
+    ]
+    if not view_files:
+        return {"dirty_groups": 0, "repaired": 0}
+
+    bound_names = [a.out for a in minmax]
+    vds = rd.read_parquet(view_files, columns=group_by + bound_names)
+
+    def find_dirty(b: pa.Table) -> pa.Table:
+        mask = None
+        for c in bound_names:
+            nulls = pc.is_null(b.column(c))
+            mask = nulls if mask is None else pc.or_(mask, nulls)
+        return b.filter(mask).select(group_by)
+
+    dirty_rows = vds.map_batches(find_dirty, batch_format="pyarrow").take_all()
+    if not dirty_rows:
+        return {"dirty_groups": 0, "repaired": 0}
+    key0 = group_by[0]
+    dirty_key0 = pa.array(sorted({r[key0] for r in dirty_rows}))
+
+    lake_dir = m["source_lake"]
+    lmeta = cdc.lake_meta(lake_dir)
+    lake_pids = range(lmeta["num_partitions"])
+    if m.get("source_key") and key0 == m["source_key"][0]:
+        # co-keyed: dirty groups live in exactly these lake partitions
+        probe = pa.table({key0: dirty_key0})
+        pids = set(
+            partition_ids(probe, [key0], lmeta["num_partitions"]).tolist()
+        )
+        lake_pids = sorted(pids)
+    lake_files = [
+        cdc.partition_path(lake_dir, pid)
+        for pid in lake_pids
+        if os.path.exists(cdc.partition_path(lake_dir, pid))
+    ]
+    need = sorted(set(group_by) | {a.col for a in minmax})
+    lds = rd.read_parquet(lake_files, columns=need)
+
+    def partial_bounds(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column(key0), value_set=dirty_key0))
+        fields = [(g, b.schema.field(g).type) for g in group_by]
+        fields += [(a.out, _type_from_str(dict(m["agg_types"])[a.out])) for a in minmax]
+        if b.num_rows == 0:
+            return pa.schema(fields + [(VIEW_PART, pa.int64())]).empty_table()
+        cols: dict = {g: b.column(g) for g in group_by}
+        for a in minmax:
+            cols[a.out] = pc.cast(
+                b.column(a.col), _type_from_str(dict(m["agg_types"])[a.out])
+            )
+        t = _fold(pa.table(cols), group_by, [(a.out, a.kind) for a in minmax])
+        vp = partition_ids(t, [key0], P)
+        return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
+
+    lineage = (
+        lds.map_batches(partial_bounds, batch_format="pyarrow")
+        .groupby(VIEW_PART)
+        .map_groups(bound_repair_writer(view_dir), batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        "dirty_groups": len(dirty_rows),
+        "repaired": int(sum(r["applied_rows"] for r in lineage)),
     }
 
 

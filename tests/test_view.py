@@ -17,6 +17,8 @@ AGGS = [
     AggSpec("n_rows", "count"),
     AggSpec("n_chars", "sum_len", "text"),
     AggSpec("sum_turn", "sum", "turn_idx"),
+    AggSpec("max_turn", "max", "turn_idx"),
+    AggSpec("first_ts", "min", "ts"),
 ]
 
 
@@ -51,6 +53,8 @@ def _recompute(lake_dir) -> pa.Table:
             n_rows=("conv_id", "size"),
             n_chars=("n_chars", "sum"),
             sum_turn=("turn_idx", "sum"),
+            max_turn=("turn_idx", "max"),
+            first_ts=("ts", "min"),
         )
         .reset_index()
     )
@@ -60,6 +64,8 @@ def _recompute(lake_dir) -> pa.Table:
             "n_rows": pa.array(g.n_rows, pa.int64()),
             "n_chars": pa.array(g.n_chars, pa.int64()),
             "sum_turn": pa.array(g.sum_turn, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+            "first_ts": pa.array(g.first_ts, pa.timestamp("us")),
         }
     ).sort_by([("conv_id", "ascending")])
 
@@ -199,7 +205,7 @@ def test_view_validation_errors(ray_session, vdirs):
         )
     with pytest.raises(ValueError, match="unsupported agg kind"):
         view.create_view(
-            vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("s", "max", "turn_idx")]
+            vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("s", "median", "turn_idx")]
         )
 
 
@@ -235,3 +241,80 @@ def test_view_follow_tails_the_feed(ray_session, vdirs):
         assert rep["applied_rows"] > 0
     assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
     assert view.follow(vdirs["view"], vdirs["changes"], max_rounds=3)["applied_rows"] == 0
+
+
+def test_view_minmax_bound_delete_triggers_repair(ray_session, vdirs):
+    """Deleting exactly the row that holds a group's max: the retraction
+    threat nulls the bound (it cannot be certified from the feed alone) and
+    the repair pass recomputes it from the lake — landing one turn lower
+    (turn_idx is contiguous per conversation)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    import pyarrow.compute as pc
+
+    spec = _setup(vdirs, n_convs=30)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    lake = cdc.read_lake_table(vdirs["lake"])
+    # pick a conversation and delete exactly its max-turn row
+    conv = lake.column("conv_id")[0].as_py()
+    rows = lake.filter(pc.equal(lake.column("conv_id"), conv))
+    max_turn = pc.max(rows.column("turn_idx")).as_py()
+    victim = rows.filter(pc.equal(rows.column("turn_idx"), max_turn))
+    wal = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["delete"]),
+            "conv_id": victim.column("conv_id"),
+            "turn_idx": victim.column("turn_idx"),
+            "role": pa.nulls(1, pa.string()),
+            "text": pa.nulls(1, pa.string()),
+            "tool": pa.nulls(1, pa.string()),
+            "ts": pa.nulls(1, pa.timestamp("us")),
+        }
+    )
+    paths = cg.write_wal_chunks(wal, os.path.join(vdirs["wal"], "mb"), num_chunks=1)
+    cdc.replay(
+        vdirs["lake"], paths, spec, changes_dir=vdirs["changes"], changes_before=True
+    )
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["repair"]["dirty_groups"] >= 1  # the bound row was retracted
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute(vdirs["lake"]))
+    new_max = got.filter(pc.equal(got.column("conv_id"), conv)).column("max_turn")[0].as_py()
+    assert new_max == max_turn - 1  # turns are contiguous → bound moved down
+
+
+def test_view_idle_refresh_heals_pending_repair(ray_session, vdirs):
+    """Crash window after cursor commit but before repair: the sentinel is
+    on disk and a bound is null. An IDLE refresh (no fresh feed files) must
+    self-heal from the sentinel."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import json as _json
+
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 2000, seed=51)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    oracle = _recompute(vdirs["lake"])
+
+    # simulate the crash: null one group's max_turn in place, plant the flag
+    pid_path = next(
+        os.path.join(vdirs["view"], f)
+        for f in sorted(os.listdir(vdirs["view"]))
+        if f.endswith(".parquet")
+    )
+    t = pq.read_table(pid_path)
+    meta = t.schema.metadata
+    mt = t.column("max_turn").to_pylist()
+    mt[0] = None
+    t = t.set_column(
+        t.column_names.index("max_turn"), "max_turn", pa.array(mt, pa.int32())
+    )
+    pq.write_table(t.replace_schema_metadata(meta), pid_path)
+    with open(os.path.join(vdirs["view"], "_needs_repair"), "w") as f:
+        f.write("1")
+
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["files"] == 0 and rep["repair"]["repaired"] == 1
+    assert not os.path.exists(os.path.join(vdirs["view"], "_needs_repair"))
+    assert view.read_view(vdirs["view"]).equals(oracle)
