@@ -208,39 +208,50 @@ def _signed_deltas(
     aggs: list[AggSpec],
     out_types: list,
     key_cols: set[str],
+    carry: list[str] = (),
 ) -> pa.Table:
-    """Feed rows → signed per-row delta columns + group keys.
+    """Feed rows → signed delta rows via the RETRACT/ASSERT split: every
+    delete/update emits a retraction keyed by its BEFORE group values
+    (−before contributions; bound-threat for min/max) and every add/update
+    emits an assertion keyed by its AFTER group values (+after; bound
+    candidate). The split is what makes group-key-changing updates correct
+    — a row moving from group A to group B must decrement A and increment
+    B, which a single ``after − before`` row keyed on B cannot express.
+    Same-group pairs collapse in the following fold.
 
-    add: +after; delete: -before; update: after - before. Group keys come
-    from the feed's (coalesced) key columns, valid for every op. For a
-    source KEY column the pre-image is the plain column itself (keys are
-    immutable per row and emitted for every op, deletes included); only
-    non-key payload needs the ``before_`` envelope."""
+    For a source KEY column the pre-image is the plain column itself (keys
+    are immutable per row and emitted for every op, deletes included);
+    only non-key payload carries the ``before_`` envelope. ``carry``
+    columns (source-file tags) are duplicated onto both sides."""
     op = feed.column("op")
-    is_add = pc.equal(op, "add")
-    is_del = pc.equal(op, "delete")
-    cols: dict = {g: feed.column(g) for g in group_by}
+    not_del = pc.invert(pc.equal(op, "delete"))
+    not_add = pc.invert(pc.equal(op, "add"))
+    n = feed.num_rows
+
+    def pre_name(c: str) -> str:
+        return c if c in key_cols else f"before_{c}"
+
+    a_cols: dict = {g: feed.column(g) for g in group_by}
+    r_cols: dict = {g: feed.column(pre_name(g)) for g in group_by}
     for agg, ot in zip(aggs, out_types):
         after = _contribution(feed, agg, "", ot)
-        pre = "" if (agg.col in key_cols) else "before_"
-        before = _contribution(feed, agg, pre, ot)
-        if agg.kind in _MINMAX:
-            # bounds don't subtract: emit a CANDIDATE (after-side values of
-            # adds/updates — may tighten the bound) and a RETRACTION THREAT
-            # (before-side values of deletes/updates — if one reaches the
-            # stored bound, the bound is no longer trustworthy and the
-            # writer nulls it for repair)
-            cols[agg.out] = pc.if_else(is_del, pa.nulls(feed.num_rows, ot), after)
-            cols[_retract_col(agg.out)] = pc.if_else(
-                is_add, pa.nulls(feed.num_rows, ot), before
-            )
-            continue
-        # add → after; delete → -before; update → after - before
-        delta = pc.if_else(
-            is_add, after, pc.if_else(is_del, pc.negate_checked(before), pc.subtract_checked(after, before))
+        before = _contribution(
+            feed, agg, "" if (agg.col in key_cols) else "before_", ot
         )
-        cols[agg.out] = pc.cast(delta, ot)
-    return pa.table(cols)
+        if agg.kind in _MINMAX:
+            a_cols[agg.out] = after
+            a_cols[_retract_col(agg.out)] = pa.nulls(n, ot)
+            r_cols[agg.out] = pa.nulls(n, ot)
+            r_cols[_retract_col(agg.out)] = before
+        else:
+            a_cols[agg.out] = after
+            r_cols[agg.out] = pc.negate_checked(before)
+    for c in carry:
+        a_cols[c] = feed.column(c)
+        r_cols[c] = feed.column(c)
+    return pa.concat_tables(
+        [pa.table(a_cols).filter(not_del), pa.table(r_cols).filter(not_add)]
+    )
 
 
 def _fold(
@@ -591,10 +602,12 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
 
     feed_schema = pq.read_schema(picked[0][0])
     key_cols = set(m.get("source_key", []))
+    # pre-images are needed for non-key agg sources AND non-key group
+    # columns (the retract side of a group-key-changing update is keyed by
+    # the BEFORE group values)
     need_payload = {a.col for a in aggs if a.col}
-    missing = {
-        f"before_{c}" for c in need_payload - key_cols
-    } - set(feed_schema.names)
+    need_before = (need_payload | set(group_by)) - key_cols
+    missing = {f"before_{c}" for c in need_before} - set(feed_schema.names)
     if missing:
         raise ValueError(
             f"feed lacks pre-image columns {sorted(missing)} — emit it with "
@@ -604,7 +617,7 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         ["op"]
         + group_by
         + sorted(need_payload - set(group_by))
-        + sorted(f"before_{c}" for c in need_payload - key_cols)
+        + sorted(f"before_{c}" for c in need_before)
     )
     by_file = {p: (sp, lh) for p, sp, lh in picked}
     ds = rd.read_parquet(list(by_file), columns=cols, include_paths=True)
@@ -618,15 +631,20 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
                 pa.schema([(g, _type_from_str(t)) for g, t in m["group_types"]]),
             )
         # vectorized path → (src_pid, lsn) tagging: dictionary-encode the
-        # path column, map only the (few) unique file paths through Python
+        # path column, map only the (few) unique file paths through Python.
+        # Tags attach BEFORE the retract/assert split so both sides carry
+        # their source-file identity.
         enc = pc.dictionary_encode(batch.column("path").combine_chunks())
         uniq = np.array(
             [by_file[p] for p in enc.dictionary.to_pylist()], dtype=np.int64
         )
         idx = enc.indices.to_numpy(zero_copy_only=False)
-        t = _signed_deltas(batch, group_by, aggs, out_types, key_cols)
-        t = t.append_column(SRC_PID, pa.array(uniq[idx, 0], pa.int64()))
-        t = t.append_column(SRC_LSN, pa.array(uniq[idx, 1], pa.int64()))
+        batch = batch.append_column(SRC_PID, pa.array(uniq[idx, 0], pa.int64()))
+        batch = batch.append_column(SRC_LSN, pa.array(uniq[idx, 1], pa.int64()))
+        t = _signed_deltas(
+            batch, group_by, aggs, out_types, key_cols,
+            carry=[SRC_PID, SRC_LSN],
+        )
         t = _fold(
             t,
             group_by + [SRC_PID, SRC_LSN],

@@ -318,3 +318,48 @@ def test_view_idle_refresh_heals_pending_repair(ray_session, vdirs):
     assert rep["files"] == 0 and rep["repair"]["repaired"] == 1
     assert not os.path.exists(os.path.join(vdirs["view"], "_needs_repair"))
     assert view.read_view(vdirs["view"]).equals(oracle)
+
+
+def test_view_non_cokeyed_group_by_payload_column(ray_session, vdirs):
+    """View grouped by a NON-key payload column (role): deltas route on the
+    role hash (not the lake's conv_id partitioning), updates that move a
+    row between roles retract from one group and add to another, and the
+    min/max repair path cannot prune lake partitions (group key != lake
+    key) — it falls back to all-files + coarse filter. The view must still
+    match a full recompute."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("n_chars", "sum_len", "text"),
+        AggSpec("max_turn", "max", "turn_idx"),
+    ]
+    view.create_view(vdirs["view"], vdirs["lake"], ["role"], aggs)
+
+    def recompute_by_role():
+        df = cdc.read_lake_table(vdirs["lake"]).to_pandas()
+        df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+        g = (
+            df.groupby("role")
+            .agg(
+                n_rows=("role", "size"),
+                n_chars=("n_chars", "sum"),
+                max_turn=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "role": pa.array(g.role, pa.string()),
+                "n_rows": pa.array(g.n_rows, pa.int64()),
+                "n_chars": pa.array(g.n_chars, pa.int64()),
+                "max_turn": pa.array(g.max_turn, pa.int32()),
+            }
+        ).sort_by([("role", "ascending")])
+
+    assert view.read_view(vdirs["view"]).equals(recompute_by_role())
+    for rnd, seed in enumerate((61, 67)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+        assert view.read_view(vdirs["view"]).equals(recompute_by_role())
