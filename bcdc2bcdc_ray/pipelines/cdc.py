@@ -396,26 +396,72 @@ def read_changes_ds(changes_dir: str):
     return rd.read_parquet(files)
 
 
-def read_lake(lake_dir: str):
+def read_lake(lake_dir: str, columns=None, keys=None):
     """Streaming read of the lake as a Ray Dataset (scale path). Drops the
-    internal persisted-hash column."""
+    internal persisted-hash column.
+
+    ``columns`` prunes at the parquet reader (only those columns leave
+    storage). ``keys`` — an iterable of partition-key values — prunes at
+    the PARTITION level: the values hash to their partition ids with the
+    lake's own partitioner, ONLY those files are listed, and a vectorized
+    row filter keeps exactly the requested keys. A k-key read touches at
+    most k files regardless of lake size (the multi-key generalization of
+    :func:`lookup`)."""
     import ray.data as rd
 
     from ..canonical import HASH_COL
 
-    meta = lake_dir and lake_meta(lake_dir)
+    meta = lake_meta(lake_dir)
+    key_col = meta["key"][0]
+    pids = range(meta["num_partitions"])
+    key_set = None
+    if keys is not None:
+        key_set = pa.array(sorted(set(keys)))
+        probe = pa.table({key_col: key_set})
+        pids = sorted(set(partition_ids(probe, [key_col], meta["num_partitions"]).tolist()))
+    if columns is not None:
+        columns = list(columns)
+        if key_set is not None and key_col not in columns:
+            columns = [key_col] + columns
     paths = [
         partition_path(lake_dir, pid)
-        for pid in range(meta["num_partitions"])
+        for pid in pids
         if os.path.exists(partition_path(lake_dir, pid))
     ]
+    if not paths:
+        # keys pruned to partitions that hold no file yet → empty dataset
+        # with the real lake schema (from any existing partition)
+        import ray.data as _rd
+
+        any_file = next(
+            (
+                partition_path(lake_dir, p)
+                for p in range(meta["num_partitions"])
+                if os.path.exists(partition_path(lake_dir, p))
+            ),
+            None,
+        )
+        if any_file is None:
+            raise FileNotFoundError(f"empty lake {lake_dir}")
+        schema = pq.read_schema(any_file)
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        from ..canonical import HASH_COL as _HC
+
+        if _HC in schema.names:
+            schema = pa.schema([f for f in schema if f.name != _HC])
+        return _rd.from_arrow(schema.empty_table())
 
     def strip(b: pa.Table) -> pa.Table:
+        if key_set is not None:
+            b = b.filter(pc.is_in(b.column(key_col), value_set=key_set))
         if HASH_COL in b.column_names:
             b = b.drop_columns([HASH_COL])
         return b.replace_schema_metadata(None) if b.schema.metadata else b
 
-    return rd.read_parquet(paths).map_batches(strip, batch_format="pyarrow")
+    return rd.read_parquet(paths, columns=columns).map_batches(
+        strip, batch_format="pyarrow"
+    )
 
 
 def _foreach_partition(pids, work_one) -> None:

@@ -844,3 +844,34 @@ def test_bootstrap_lake_streams_to_same_state_as_init(ray_session, tmp_path):
     paths = cg.write_wal_chunks(events, str(tmp_path / "wal"), num_chunks=4)
     cdc.replay(boot_dir, paths, spec)
     assert cdc.read_lake_table(boot_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_read_lake_column_and_key_pruning(ray_session, dirs):
+    """read_lake(columns=, keys=): columns prune at the parquet reader;
+    keys hash to their partitions with the lake's own partitioner so a
+    k-key scan lists at most k files (the multi-key lookup generalization)
+    and filters rows exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec)
+    full = cdc.read_lake_table(lake_dir)
+
+    ds = cdc.read_lake(lake_dir, columns=["conv_id", "text"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert t.column_names == ["conv_id", "text"]
+    assert t.num_rows == full.num_rows
+
+    keys = sorted(set(full.column("conv_id").to_pylist()))[:3]
+    ds = cdc.read_lake(lake_dir, keys=keys)
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.equals(
+        full.filter(pc.is_in(full.column("conv_id"), pa.array(keys)))
+    )
+    assert cdc.read_lake(lake_dir, keys=["conv-zz"]).count() == 0
