@@ -171,6 +171,20 @@ def cmd_lookup(args) -> dict:
     }
 
 
+def cmd_snapshot(args) -> dict:
+    from .pipelines import cdc
+
+    if args.list:
+        return {"cmd": "snapshot", "snapshots": cdc.list_snapshots(args.lake)}
+    return {"cmd": "snapshot", **cdc.snapshot(args.lake, args.tag)}
+
+
+def cmd_restore(args) -> dict:
+    from .pipelines import cdc
+
+    return {"cmd": "restore", **cdc.restore(args.lake, args.tag)}
+
+
 def cmd_create_view(args) -> dict:
     from .pipelines import view
 
@@ -296,6 +310,17 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--key", required=True)
     lk.set_defaults(fn=cmd_lookup)
+
+    sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--tag")
+    sp.add_argument("--list", action="store_true")
+    sp.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="roll the lake back to a snapshot")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--tag", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     cv = sub.add_parser(
         "create-view", help="build an incremental aggregate view over a lake"

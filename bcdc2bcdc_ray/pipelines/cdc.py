@@ -378,6 +378,111 @@ def lake_stats(lake_dir: str) -> dict:
     }
 
 
+def _snapshot_dir(lake_dir: str, tag: str) -> str:
+    if not tag or "/" in tag or tag.startswith("."):
+        raise ValueError(f"invalid snapshot tag {tag!r}")
+    return os.path.join(lake_dir, "_snapshots", tag)
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:  # cross-device or FS without hardlinks
+        import shutil
+
+        shutil.copy2(src, dst)
+
+
+def snapshot(lake_dir: str, tag: str) -> dict:
+    """Named ZERO-COPY snapshot: hardlink every partition file and copy the
+    (small) manifests + meta into ``_snapshots/<tag>/``. O(partitions)
+    metadata work, no data bytes move. Correct because partition writers
+    never modify a file in place — every rewrite goes through tmp +
+    ``os.replace``, which swaps the directory entry to a NEW inode and
+    leaves the snapshot's hardlinked old inode untouched (copy-on-write
+    for free). Taken under the lake writer lock, so the snapshot is a
+    consistent (data + watermark) point: restoring it and re-replaying the
+    same WAL resumes exactly from the snapshot's committed state. The
+    reference has no state-versioning story at all — its closest analog is
+    re-fetching everything into the JSON cache (``CacheFiles.py``)."""
+    meta = lake_meta(lake_dir)
+    sdir = _snapshot_dir(lake_dir, tag)
+    if os.path.exists(sdir):
+        raise FileExistsError(f"snapshot {tag!r} already exists")
+    with _LakeLock(lake_dir):
+        os.makedirs(os.path.join(sdir, "_manifests"))
+        files = 0
+        for pid in range(meta["num_partitions"]):
+            p = partition_path(lake_dir, pid)
+            if os.path.exists(p):
+                _link_or_copy(p, os.path.join(sdir, os.path.basename(p)))
+                files += 1
+        mdir = os.path.join(lake_dir, "_manifests")
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                _link_or_copy(
+                    os.path.join(mdir, fn), os.path.join(sdir, "_manifests", fn)
+                )
+        _link_or_copy(
+            os.path.join(lake_dir, "_meta.json"), os.path.join(sdir, "_meta.json")
+        )
+    return {"tag": tag, "files": files}
+
+
+def list_snapshots(lake_dir: str) -> list[str]:
+    d = os.path.join(lake_dir, "_snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(t for t in os.listdir(d) if not t.startswith("."))
+
+
+def restore(lake_dir: str, tag: str) -> dict:
+    """Roll the lake back to a snapshot (time travel): under the writer
+    lock, drop current partition files + manifests and hardlink the
+    snapshot's back. Watermarks restore WITH the data (they are one
+    consistent point), so a subsequent replay of the same WAL re-applies
+    exactly the events past the snapshot — the reprocessing loop
+    (snapshot → experiment → restore → replay) costs O(partitions)
+    metadata, never a data copy."""
+    meta = lake_meta(lake_dir)
+    sdir = _snapshot_dir(lake_dir, tag)
+    if not os.path.isdir(sdir):
+        raise FileNotFoundError(f"no snapshot {tag!r} in {lake_dir}")
+    with _LakeLock(lake_dir):
+        for pid in range(meta["num_partitions"]):
+            p = partition_path(lake_dir, pid)
+            if os.path.exists(p):
+                os.unlink(p)
+        mdir = os.path.join(lake_dir, "_manifests")
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                os.unlink(os.path.join(mdir, fn))
+        files = 0
+        for fn in os.listdir(sdir):
+            if fn.endswith(".parquet"):
+                # link to a tmp name then replace: a crash mid-restore can
+                # not leave a half-written directory entry
+                dst = os.path.join(lake_dir, fn)
+                tmp = f"{dst}.tmp-restore"
+                _link_or_copy(os.path.join(sdir, fn), tmp)
+                os.replace(tmp, dst)
+                files += 1
+        for fn in os.listdir(os.path.join(sdir, "_manifests")):
+            dst = os.path.join(mdir, fn)
+            tmp = f"{dst}.tmp-restore"
+            _link_or_copy(os.path.join(sdir, "_manifests", fn), tmp)
+            os.replace(tmp, dst)
+        _link_or_copy(
+            os.path.join(sdir, "_meta.json"),
+            os.path.join(lake_dir, "_meta.json.tmp-restore"),
+        )
+        os.replace(
+            os.path.join(lake_dir, "_meta.json.tmp-restore"),
+            os.path.join(lake_dir, "_meta.json"),
+        )
+    return {"tag": tag, "files": files}
+
+
 def read_changes_ds(changes_dir: str):
     """Streaming read of an outbound change feed as a Ray Dataset — the
     scale path for downstream consumers (the driver-side

@@ -808,7 +808,6 @@ def repair_view(view_dir: str) -> dict:
         return {"dirty_groups": 0, "repaired": 0}
 
     bound_names = [a.out for a in minmax]
-    vds = rd.read_parquet(view_files, columns=group_by + bound_names)
 
     def find_dirty(b: pa.Table) -> pa.Table:
         mask = None
@@ -817,7 +816,22 @@ def repair_view(view_dir: str) -> dict:
             mask = nulls if mask is None else pc.or_(mask, nulls)
         return b.filter(mask).select(group_by)
 
-    dirty_rows = vds.map_batches(find_dirty, batch_format="pyarrow").take_all()
+    # dirty-key discovery: driver-side under 64 MB of view files (one
+    # process, no pipeline spin-up — same crossover philosophy as the join
+    # planner's broadcast probe), distributed scan above it
+    if sum(os.path.getsize(f) for f in view_files) <= 64 << 20:
+        dirty_tbl = pa.concat_tables(
+            [
+                find_dirty(pq.read_table(f, columns=group_by + bound_names))
+                for f in view_files
+            ]
+        )
+        dirty_rows = dirty_tbl.to_pylist()
+    else:
+        vds = rd.read_parquet(view_files, columns=group_by + bound_names)
+        dirty_rows = vds.map_batches(
+            find_dirty, batch_format="pyarrow"
+        ).take_all()
     if not dirty_rows:
         return {"dirty_groups": 0, "repaired": 0}
     key0 = group_by[0]
@@ -839,7 +853,6 @@ def repair_view(view_dir: str) -> dict:
         if os.path.exists(cdc.partition_path(lake_dir, pid))
     ]
     need = sorted(set(group_by) | {a.col for a in minmax})
-    lds = rd.read_parquet(lake_files, columns=need)
 
     def partial_bounds(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b.column(key0), value_set=dirty_key0))
@@ -856,15 +869,31 @@ def repair_view(view_dir: str) -> dict:
         vp = partition_ids(t, [key0], P)
         return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
 
-    lineage = (
-        lds.map_batches(partial_bounds, batch_format="pyarrow")
-        .groupby(VIEW_PART)
-        .map_groups(bound_repair_writer(view_dir), batch_format="pyarrow")
-        .take_all()
-    )
+    # recompute leg: driver-side under the same 64 MB crossover (the PRUNED
+    # lake slice for a small repair is usually tiny), distributed above it
+    if sum(os.path.getsize(f) for f in lake_files) <= 64 << 20:
+        bounds = pa.concat_tables(
+            [partial_bounds(pq.read_table(f, columns=need)) for f in lake_files]
+        )
+        writer = RepairWriter(view_dir)
+        vp = bounds.column(VIEW_PART).to_numpy(zero_copy_only=False)
+        lineage = [
+            writer(bounds.filter(pa.array(vp == pid)))
+            for pid in sorted(set(vp.tolist()))
+        ]
+        repaired = int(sum(r.column("applied_rows")[0].as_py() for r in lineage))
+    else:
+        lds = rd.read_parquet(lake_files, columns=need)
+        lineage = (
+            lds.map_batches(partial_bounds, batch_format="pyarrow")
+            .groupby(VIEW_PART)
+            .map_groups(bound_repair_writer(view_dir), batch_format="pyarrow")
+            .take_all()
+        )
+        repaired = int(sum(r["applied_rows"] for r in lineage))
     return {
         "dirty_groups": len(dirty_rows),
-        "repaired": int(sum(r["applied_rows"] for r in lineage)),
+        "repaired": repaired,
     }
 
 

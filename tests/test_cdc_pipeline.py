@@ -875,3 +875,41 @@ def test_read_lake_column_and_key_pruning(ray_session, dirs):
         full.filter(pc.is_in(full.column("conv_id"), pa.array(keys)))
     )
     assert cdc.read_lake(lake_dir, keys=["conv-zz"]).count() == 0
+
+
+def test_snapshot_restore_time_travel(ray_session, dirs):
+    """Zero-copy snapshot → mutate → restore → byte-equal state, and a
+    re-replay of the same WAL resumes exactly from the snapshot's
+    watermarks (data + watermark restore as one consistent point)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths[:3], spec)
+    mid_state = cdc.read_lake_table(lake_dir)
+    mid_wm = cdc.lake_stats(lake_dir)["global_watermark"]
+
+    rep = cdc.snapshot(lake_dir, "mid")
+    assert rep["files"] > 0
+    assert cdc.list_snapshots(lake_dir) == ["mid"]
+    with pytest.raises(FileExistsError):
+        cdc.snapshot(lake_dir, "mid")
+
+    # mutate past the snapshot
+    cdc.replay(lake_dir, paths, spec)
+    assert not cdc.read_lake_table(lake_dir).equals(mid_state)
+
+    # time travel back
+    cdc.restore(lake_dir, "mid")
+    assert cdc.read_lake_table(lake_dir).equals(mid_state)
+    assert cdc.lake_stats(lake_dir)["global_watermark"] == mid_wm
+
+    # resume: re-replaying the FULL WAL applies only the tail past the
+    # snapshot and lands on the oracle
+    cdc.replay(lake_dir, paths, spec)
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+    with pytest.raises(FileNotFoundError):
+        cdc.restore(lake_dir, "nope")
+    with pytest.raises(ValueError):
+        cdc.snapshot(lake_dir, "../evil")

@@ -226,3 +226,24 @@ def test_cli_view_lifecycle(capsys, workdir):
         }
     ).sort_by([("conv_id", "ascending")])
     assert vw.read_view(view_dir).equals(expect)
+
+
+def test_cli_snapshot_restore(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    before = cdc.read_lake_table(workdir["lake"])
+    rep = _run(capsys, "snapshot", "--lake", workdir["lake"], "--tag", "seed")
+    assert rep["files"] == 4
+    _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    assert not cdc.read_lake_table(workdir["lake"]).equals(before)
+    rep = _run(capsys, "snapshot", "--lake", workdir["lake"], "--list")
+    assert rep["snapshots"] == ["seed"]
+    _run(capsys, "restore", "--lake", workdir["lake"], "--tag", "seed")
+    assert cdc.read_lake_table(workdir["lake"]).equals(before)
