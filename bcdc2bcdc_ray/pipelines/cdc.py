@@ -483,6 +483,33 @@ def restore(lake_dir: str, tag: str) -> dict:
     return {"tag": tag, "files": files}
 
 
+def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
+    """Feed retention (GC): delete change files fully covered by every
+    consumer's cursor — ``consumed`` maps source partition id → the lowest
+    lsn watermark any consumer still needs (for a single view consumer,
+    pass its ``view._load_consumed``; for many, the element-wise min).
+    A file ``changes-PPPPP-LLLLLLLLLLLL.parquet`` is prunable iff
+    ``L <= consumed[P]``. The feed stays append-only for producers;
+    retention is a pure consumer-side contract — the same shape as log
+    compaction by committed offsets."""
+    import re as _re
+
+    pat = _re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
+    removed = 0
+    kept = 0
+    for fn in sorted(os.listdir(changes_dir)):
+        mm = pat.search(fn)
+        if not mm:
+            continue
+        pid, lsn = int(mm.group(1)), int(mm.group(2))
+        if lsn <= consumed.get(pid, -1):
+            os.unlink(os.path.join(changes_dir, fn))
+            removed += 1
+        else:
+            kept += 1
+    return {"removed": removed, "kept": kept}
+
+
 def read_changes_ds(changes_dir: str):
     """Streaming read of an outbound change feed as a Ray Dataset — the
     scale path for downstream consumers (the driver-side

@@ -363,3 +363,28 @@ def test_view_non_cokeyed_group_by_payload_column(ray_session, vdirs):
         _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
         view.refresh_view(vdirs["view"], vdirs["changes"])
         assert view.read_view(vdirs["view"]).equals(recompute_by_role())
+
+
+def test_feed_retention_prunes_consumed_files(ray_session, vdirs):
+    """prune_changes with the view's consumed cursor removes exactly the
+    fully-folded feed files; the view keeps working (no-op refresh, then a
+    fresh replay round still applies cleanly)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.pipelines.view import _load_consumed
+
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 2000, seed=71)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    n_before = len(os.listdir(vdirs["changes"]))
+    rep = cdc.prune_changes(vdirs["changes"], _load_consumed(vdirs["view"]))
+    assert rep["removed"] == n_before and rep["kept"] == 0
+    assert os.listdir(vdirs["changes"]) == []
+
+    # the view is unaffected: idle refresh, then a new round applies
+    assert view.refresh_view(vdirs["view"], vdirs["changes"])["files"] == 0
+    _replay_round(vdirs, spec, 1500, seed=73, lsn_start=100_000)
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["applied_rows"] > 0
+    assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
