@@ -3501,7 +3501,8 @@ def _view_rollup_oracle_sql(lake_path: str, wal_path: str) -> str:
            CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
            CAST(sum(turn_idx) AS BIGINT) AS sum_turn,
            max(turn_idx) AS max_turn,
-           min(ts) AS first_ts
+           min(ts) AS first_ts,
+           CAST(sum(CAST(turn_idx AS BIGINT) * turn_idx) AS BIGINT) AS sq_turn
     FROM ({_replay_oracle_sql(lake_path, wal_path)})
     GROUP BY conv_id
     """
@@ -3546,6 +3547,8 @@ def incremental_view_rollup(sf_dir: str):
                 # min/max exercise the dirty-bound + lake-repair path
                 view.AggSpec("max_turn", "max", "turn_idx"),
                 view.AggSpec("first_ts", "min", "ts"),
+                # exact integer sum of squares → incremental grouped variance
+                view.AggSpec("sq_turn", "sum_sq", "turn_idx"),
             ],
         )
         events = pq.read_table(_FLAGSHIP_WAL)

@@ -13,8 +13,10 @@ partially aggregated per block (tiny), one hash exchange routes group
 deltas to view partitions, and ONLY touched view partitions are rewritten.
 
 Supported aggregates: the distributive kinds that admit retraction —
-``count``, ``sum(col)``, ``sum_len(col)`` (sum of string lengths), plus
-anything derivable at read time (mean = sum/count) — and ``min``/``max``
+``count``, ``sum(col)``, ``sum_len(col)`` (sum of string lengths) and
+``sum_sq(col)`` (exact integer sum of squares — grouped variance =
+sum_sq/n − mean², maintained incrementally), plus anything derivable at
+read time (mean = sum/count) — and ``min``/``max``
 bounds, which do NOT admit retraction: a delete/update whose pre-image
 reaches the stored bound makes it untrustworthy, so the writer nulls it
 (dirty) and a REPAIR pass recomputes only the dirty groups from the
@@ -82,7 +84,8 @@ LINEAGE_SCHEMA = pa.schema(
 
 @dataclass(frozen=True)
 class AggSpec:
-    """One view aggregate: ``kind`` ∈ count | sum | sum_len."""
+    """One view aggregate: ``kind`` ∈ count | sum | sum_len | sum_sq |
+    min | max."""
 
     out: str
     kind: str
@@ -128,7 +131,7 @@ def _retract_col(out: str) -> str:
 
 
 def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
-    if agg.kind in ("count", "sum_len"):
+    if agg.kind in ("count", "sum_len", "sum_sq"):
         return pa.int64()
     if agg.kind in _MINMAX:  # bounds keep the source column's type
         return schema.field(agg.col).type
@@ -148,7 +151,7 @@ def _is_orderable(t: pa.DataType) -> bool:
 
 def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
     for a in aggs:
-        if a.kind not in ("count", "sum", "sum_len") + _MINMAX:
+        if a.kind not in ("count", "sum", "sum_len", "sum_sq") + _MINMAX:
             raise ValueError(f"unsupported agg kind {a.kind!r} ({a.out})")
         if a.kind == "count":
             continue
@@ -159,6 +162,10 @@ def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
             pa.types.is_integer(t) or pa.types.is_floating(t)
         ):
             raise ValueError(f"agg {a.out}: sum needs a numeric column, got {t}")
+        if a.kind == "sum_sq" and not pa.types.is_integer(t):
+            # integer-only keeps the fold EXACT (float partial sums are
+            # order-dependent and would flake the value-hash oracle)
+            raise ValueError(f"agg {a.out}: sum_sq needs an integer column")
         if a.kind in _MINMAX and not _is_orderable(t):
             raise ValueError(f"agg {a.out}: {a.kind} needs an orderable column")
         if a.kind == "sum_len" and not (
@@ -199,6 +206,9 @@ def _contribution(
     if agg.kind == "sum_len":
         vals = pc.fill_null(pc.utf8_length(col), 0)
         return pc.cast(vals, out_type)
+    if agg.kind == "sum_sq":
+        v = pc.cast(pc.fill_null(col, 0), out_type)
+        return pc.multiply_checked(v, v)
     return pc.cast(pc.fill_null(col, 0), out_type)
 
 

@@ -19,6 +19,7 @@ AGGS = [
     AggSpec("sum_turn", "sum", "turn_idx"),
     AggSpec("max_turn", "max", "turn_idx"),
     AggSpec("first_ts", "min", "ts"),
+    AggSpec("sq_turn", "sum_sq", "turn_idx"),
 ]
 
 
@@ -47,6 +48,7 @@ def _recompute(lake_dir) -> pa.Table:
 
     df = cdc.read_lake_table(lake_dir).to_pandas()
     df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    df["sq"] = (df.turn_idx.astype("int64") ** 2)
     g = (
         df.groupby("conv_id")
         .agg(
@@ -55,6 +57,7 @@ def _recompute(lake_dir) -> pa.Table:
             sum_turn=("turn_idx", "sum"),
             max_turn=("turn_idx", "max"),
             first_ts=("ts", "min"),
+            sq_turn=("sq", "sum"),
         )
         .reset_index()
     )
@@ -66,6 +69,7 @@ def _recompute(lake_dir) -> pa.Table:
             "sum_turn": pa.array(g.sum_turn, pa.int64()),
             "max_turn": pa.array(g.max_turn, pa.int32()),
             "first_ts": pa.array(g.first_ts, pa.timestamp("us")),
+            "sq_turn": pa.array(g.sq_turn, pa.int64()),
         }
     ).sort_by([("conv_id", "ascending")])
 
