@@ -392,3 +392,50 @@ def test_feed_retention_prunes_consumed_files(ray_session, vdirs):
     rep = view.refresh_view(vdirs["view"], vdirs["changes"])
     assert rep["applied_rows"] > 0
     assert view.read_view(vdirs["view"]).equals(_recompute(vdirs["lake"]))
+
+
+def test_view_survives_schema_evolution_mid_feed(ray_session, vdirs):
+    """An evolved replay widens turn_idx to int64 and adds lang, so the
+    changes directory holds MIXED-schema feed files. Refresh must absorb
+    them (per-batch cast to the view's output types) and still match a
+    recompute of the evolved lake."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("n_chars", "sum_len", "text"),
+        AggSpec("sum_turn", "sum", "turn_idx"),
+    ]
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], aggs)
+    _replay_round(vdirs, spec, 1500, seed=81)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    ev = cg.gen_change_events(1500, 150, seed=83, lsn_start=100_000, evolved=True)
+    paths = cg.write_wal_chunks(ev, os.path.join(vdirs["wal"], "ev"), num_chunks=2)
+    cdc.replay(
+        vdirs["lake"], paths, spec, changes_dir=vdirs["changes"], changes_before=True
+    )
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["applied_rows"] > 0
+
+    df = cdc.read_lake_table(vdirs["lake"]).to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("conv_id")
+        .agg(
+            n_rows=("conv_id", "size"),
+            n_chars=("n_chars", "sum"),
+            sum_turn=("turn_idx", "sum"),
+        )
+        .reset_index()
+    )
+    exp = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "sum_turn": pa.array(g.sum_turn, pa.int64()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert view.read_view(vdirs["view"]).equals(exp)
