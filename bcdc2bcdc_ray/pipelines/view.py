@@ -437,6 +437,18 @@ def _type_from_str(s: str) -> pa.DataType:
     return fixed[s] if s in fixed else pa.type_for_alias(s)
 
 
+def _read_blocks(paths: list[str]) -> int:
+    """Explicit read block count: ~1 block per file, capped at cluster
+    CPUs. Ray's auto-split (SplitBlocks) shreds small pruned reads into
+    hundreds of tiny blocks and the following sort-based groupby exchanges
+    grow with the SQUARE of the block count (same pathology the bootstrap
+    path fixed; BASELINE.md) — explicit sizing keeps the shuffle linear."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(len(paths), cpus))
+
+
 _WRITER_CACHE: dict = {}
 
 
@@ -534,7 +546,9 @@ def create_view(
         )
 
         need = set(group_by) | {a.col for a in aggs if a.col}
-        ds = rd.read_parquet(paths, columns=sorted(need))
+        ds = rd.read_parquet(
+            paths, columns=sorted(need), override_num_blocks=_read_blocks(paths)
+        )
 
         def partials(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -630,7 +644,10 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         + sorted(f"before_{c}" for c in need_before)
     )
     by_file = {p: (sp, lh) for p, sp, lh in picked}
-    ds = rd.read_parquet(list(by_file), columns=cols, include_paths=True)
+    ds = rd.read_parquet(
+        list(by_file), columns=cols, include_paths=True,
+        override_num_blocks=_read_blocks(list(by_file)),
+    )
 
     def partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -893,7 +910,10 @@ def repair_view(view_dir: str) -> dict:
         ]
         repaired = int(sum(r.column("applied_rows")[0].as_py() for r in lineage))
     else:
-        lds = rd.read_parquet(lake_files, columns=need)
+        lds = rd.read_parquet(
+            lake_files, columns=need,
+            override_num_blocks=_read_blocks(lake_files),
+        )
         lineage = (
             lds.map_batches(partial_bounds, batch_format="pyarrow")
             .groupby(VIEW_PART)

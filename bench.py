@@ -351,6 +351,12 @@ def run_view_bench() -> dict:
         view.AggSpec("n_rows", "count"),
         view.AggSpec("n_chars", "sum_len", "text"),
     ]
+    if os.environ.get("VIEW_BOUNDS", "1") == "1":
+        # a bound: WAL deletes retract it → the timed refresh INCLUDES the
+        # dirty-group lake-repair pass (partition-pruned when dirt is
+        # sparse; converges to a column-pruned full pass when dirty keys
+        # span every lake partition, as a delete-heavy feed makes them)
+        aggs.append(view.AggSpec("max_turn", "max", "turn_idx"))
     # warm pass (worker spawn) then the timed full build
     view.create_view(os.path.join(work, "vwarm"), lake_dir, ["conv_id"], aggs)
     t0 = time.perf_counter()
@@ -370,6 +376,7 @@ def run_view_bench() -> dict:
     t0 = time.perf_counter()
     rep = view.refresh_view(os.path.join(work, "view"), changes)
     refresh_s = time.perf_counter() - t0
+    repair = rep.get("repair", {})
     # the non-incremental alternative at the same point in time
     t0 = time.perf_counter()
     view.create_view(os.path.join(work, "view2"), lake_dir, ["conv_id"], aggs)
@@ -381,6 +388,7 @@ def run_view_bench() -> dict:
         "lake_rows": rows,
         "feed_rows": feed_rows,
         "applied_rows": rep["applied_rows"],
+        "repaired_groups": repair.get("repaired", 0),
         "num_cpus": NUM_CPUS,
         "create_sec": round(create_s, 3),
         "refresh_sec": round(refresh_s, 3),
