@@ -510,6 +510,24 @@ def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
     return {"removed": removed, "kept": kept}
 
 
+def _scan_blocks(paths) -> int:
+    """Explicit read-block count for user-facing scans — same policy as the
+    replay read (cpus capped at 16, bytes/128MB at scale): Ray's auto-split
+    otherwise shreds pruned reads into hundreds of tiny blocks, and any
+    downstream sort/groupby exchange grows with the SQUARE of the block
+    count."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return max(min(cpus, 16), total // (128 << 20), 1)
+
+
 def read_changes_ds(changes_dir: str):
     """Streaming read of an outbound change feed as a Ray Dataset — the
     scale path for downstream consumers (the driver-side
@@ -525,7 +543,7 @@ def read_changes_ds(changes_dir: str):
     )
     if not files:
         raise FileNotFoundError(f"no change files in {changes_dir}")
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, override_num_blocks=_scan_blocks(files))
 
 
 def read_lake(lake_dir: str, columns=None, keys=None):
@@ -591,9 +609,9 @@ def read_lake(lake_dir: str, columns=None, keys=None):
             b = b.drop_columns([HASH_COL])
         return b.replace_schema_metadata(None) if b.schema.metadata else b
 
-    return rd.read_parquet(paths, columns=columns).map_batches(
-        strip, batch_format="pyarrow"
-    )
+    return rd.read_parquet(
+        paths, columns=columns, override_num_blocks=_scan_blocks(paths)
+    ).map_batches(strip, batch_format="pyarrow")
 
 
 def _foreach_partition(pids, work_one) -> None:
