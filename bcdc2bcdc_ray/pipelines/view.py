@@ -979,3 +979,21 @@ def follow(
         if poll_sleep_s and idle < idle_rounds_to_stop:
             _time.sleep(poll_sleep_s)
     return {"rounds": rounds, **totals}
+
+
+def lag(view_dir: str, changes_dir: str) -> dict:
+    """Consumer lag, footer-only (no data read): how many feed files/rows
+    sit past the view's consumed cursor — the monitoring number a
+    continuously-maintained view is operated on (Kafka-style offset lag
+    for the file-based feed)."""
+    consumed = _load_consumed(view_dir)
+    files = 0
+    rows = 0
+    for fn in os.listdir(changes_dir):
+        mm = _FEED_RE.search(fn)
+        if not mm:
+            continue
+        if int(mm.group(2)) > consumed.get(int(mm.group(1)), -1):
+            files += 1
+            rows += pq.read_metadata(os.path.join(changes_dir, fn)).num_rows
+    return {"files": files, "rows": rows}

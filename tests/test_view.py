@@ -439,3 +439,13 @@ def test_view_survives_schema_evolution_mid_feed(ray_session, vdirs):
         }
     ).sort_by([("conv_id", "ascending")])
     assert view.read_view(vdirs["view"]).equals(exp)
+
+
+def test_view_lag_tracks_unconsumed_feed(ray_session, vdirs):
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 1500, seed=91)
+    before = view.lag(vdirs["view"], vdirs["changes"])
+    assert before["files"] > 0 and before["rows"] > 0
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert view.lag(vdirs["view"], vdirs["changes"]) == {"files": 0, "rows": 0}
