@@ -449,3 +449,73 @@ def test_view_lag_tracks_unconsumed_feed(ray_session, vdirs):
     assert before["files"] > 0 and before["rows"] > 0
     view.refresh_view(vdirs["view"], vdirs["changes"])
     assert view.lag(vdirs["view"], vdirs["changes"]) == {"files": 0, "rows": 0}
+
+
+# ---- property: view delta algebra over arbitrary op sequences ----------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EVENT = st.tuples(
+    st.sampled_from(["upsert", "delete"]),
+    st.integers(0, 5),          # conv
+    st.integers(0, 3),          # turn
+    st.sampled_from(["user", "assistant", "tool"]),  # role (group key!)
+    st.sampled_from([None, "", "a", "bb", "ccc"]),   # text
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_EVENT, min_size=1, max_size=30))
+def test_view_algebra_matches_recompute_property(ray_session, tmp_path_factory, events):
+    """Any op sequence — re-adds after deletes, group-moving updates,
+    duplicate keys, null payloads — folded incrementally through the
+    pre-image feed must equal a full recompute of the final lake (view
+    grouped by the mutable payload column `role`, the hardest case)."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    d = tmp_path_factory.mktemp("prop")
+    spec = transcripts_spec()
+    lake0 = cg.gen_transcripts(6, seed=5)
+    cdc.init_lake(lake0, str(d / "lake"), spec, num_partitions=4)
+    view.create_view(
+        str(d / "view"),
+        str(d / "lake"),
+        ["role"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+    )
+    wal = pa.table(
+        {
+            "lsn": pa.array(range(1, len(events) + 1), pa.int64()),
+            "op": pa.array([e[0] for e in events]),
+            "conv_id": pa.array([f"conv-{e[1]:08d}" for e in events]),
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "role": pa.array([e[3] for e in events]),
+            "text": pa.array([e[4] for e in events], pa.string()),
+            "tool": pa.nulls(len(events), pa.string()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(len(events))], pa.timestamp("us")),
+        }
+    )
+    paths = cg.write_wal_chunks(wal, str(d / "wal"), num_chunks=2)
+    cdc.replay(
+        str(d / "lake"), paths, spec,
+        changes_dir=str(d / "ch"), changes_before=True,
+    )
+    view.refresh_view(str(d / "view"), str(d / "ch"))
+
+    df = cdc.read_lake_table(str(d / "lake")).to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("role")
+        .agg(n_rows=("role", "size"), n_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    expect = pa.table(
+        {
+            "role": pa.array(g.role, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+        }
+    ).sort_by([("role", "ascending")])
+    assert view.read_view(str(d / "view")).equals(expect)
