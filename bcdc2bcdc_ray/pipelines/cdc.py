@@ -483,6 +483,68 @@ def restore(lake_dir: str, tag: str) -> dict:
     return {"tag": tag, "files": files}
 
 
+class FeedCursor:
+    """Named exactly-once consumer cursor over a change-feed directory —
+    the generic form of the view maintainer's consumed-file tracking, for
+    ANY downstream consumer (a second lake's ``follow``, an exporter, an
+    alerting job). Offsets are per-source-partition lsn watermarks, stored
+    as one small JSON per consumer name next to the feed (Kafka-style
+    committed offsets for the file-based feed):
+
+        cur = FeedCursor(changes_dir, "exporter")
+        fresh = cur.fresh_files()       # feed files past the cursor
+        ...process fresh exactly once...
+        cur.commit(fresh)               # durable, atomic
+
+    A consumer that crashes before ``commit`` re-reads the same files next
+    time (at-least-once delivery; pair with an idempotent apply — e.g. the
+    view writer's in-file watermark vectors — for exactly-once end to end).
+    ``prune_changes`` can take the element-wise min across every consumer's
+    ``consumed()`` for retention."""
+
+    def __init__(self, changes_dir: str, name: str):
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid cursor name {name!r}")
+        self.changes_dir = changes_dir
+        self.path = os.path.join(changes_dir, f"_cursor-{name}.json")
+
+    def consumed(self) -> dict[int, int]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+
+    def fresh_files(self) -> list[str]:
+        import re as _re
+
+        pat = _re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
+        consumed = self.consumed()
+        out = []
+        for fn in sorted(os.listdir(self.changes_dir)):
+            mm = pat.search(fn)
+            if mm and int(mm.group(2)) > consumed.get(int(mm.group(1)), -1):
+                out.append(os.path.join(self.changes_dir, fn))
+        return out
+
+    def commit(self, files) -> None:
+        import re as _re
+        import uuid as _uuid
+
+        pat = _re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
+        consumed = self.consumed()
+        for f in files:
+            mm = pat.search(os.path.basename(f))
+            if not mm:
+                raise ValueError(f"not a feed file: {f}")
+            pid, lsn = int(mm.group(1)), int(mm.group(2))
+            if lsn > consumed.get(pid, -1):
+                consumed[pid] = lsn
+        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): int(v) for k, v in consumed.items()}, f)
+        os.replace(tmp, self.path)
+
+
 def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
     """Feed retention (GC): delete change files fully covered by every
     consumer's cursor — ``consumed`` maps source partition id → the lowest

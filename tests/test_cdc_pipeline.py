@@ -913,3 +913,40 @@ def test_snapshot_restore_time_travel(ray_session, dirs):
         cdc.restore(lake_dir, "nope")
     with pytest.raises(ValueError):
         cdc.snapshot(lake_dir, "../evil")
+
+
+def test_feed_cursor_exactly_once_consumption(ray_session, dirs, tmp_path):
+    """Generic consumer cursor: fresh_files drains once, commit is
+    durable+atomic, an uncommitted consumer re-reads (at-least-once), and
+    two named consumers track independently."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=1500)
+    changes = str(tmp_path / "ch")
+    cdc.replay(lake_dir, paths[:3], spec, changes_dir=changes)
+
+    a = cdc.FeedCursor(changes, "a")
+    b = cdc.FeedCursor(changes, "b")
+    first = a.fresh_files()
+    assert first and first == b.fresh_files()
+    a.commit(first)
+    assert a.fresh_files() == []          # a drained
+    assert b.fresh_files() == first       # b untouched (independent)
+
+    # new feed files appear → only those are fresh for a
+    cdc.replay(lake_dir, paths, spec, changes_dir=changes)
+    second = a.fresh_files()
+    assert second and not (set(second) & set(first))
+    a.commit(second)
+    assert a.fresh_files() == []
+
+    # retention by the min across consumers keeps b's unread files
+    consumed_min = {
+        k: min(v, b.consumed().get(k, -1)) for k, v in a.consumed().items()
+    }
+    rep = cdc.prune_changes(changes, consumed_min)
+    assert rep["removed"] == 0 and rep["kept"] == len(first) + len(second)
+
+    with pytest.raises(ValueError):
+        cdc.FeedCursor(changes, "../x")
