@@ -761,13 +761,14 @@ class RepairWriter:
                 heal = pc.and_(pc.is_null(cur), pc.is_valid(rep))
                 fixed += int(pc.sum(pc.cast(heal, pa.int64())).as_py() or 0)
                 cols[a.out] = pc.if_else(heal, rep, cur)
-            merged = pa.table(cols, schema=self.schema).sort_by(
-                [(g, "ascending") for g in self.group_by]
-            )
-            merged = merged.replace_schema_metadata(
-                {_APPLIED_KEY: json.dumps(applied).encode()}
-            )
-            atomic_write_parquet(merged, path)
+            if fixed:
+                merged = pa.table(cols, schema=self.schema).sort_by(
+                    [(g, "ascending") for g in self.group_by]
+                )
+                merged = merged.replace_schema_metadata(
+                    {_APPLIED_KEY: json.dumps(applied).encode()}
+                )
+                atomic_write_parquet(merged, path)
         return pa.table(
             {
                 "partition": [pid],
