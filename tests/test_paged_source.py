@@ -114,3 +114,76 @@ def test_stream_to_wal_drives_follow(ray_session, tmp_path):
     rep3 = cdc.follow(lake_dir, wal_dir, spec, max_rounds=5)
     assert rep3["adds"] + rep3["updates"] + rep3["deletes"] == 0
     assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, ev))
+
+
+def test_full_relay_source_to_lake_to_view_capstone(ray_session, tmp_path):
+    """The whole CDC relay in one test: flaky paged endpoint → WAL chunks →
+    `follow` replays into the lake emitting the PRE-IMAGE change feed →
+    `view.follow` folds the feed into a maintained per-conversation rollup.
+    After the dust settles: lake == oracle, view == recompute, lag == 0,
+    and every stage is a no-op on rerun."""
+    from bcdc2bcdc_ray.pipelines import cdc, view
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    spec = transcripts_spec()
+    lake0 = cg.gen_transcripts(80, seed=4)
+    ev = cg.gen_change_events(3000, 80, seed=5)
+    endpoint = str(tmp_path / "endpoint.parquet")
+    pq.write_table(ev, endpoint)
+    lake_dir, wal_dir = str(tmp_path / "lake"), str(tmp_path / "wal")
+    changes, view_dir = str(tmp_path / "changes"), str(tmp_path / "view")
+
+    cdc.init_lake(lake0, lake_dir, spec, num_partitions=8)
+    view.create_view(
+        view_dir, lake_dir, ["conv_id"],
+        [
+            view.AggSpec("n_rows", "count"),
+            view.AggSpec("n_chars", "sum_len", "text"),
+            view.AggSpec("max_turn", "max", "turn_idx"),
+        ],
+    )
+
+    def factory():
+        return paged.LocalParquetPageClient(
+            endpoint, page_size=500, fail_first_attempt_every=2
+        )
+
+    paged.stream_pages_to_wal(factory, factory().pages(), wal_dir)
+    cdc.follow(
+        lake_dir, wal_dir, spec, max_rounds=5,
+        changes_dir=changes, changes_before=True,
+    )
+    rep = view.follow(view_dir, changes, max_rounds=5)
+    assert rep["applied_rows"] > 0
+
+    # lake matches the oracle; view matches a recompute of the lake
+    final = cdc.read_lake_table(lake_dir)
+    assert final.equals(cg.oracle_replay(lake0, ev))
+    df = final.to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("conv_id")
+        .agg(n_rows=("conv_id", "size"), n_chars=("n_chars", "sum"),
+             max_turn=("turn_idx", "max"))
+        .reset_index()
+    )
+    expect = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert view.read_view(view_dir).equals(expect)
+    assert view.lag(view_dir, changes) == {"files": 0, "rows": 0}
+
+    # rerun every stage: nothing moves
+    paged.stream_pages_to_wal(factory, factory().pages(), wal_dir)
+    rep2 = cdc.follow(
+        lake_dir, wal_dir, spec, max_rounds=5,
+        changes_dir=changes, changes_before=True,
+    )
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+    assert view.follow(view_dir, changes, max_rounds=3)["applied_rows"] == 0
+    assert view.read_view(view_dir).equals(expect)
