@@ -443,7 +443,16 @@ def restore(lake_dir: str, tag: str) -> dict:
     consistent point), so a subsequent replay of the same WAL re-applies
     exactly the events past the snapshot — the reprocessing loop
     (snapshot → experiment → restore → replay) costs O(partitions)
-    metadata, never a data copy."""
+    metadata, never a data copy.
+
+    Downstream-consumer caveat: a restore rewinds the LAKE only. Change
+    feeds already emitted for the undone span, and consumers that folded
+    them (views, FeedCursors), are NOT rewound. Re-replaying the SAME WAL
+    reconverges — the merge is deterministic, so re-emitted feed files are
+    byte-identical under their committed (pid, lsn) names and consumers
+    past them are unaffected. Replaying a DIFFERENT WAL after restore
+    diverges from what consumers already saw: rebuild downstream views
+    (``create_view``) / reset cursors in that case."""
     meta = lake_meta(lake_dir)
     sdir = _snapshot_dir(lake_dir, tag)
     if not os.path.isdir(sdir):
