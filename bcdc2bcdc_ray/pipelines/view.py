@@ -438,15 +438,15 @@ def _type_from_str(s: str) -> pa.DataType:
 
 
 def _read_blocks(paths: list[str]) -> int:
-    """Explicit read block count: ~1 block per file, capped at cluster
-    CPUs. Ray's auto-split (SplitBlocks) shreds small pruned reads into
-    hundreds of tiny blocks and the following sort-based groupby exchanges
-    grow with the SQUARE of the block count (same pathology the bootstrap
-    path fixed; BASELINE.md) — explicit sizing keeps the shuffle linear."""
-    import ray
+    """Explicit read block count — the engine-wide policy (cpus capped at
+    16; a bytes/128MB term for big inputs, so large feeds still fan out
+    past the file count). Ray's auto-split (SplitBlocks) otherwise shreds
+    small pruned reads into hundreds of tiny blocks and the following
+    sort-based groupby exchanges grow with the SQUARE of the block count
+    (same pathology the bootstrap path fixed; BASELINE.md)."""
+    from .cdc import _scan_blocks
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, min(len(paths), cpus))
+    return _scan_blocks(paths)
 
 
 _WRITER_CACHE: dict = {}
