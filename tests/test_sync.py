@@ -196,3 +196,80 @@ def test_sync_import_without_exporter_raises(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="no upstream exported"):
         sync.run_sync([t])
+
+
+def test_sync_emits_feeds_that_maintain_views(ray_session, tmp_path):
+    """Composition: a multi-table sync with per-table ``replay_kwargs``
+    emitting pre-image change feeds, each feeding its own incremental
+    view — both views land on a recompute of their post-sync lakes."""
+    from bcdc2bcdc_ray.pipelines import view
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    spec = transcripts_spec()
+    lake0 = cg.gen_transcripts(60, seed=9)
+    lake_dir = str(tmp_path / "tr_lake")
+    cdc.init_lake(lake0, lake_dir, spec, num_partitions=4)
+    ch = str(tmp_path / "tr_changes")
+    ev = cg.gen_change_events(1500, 60, seed=10)
+    wal = cg.write_wal_chunks(ev, str(tmp_path / "tr_wal"), num_chunks=3)
+
+    dim_spec = TableSpec(
+        name="tools",
+        schema=cg.TOOLS_SCHEMA,
+        key=("tool_id",),
+        compare_columns=("dest_name", "ts"),
+    )
+    dim_dir = str(tmp_path / "tools_lake")
+    cdc.init_lake(cg.gen_tool_dim(), dim_dir, dim_spec, num_partitions=2)
+    dim_wal = _wal_chunks(cg.gen_tool_events(32), str(tmp_path / "tools_wal"))
+    dim_ch = str(tmp_path / "tools_changes")
+
+    vdir = str(tmp_path / "tr_view")
+    view.create_view(
+        vdir, lake_dir, ["conv_id"],
+        [view.AggSpec("n_rows", "count"), view.AggSpec("n_chars", "sum_len", "text")],
+    )
+    dim_vdir = str(tmp_path / "tools_view")
+    view.create_view(
+        dim_vdir, dim_dir, ["dest_name"], [view.AggSpec("n_rows", "count")]
+    )
+
+    sync.run_sync(
+        [
+            sync.SyncTable(
+                spec=dim_spec, lake_dir=dim_dir, wal_paths=dim_wal,
+                replay_kwargs={"changes_dir": dim_ch, "changes_before": True},
+            ),
+            sync.SyncTable(
+                spec=spec, lake_dir=lake_dir, wal_paths=wal,
+                depends_on=("tools",),
+                replay_kwargs={"changes_dir": ch, "changes_before": True},
+            ),
+        ]
+    )
+    assert view.refresh_view(vdir, ch)["applied_rows"] > 0
+    assert view.refresh_view(dim_vdir, dim_ch)["applied_rows"] > 0
+
+    df = cdc.read_lake_table(lake_dir).to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = df.groupby("conv_id").agg(
+        n_rows=("conv_id", "size"), n_chars=("n_chars", "sum")
+    ).reset_index()
+    expect = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert view.read_view(vdir).equals(expect)
+
+    dd = cdc.read_lake_table(dim_dir).to_pandas()
+    dg = dd.groupby("dest_name").agg(n_rows=("dest_name", "size")).reset_index()
+    dim_expect = pa.table(
+        {
+            "dest_name": pa.array(dg.dest_name, pa.string()),
+            "n_rows": pa.array(dg.n_rows, pa.int64()),
+        }
+    ).sort_by([("dest_name", "ascending")])
+    assert view.read_view(dim_vdir).equals(dim_expect)
