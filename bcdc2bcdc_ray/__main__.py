@@ -203,6 +203,28 @@ def cmd_refresh_view(args) -> dict:
     return {"cmd": "refresh-view", **view.refresh_view(args.view, args.changes_dir)}
 
 
+def cmd_view_lag(args) -> dict:
+    from .pipelines import view
+
+    return {"cmd": "view-lag", **view.lag(args.view, args.changes_dir)}
+
+
+def cmd_prune_changes(args) -> dict:
+    from .pipelines import cdc, view
+
+    if args.view:
+        consumed: dict = None
+        for v in args.view:
+            c = view._load_consumed(v)
+            consumed = c if consumed is None else {
+                k: min(consumed.get(k, -1), c.get(k, -1))
+                for k in set(consumed) | set(c)
+            }
+    else:
+        consumed = {}
+    return {"cmd": "prune-changes", **cdc.prune_changes(args.changes_dir, consumed)}
+
+
 def cmd_list_queries(_args) -> dict:
     from .pipelines.queries import oracle_sql, queries
 
@@ -341,6 +363,22 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("--view", required=True)
     rv.add_argument("--changes-dir", required=True)
     rv.set_defaults(fn=cmd_refresh_view)
+
+    vl = sub.add_parser("view-lag", help="feed files/rows past a view's cursor")
+    vl.add_argument("--view", required=True)
+    vl.add_argument("--changes-dir", required=True)
+    vl.set_defaults(fn=cmd_view_lag)
+
+    pc_ = sub.add_parser(
+        "prune-changes",
+        help="delete feed files consumed by every listed view (min cursor)",
+    )
+    pc_.add_argument("--changes-dir", required=True)
+    pc_.add_argument(
+        "--view", action="append", default=[],
+        help="consumer view dir (repeatable); pruning uses the min cursor",
+    )
+    pc_.set_defaults(fn=cmd_prune_changes)
 
     lq = sub.add_parser("list-queries", help="list registered pipelines")
     lq.set_defaults(fn=cmd_list_queries)

@@ -247,3 +247,32 @@ def test_cli_snapshot_restore(capsys, workdir):
     assert rep["snapshots"] == ["seed"]
     _run(capsys, "restore", "--lake", workdir["lake"], "--tag", "seed")
     assert cdc.read_lake_table(workdir["lake"]).equals(before)
+
+
+def test_cli_view_lag_and_prune(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    view_dir = str(workdir["tmp"] / "view")
+    changes = str(workdir["tmp"] / "changes")
+    _run(
+        capsys, "create-view", "--view", view_dir, "--lake", workdir["lake"],
+        "--group-by", "conv_id", "--agg", "n_chars:sum_len:text",
+    )
+    _run(
+        capsys, "replay",
+        "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"], "--changes-dir", changes, "--changes-before",
+    )
+    lag = _run(capsys, "view-lag", "--view", view_dir, "--changes-dir", changes)
+    assert lag["files"] > 0 and lag["rows"] > 0
+    # nothing consumed yet → nothing prunable under this view's cursor
+    rep = _run(capsys, "prune-changes", "--changes-dir", changes, "--view", view_dir)
+    assert rep["removed"] == 0 and rep["kept"] == lag["files"]
+    _run(capsys, "refresh-view", "--view", view_dir, "--changes-dir", changes)
+    rep = _run(capsys, "prune-changes", "--changes-dir", changes, "--view", view_dir)
+    assert rep["removed"] == lag["files"] and rep["kept"] == 0
+    lag = _run(capsys, "view-lag", "--view", view_dir, "--changes-dir", changes)
+    assert lag == {"cmd": "view-lag", "files": 0, "rows": 0}
