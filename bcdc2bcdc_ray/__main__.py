@@ -246,22 +246,51 @@ def cmd_demo(args) -> dict:
     from .pipelines import cdc
     from .spec import transcripts_spec
 
+    from .pipelines import view
+
     spec = transcripts_spec()
     root = tempfile.mkdtemp(prefix="bcdc2bcdc_demo_")
     lake_dir = os.path.join(root, "lake")
+    changes = os.path.join(root, "changes")
+    view_dir = os.path.join(root, "view")
     lake = cg.gen_transcripts(args.convs, seed=42)
     cdc.init_lake(lake, lake_dir, spec, num_partitions=args.partitions)
+    view.create_view(
+        view_dir, lake_dir, ["conv_id"],
+        [view.AggSpec("n_rows", "count"), view.AggSpec("n_chars", "sum_len", "text")],
+    )
     ev = cg.gen_change_events(args.events, args.convs, seed=43)
     paths = cg.write_wal_chunks(ev, os.path.join(root, "wal"), num_chunks=8)
-    rep = cdc.replay(lake_dir, paths, spec, salt=args.salt)
-    ok = cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, ev))
-    rep2 = cdc.replay(lake_dir, paths, spec)
+    rep = cdc.replay(
+        lake_dir, paths, spec, salt=args.salt,
+        changes_dir=changes, changes_before=True,
+    )
+    final = cdc.read_lake_table(lake_dir)
+    ok = final.equals(cg.oracle_replay(lake, ev))
+    rep2 = cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
     exactly_once = rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+    # feed → incrementally-maintained view must equal a recompute
+    view.refresh_view(view_dir, changes)
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    txt = _pc.fill_null(_pc.utf8_length(final.column("text")), 0)
+    agg = (
+        final.append_column("__n", _pc.cast(txt, pa.int64()))
+        .group_by(["conv_id"])
+        .aggregate([("conv_id", "count"), ("__n", "sum")])
+        .rename_columns(["conv_id", "n_rows", "n_chars"])
+        .sort_by([("conv_id", "ascending")])
+    )
+    view_match = view.read_view(view_dir).equals(
+        agg.cast(view.read_view(view_dir).schema)
+    )
     return {
         "cmd": "demo",
         "events": args.events,
         "oracle_match": ok,
         "exactly_once_rerun": exactly_once,
+        "view_match": view_match,
         "adds": rep["adds"],
         "updates": rep["updates"],
         "deletes": rep["deletes"],

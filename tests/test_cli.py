@@ -109,6 +109,7 @@ def test_cli_query_and_listing(capsys, tmp_path):
 def test_cli_demo_verifies_oracle_and_exactly_once(capsys):
     rep = _run(capsys, "demo", "--convs", "80", "--events", "3000")
     assert rep["oracle_match"] is True and rep["exactly_once_rerun"] is True
+    assert rep["view_match"] is True  # feed → maintained view == recompute
 
 
 def test_cli_follow_drains_wal_dir(capsys, workdir):
