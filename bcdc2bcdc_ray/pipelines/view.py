@@ -930,13 +930,16 @@ def repair_view(view_dir: str) -> dict:
 
 def read_view(view_dir: str) -> pa.Table:
     """Driver-side full read (tests / small results): concat partitions,
-    sorted by the group key."""
+    sorted by the group key. Selects exactly the meta's columns, so a
+    crashed mid-widen (some partitions carrying a staged new column the
+    meta hasn't committed yet) still reads consistently."""
     m = view_meta(view_dir)
+    want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
     parts = []
     for pid in range(int(m["num_partitions"])):
         p = _view_path(view_dir, pid)
         if os.path.exists(p):
-            t = pq.read_table(p).replace_schema_metadata(None)
+            t = pq.read_table(p).replace_schema_metadata(None).select(want)
             if t.num_rows:
                 parts.append(t)
     if not parts:
@@ -998,3 +1001,131 @@ def lag(view_dir: str, changes_dir: str) -> dict:
             files += 1
             rows += pq.read_metadata(os.path.join(changes_dir, fn)).num_rows
     return {"files": files, "rows": rows}
+
+
+def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
+    """Per-partition writer for :func:`add_aggregate`: fold the incoming
+    per-group partials of the NEW aggregate and set it as a column on the
+    partition file, preserving the applied-watermark metadata. Idempotent
+    (pure recompute), so a crashed widen just reruns."""
+
+    def apply(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        m = view_meta(view_dir)
+        group_by = m["group_by"]
+        ot = _type_from_str(ot_str)
+        pid = int(group.column(VIEW_PART)[0].as_py())
+        path = _view_path(view_dir, pid)
+        if not os.path.exists(path):
+            return LINEAGE_SCHEMA.empty_table()
+        current = pq.read_table(path)
+        meta_bytes = current.schema.metadata or {}
+        fold_fn = agg.kind if agg.kind in _MINMAX else "sum"
+        vals = _fold(
+            group.select(group_by + [agg.out]), group_by, [(agg.out, fold_fn)]
+        ).rename_columns(group_by + [f"__new_{agg.out}"])
+        joined = current.join(vals, keys=group_by, join_type="left outer")
+        col = joined.column(f"__new_{agg.out}")
+        if agg.kind not in _MINMAX:
+            col = pc.fill_null(pc.cast(col, ot), 0)
+        else:
+            col = pc.cast(col, ot)
+        out_cols = {
+            c: joined.column(c) for c in current.column_names if not c.startswith("__new_")
+        }
+        out_cols[agg.out] = col
+        merged = pa.table(out_cols).sort_by(
+            [(g, "ascending") for g in group_by]
+        ).replace_schema_metadata(meta_bytes)
+        atomic_write_parquet(merged, path)
+        return pa.table(
+            {
+                "partition": [pid],
+                "delta_rows": [group.num_rows],
+                "applied_rows": [merged.num_rows],
+                "rows": [merged.num_rows],
+                "dirty": [0],
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+    return apply
+
+
+def add_aggregate(
+    view_dir: str, changes_dir: str | None, agg: AggSpec
+) -> dict:
+    """Widen a LIVE view with one new aggregate WITHOUT rebuilding the
+    existing columns: bring the view to the feed head, then one lake pass
+    pruned to (group keys + the new source column) — at scale this skips
+    re-reading the wide payload columns (text) the existing aggregates
+    were built from. Runs under the lake writer lock so the lake cannot
+    advance between the head-refresh and the column compute; the widened
+    schema commits to ``_view_meta.json`` LAST, so a crash mid-widen
+    leaves a view that still reads consistently under the old schema
+    (``read_view`` selects the meta's columns) and a rerun recomputes
+    idempotently."""
+    import ray.data as rd
+
+    from . import cdc
+
+    m = view_meta(view_dir)
+    aggs = [AggSpec(**a) for a in m["aggs"]]
+    if any(a.out == agg.out for a in aggs):
+        raise ValueError(f"aggregate {agg.out!r} already exists")
+    if agg.kind == "count":
+        raise ValueError("views always carry n_rows; add a sum/bound instead")
+    group_by: list[str] = m["group_by"]
+    P = int(m["num_partitions"])
+    lake_dir = m["source_lake"]
+    lmeta = cdc.lake_meta(lake_dir)
+
+    with cdc._LakeLock(lake_dir):
+        if changes_dir is not None and os.path.isdir(changes_dir):
+            refresh_view(view_dir, changes_dir)
+        lake_files = [
+            cdc.partition_path(lake_dir, pid)
+            for pid in range(lmeta["num_partitions"])
+            if os.path.exists(cdc.partition_path(lake_dir, pid))
+        ]
+        if not lake_files:
+            raise FileNotFoundError(f"empty lake {lake_dir}")
+        schema = pq.read_schema(lake_files[0])
+        _validate_aggs([agg], schema)
+        ot = _agg_out_type(agg, schema)
+        need = sorted(set(group_by) | {agg.col})
+        fold_fn = agg.kind if agg.kind in _MINMAX else "sum"
+
+        def partials(b: pa.Table) -> pa.Table:
+            fields = [(g, b.schema.field(g).type) for g in group_by]
+            fields += [(agg.out, ot), (VIEW_PART, pa.int64())]
+            if b.num_rows == 0:
+                return pa.schema(fields).empty_table()
+            cols: dict = {g: b.column(g) for g in group_by}
+            cols[agg.out] = _contribution(b, agg, "", ot)
+            t = _fold(pa.table(cols), group_by, [(agg.out, fold_fn)])
+            vp = partition_ids(t, [group_by[0]], P)
+            return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
+
+        lineage = (
+            rd.read_parquet(
+                lake_files, columns=need,
+                override_num_blocks=_read_blocks(lake_files),
+            )
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(VIEW_PART)
+            .map_groups(
+                _widen_writer(view_dir, agg, str(ot)), batch_format="pyarrow"
+            )
+            .take_all()
+        )
+        # schema commit LAST — the widen's atomicity point
+        m["aggs"] = [a.to_json() for a in aggs] + [agg.to_json()]
+        m["agg_types"] = list(m["agg_types"]) + [[agg.out, str(ot)]]
+        _atomic_json(os.path.join(view_dir, "_view_meta.json"), m)
+    return {
+        "added": agg.out,
+        "kind": agg.kind,
+        "partitions_touched": len(lineage),
+    }

@@ -519,3 +519,61 @@ def test_view_algebra_matches_recompute_property(ray_session, tmp_path_factory, 
         }
     ).sort_by([("role", "ascending")])
     assert view.read_view(str(d / "view")).equals(expect)
+
+
+def test_add_aggregate_widens_live_view(ray_session, vdirs):
+    """Widen a live view (after refreshes) with sum_sq and max aggregates:
+    the widened view equals a recompute, and — the key property — the NEXT
+    refresh maintains the new columns incrementally like any other."""
+    spec = _setup(vdirs)
+    base = [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")]
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], base)
+    _replay_round(vdirs, spec, 2000, seed=101)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    rep = view.add_aggregate(
+        vdirs["view"], vdirs["changes"], AggSpec("sq_turn", "sum_sq", "turn_idx")
+    )
+    assert rep["added"] == "sq_turn"
+    view.add_aggregate(
+        vdirs["view"], vdirs["changes"], AggSpec("max_turn", "max", "turn_idx")
+    )
+
+    def recompute():
+        from bcdc2bcdc_ray.pipelines import cdc
+
+        df = cdc.read_lake_table(vdirs["lake"]).to_pandas()
+        df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+        df["sq"] = df.turn_idx.astype("int64") ** 2
+        g = (
+            df.groupby("conv_id")
+            .agg(
+                n_rows=("conv_id", "size"),
+                n_chars=("n_chars", "sum"),
+                sq_turn=("sq", "sum"),
+                max_turn=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(g.conv_id, pa.string()),
+                "n_rows": pa.array(g.n_rows, pa.int64()),
+                "n_chars": pa.array(g.n_chars, pa.int64()),
+                "sq_turn": pa.array(g.sq_turn, pa.int64()),
+                "max_turn": pa.array(g.max_turn, pa.int32()),
+            }
+        ).sort_by([("conv_id", "ascending")])
+
+    assert view.read_view(vdirs["view"]).equals(recompute())
+
+    # the widened columns are now maintained incrementally
+    _replay_round(vdirs, spec, 2000, seed=103, lsn_start=100_000)
+    rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert rep["applied_rows"] > 0
+    assert view.read_view(vdirs["view"]).equals(recompute())
+
+    with pytest.raises(ValueError, match="already exists"):
+        view.add_aggregate(
+            vdirs["view"], vdirs["changes"], AggSpec("max_turn", "max", "turn_idx")
+        )
