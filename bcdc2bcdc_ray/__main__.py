@@ -203,6 +203,16 @@ def cmd_refresh_view(args) -> dict:
     return {"cmd": "refresh-view", **view.refresh_view(args.view, args.changes_dir)}
 
 
+def cmd_add_aggregate(args) -> dict:
+    from .pipelines import view
+
+    agg = view.AggSpec(*args.agg.split(":"))
+    return {
+        "cmd": "add-aggregate",
+        **view.add_aggregate(args.view, args.changes_dir, agg),
+    }
+
+
 def cmd_view_lag(args) -> dict:
     from .pipelines import view
 
@@ -392,6 +402,14 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("--view", required=True)
     rv.add_argument("--changes-dir", required=True)
     rv.set_defaults(fn=cmd_refresh_view)
+
+    aa = sub.add_parser(
+        "add-aggregate", help="widen a live view with one pruned lake pass"
+    )
+    aa.add_argument("--view", required=True)
+    aa.add_argument("--changes-dir")
+    aa.add_argument("--agg", required=True, help="out:kind[:col]")
+    aa.set_defaults(fn=cmd_add_aggregate)
 
     vl = sub.add_parser("view-lag", help="feed files/rows past a view's cursor")
     vl.add_argument("--view", required=True)

@@ -277,3 +277,24 @@ def test_cli_view_lag_and_prune(capsys, workdir):
     assert rep["removed"] == lag["files"] and rep["kept"] == 0
     lag = _run(capsys, "view-lag", "--view", view_dir, "--changes-dir", changes)
     assert lag == {"cmd": "view-lag", "files": 0, "rows": 0}
+
+
+def test_cli_add_aggregate(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    view_dir = str(workdir["tmp"] / "view")
+    _run(
+        capsys, "create-view", "--view", view_dir, "--lake", workdir["lake"],
+        "--group-by", "conv_id", "--agg", "n_chars:sum_len:text",
+    )
+    rep = _run(
+        capsys, "add-aggregate", "--view", view_dir, "--agg", "max_turn:max:turn_idx",
+    )
+    assert rep["added"] == "max_turn"
+    from bcdc2bcdc_ray.pipelines import view as vw
+
+    got = vw.read_view(view_dir)
+    assert "max_turn" in got.column_names and got.num_rows > 0
