@@ -277,7 +277,12 @@ def _fold(
 
 def _read_view_partition(path: str, schema: pa.Schema):
     """(table, applied_vector) — applied comes from the file's own schema
-    metadata so data+watermark are always mutually consistent."""
+    metadata so data+watermark are always mutually consistent. The table
+    is CONFORMED to the expected schema: staged extra columns (a crashed
+    ``add_aggregate``) drop, and a missing aggregate column (an EMPTY
+    partition the widen pass had no lake groups to route to) appends as
+    null — only 0-row partitions can legitimately lack a column, so the
+    nulls are vacuous."""
     if not os.path.exists(path):
         return schema.empty_table(), {}
     t = pq.read_table(path)
@@ -286,7 +291,17 @@ def _read_view_partition(path: str, schema: pa.Schema):
         int(k): int(v)
         for k, v in json.loads(meta.get(_APPLIED_KEY, b"{}")).items()
     }
-    return t.replace_schema_metadata(None), applied
+    t = t.replace_schema_metadata(None)
+    if t.schema.names != schema.names:
+        cols = {}
+        for fld in schema:
+            cols[fld.name] = (
+                pc.cast(t.column(fld.name), fld.type)
+                if fld.name in t.column_names
+                else pa.nulls(t.num_rows, fld.type)
+            )
+        t = pa.table(cols, schema=schema)
+    return t, applied
 
 
 class ViewWriter:
@@ -939,9 +954,9 @@ def read_view(view_dir: str) -> pa.Table:
     for pid in range(int(m["num_partitions"])):
         p = _view_path(view_dir, pid)
         if os.path.exists(p):
-            t = pq.read_table(p).replace_schema_metadata(None).select(want)
-            if t.num_rows:
-                parts.append(t)
+            t = pq.read_table(p).replace_schema_metadata(None)
+            if t.num_rows:  # empty partitions may predate a widen; skip first
+                parts.append(t.select(want))
     if not parts:
         return pa.schema(
             [(g, _type_from_str(t)) for g, t in m["group_types"]]

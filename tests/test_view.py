@@ -577,3 +577,79 @@ def test_add_aggregate_widens_live_view(ray_session, vdirs):
         view.add_aggregate(
             vdirs["view"], vdirs["changes"], AggSpec("max_turn", "max", "turn_idx")
         )
+
+
+def test_add_aggregate_survives_emptied_partition(ray_session, vdirs):
+    """An EMPTY view partition (every group deleted) has no lake groups to
+    route widen data to, so its file legitimately lacks the new column.
+    Refreshes that later repopulate it must conform the partition to the
+    widened schema rather than KeyError."""
+    from bcdc2bcdc_ray.canonical import partition_ids
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs, n_convs=24, P=4)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["conv_id"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+    )
+    lake = cdc.read_lake_table(vdirs["lake"])
+    convs = sorted(set(lake.column("conv_id").to_pylist()))
+    probe = pa.table({"conv_id": pa.array(convs)})
+    pids = partition_ids(probe, ["conv_id"], 4)
+    victims = [c for c, p in zip(convs, pids) if p == 0]
+    assert victims
+
+    import pyarrow.compute as pc
+
+    doomed = lake.filter(pc.is_in(lake.column("conv_id"), pa.array(victims)))
+    wal = pa.table(
+        {
+            "lsn": pa.array(range(1, doomed.num_rows + 1), pa.int64()),
+            "op": pa.array(["delete"] * doomed.num_rows),
+            "conv_id": doomed.column("conv_id"),
+            "turn_idx": doomed.column("turn_idx"),
+            "role": pa.nulls(doomed.num_rows, pa.string()),
+            "text": pa.nulls(doomed.num_rows, pa.string()),
+            "tool": pa.nulls(doomed.num_rows, pa.string()),
+            "ts": pa.nulls(doomed.num_rows, pa.timestamp("us")),
+        }
+    )
+    paths = cg.write_wal_chunks(wal, os.path.join(vdirs["wal"], "d0"), num_chunks=1)
+    cdc.replay(vdirs["lake"], paths, spec, changes_dir=vdirs["changes"], changes_before=True)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    view.add_aggregate(vdirs["view"], vdirs["changes"], AggSpec("max_turn", "max", "turn_idx"))
+
+    # repopulate the emptied partition and refresh through it
+    back = doomed.slice(0, 3)
+    wal2 = pa.table(
+        {
+            "lsn": pa.array([10_000 + i for i in range(back.num_rows)], pa.int64()),
+            "op": pa.array(["upsert"] * back.num_rows),
+            "conv_id": back.column("conv_id"),
+            "turn_idx": back.column("turn_idx"),
+            "role": back.column("role"),
+            "text": back.column("text"),
+            "tool": back.column("tool"),
+            "ts": back.column("ts"),
+        }
+    )
+    paths = cg.write_wal_chunks(wal2, os.path.join(vdirs["wal"], "d1"), num_chunks=1)
+    cdc.replay(vdirs["lake"], paths, spec, changes_dir=vdirs["changes"], changes_before=True)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    df = cdc.read_lake_table(vdirs["lake"]).to_pandas()
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = df.groupby("conv_id").agg(
+        n_rows=("conv_id", "size"), n_chars=("n_chars", "sum"),
+        max_turn=("turn_idx", "max"),
+    ).reset_index()
+    expect = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert view.read_view(vdirs["view"]).equals(expect)
