@@ -677,3 +677,191 @@ def contamination_mask(texts, bench_sorted: np.ndarray, n: int) -> np.ndarray:
         hit = np.isin(sh, bench_sorted).astype(np.int64)
         flag[nz] = np.add.reduceat(hit, off[:-1][nz]) > 0
     return flag
+
+
+# ---- persisted LSH index + incremental near-dup --------------------------
+# The streaming-corpus shape: index once, then each ingest batch probes
+# ONLY its own band buckets against the stored index — no recompute of the
+# existing corpus (the reference recompares everything per run,
+# Diff.py:48-53; at crawl scale re-signing the corpus per batch is the
+# cost this kills). Index layout: bucket-hash-partitioned parquet
+# directories; each ingest batch writes its band rows as ONE file per
+# partition named by the batch id, so re-running a batch overwrites the
+# same files — idempotent adds for free.
+
+_IDX_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def index_partition_ids(
+    band: np.ndarray, band_hash: np.ndarray, num_partitions: int
+) -> np.ndarray:
+    """Deterministic bucket→partition routing shared by build and probe."""
+    with np.errstate(over="ignore"):
+        mixed = band_hash ^ (band.astype(np.uint64) * _IDX_GOLD)
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _index_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_index_meta.json")
+
+
+def _band_rows_with_part(
+    batch: pa.Table, num_bands: int, num_partitions: int
+) -> pa.Table:
+    t = lsh_bands(minhash_batch(batch), num_bands=num_bands)
+    part = index_partition_ids(
+        t.column("band").to_numpy(zero_copy_only=False),
+        t.column("band_hash").to_numpy(zero_copy_only=False),
+        num_partitions,
+    )
+    return t.append_column("__ipart", pa.array(part, pa.int64()))
+
+
+def _read_index_partition(index_dir: str, pid: int, exclude_batch: str):
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = []
+    prefix = f"bucket-{pid:05d}-"
+    skip = f"{prefix}{exclude_batch}.parquet"
+    for fn in os.listdir(index_dir):
+        if fn.startswith(prefix) and fn.endswith(".parquet") and fn != skip:
+            parts.append(pq.read_table(os.path.join(index_dir, fn)))
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
+def _write_index_batch(index_dir: str, pid: int, batch_id: str, rows: pa.Table):
+    import os
+
+    from ..state.manifest import atomic_write_parquet
+
+    atomic_write_parquet(
+        rows.select(["doc_id", "band", "band_hash"]),
+        os.path.join(index_dir, f"bucket-{pid:05d}-{batch_id}.parquet"),
+    )
+
+
+def mixed_candidate_pairs(
+    new_rows: pa.Table, old_rows: pa.Table | None, id_col: str = "doc_id"
+) -> pa.Table:
+    """Candidate pairs touching at least one NEW doc: per (band, band_hash)
+    bucket, old×new cross pairs plus new×new pairs — old×old never emitted
+    (those were candidates when the old batch was indexed). One output row
+    per coincident bucket (count them downstream for n_buckets). Pairs are
+    normalized a < b. Vectorized segment walk, no per-pair Python."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if new_rows.num_rows == 0:
+        return empty
+    tagged = [new_rows.append_column("__new", pa.array([True] * new_rows.num_rows))]
+    if old_rows is not None and old_rows.num_rows:
+        tagged.append(
+            old_rows.append_column("__new", pa.array([False] * old_rows.num_rows))
+        )
+    t = pa.concat_tables(tagged)
+    b0 = t.column("band").to_numpy(zero_copy_only=False)
+    b1 = t.column("band_hash").to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    is_new = t.column("__new").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, b1, b0))
+    b0s, b1s, ids_s, new_s = b0[order], b1[order], ids[order], is_new[order]
+    cut = np.flatnonzero((b0s[1:] != b0s[:-1]) | (b1s[1:] != b1s[:-1])) + 1
+    bounds = np.concatenate(([0], cut, [len(ids_s)]))
+    out_a, out_b = [], []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        seg_new = np.unique(ids_s[lo:hi][new_s[lo:hi]])
+        seg_old = np.unique(ids_s[lo:hi][~new_s[lo:hi]])
+        if len(seg_new) == 0:
+            continue
+        if len(seg_new) >= 2:  # new × new
+            ii, jj = np.triu_indices(len(seg_new), k=1)
+            out_a.append(seg_new[ii])
+            out_b.append(seg_new[jj])
+        if len(seg_old):  # old × new, normalized
+            go, gn = np.meshgrid(seg_old, seg_new, indexing="ij")
+            go, gn = go.ravel(), gn.ravel()
+            out_a.append(np.minimum(go, gn))
+            out_b.append(np.maximum(go, gn))
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
+def build_lsh_index(
+    ds,
+    index_dir: str,
+    num_bands: int = 16,
+    num_partitions: int = 32,
+    batch_id: str = "base",
+) -> None:
+    """Sign + band the corpus once and persist bucket-partitioned band
+    rows. One hash exchange; each partition writes one file per batch id
+    (atomic, so rebuilds/retries overwrite in place)."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_index_meta_path(index_dir), "w") as f:
+        json.dump({"num_bands": num_bands, "num_partitions": num_partitions}, f)
+
+    def writer(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int64())})
+        pid = int(group.column("__ipart")[0].as_py())
+        _write_index_batch(index_dir, pid, batch_id, group)
+        return pa.table({"partition": [pid]})
+
+    (
+        ds.map_batches(
+            lambda b: _band_rows_with_part(b, num_bands, num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__ipart")
+        .map_groups(writer, batch_format="pyarrow")
+        .take_all()
+    )
+
+
+def incremental_lsh_pairs(index_dir: str, new_ds, batch_id: str):
+    """Probe a NEW ingest batch against the persisted index and append it:
+    per index partition — new band rows join the stored buckets
+    (old×new + new×new candidates; old×old never recomputed) and the
+    batch's rows land as one idempotent file. Returns the candidate-pair
+    Dataset (one row per coincident bucket; count per (a,b) downstream).
+    Work is proportional to the NEW batch's buckets — the corpus is never
+    re-signed."""
+    import json
+
+    with open(_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    nb, P = int(meta["num_bands"]), int(meta["num_partitions"])
+
+    def probe(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        pid = int(group.column("__ipart")[0].as_py())
+        rows = group.select(["doc_id", "band", "band_hash"])
+        old = _read_index_partition(index_dir, pid, exclude_batch=batch_id)
+        pairs = mixed_candidate_pairs(rows, old)
+        _write_index_batch(index_dir, pid, batch_id, rows)
+        return pairs
+
+    return (
+        new_ds.map_batches(
+            lambda b: _band_rows_with_part(b, nb, P), batch_format="pyarrow"
+        )
+        .groupby("__ipart")
+        .map_groups(probe, batch_format="pyarrow")
+    )

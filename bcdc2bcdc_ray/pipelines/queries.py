@@ -1019,6 +1019,81 @@ def minhash_lsh_pairs(sf_dir: str):
     return _bucketed_map_groups(pairs, ["a", "b"], distinct_count)
 
 
+@q("lsh_index_adds", None)  # oracle installed below (wraps the minhash SQL)
+def lsh_index_adds(sf_dir: str):
+    """Incremental near-dup over a PERSISTED LSH index
+    (functions/dedup.py:build_lsh_index / incremental_lsh_pairs): the
+    corpus (80% of documents by splitmix64 hash) is signed and banded
+    ONCE into bucket-hash-partitioned index files; the ingest batch (the
+    other 20%) then probes ONLY its own buckets — old×new and new×new
+    candidates, old×old never recomputed, work proportional to the NEW
+    batch. The streaming-corpus shape the reference's recompare-everything
+    loop (Diff.py:48-53) cannot do at crawl scale. Oracle: the bit-exact
+    full-corpus minhash SQL filtered to pairs touching an ingest doc —
+    identical BY CONSTRUCTION because signatures are per-doc (banding base
+    and adds together equals banding them separately)."""
+    import tempfile
+
+    from ..functions import dedup, sketch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    p_add = 0.2
+
+    def split(b: pa.Table, keep_adds: bool) -> pa.Table:
+        from ..canonical import splitmix64
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = splitmix64(ids) < np.uint64(sketch.rate_threshold_u64(p_add))
+        return b.filter(pa.array(m if keep_adds else ~m))
+
+    with tempfile.TemporaryDirectory(prefix="lshidx_") as idx:
+        dedup.build_lsh_index(
+            docs.map_batches(lambda b: split(b, False), batch_format="pyarrow"),
+            idx,
+        )
+        pairs = dedup.incremental_lsh_pairs(
+            idx,
+            docs.map_batches(lambda b: split(b, True), batch_format="pyarrow"),
+            batch_id="adds",
+        )
+
+        def distinct_count(g: pa.Table) -> pa.Table:
+            out = g.group_by(["a", "b"]).aggregate([("a", "count")])
+            return pa.table(
+                {
+                    "a": out.column("a"),
+                    "b": out.column("b"),
+                    "n_buckets": out.column("a_count"),
+                }
+            )
+
+        # materialize inside the context (the index dir is temporary)
+        res = pa.concat_tables(
+            b
+            for b in _bucketed_map_groups(
+                pairs, ["a", "b"], distinct_count
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        )
+    return res.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def _install_lsh_index_oracle(minhash_sql: str):
+    from ..functions import sketch
+
+    thr = sketch.rate_threshold_u64(0.2)
+    is_add = lambda c: f"{sketch.splitmix64_sql(c)} < CAST({thr} AS UBIGINT)"
+    fn, _ = _REGISTRY["lsh_index_adds"]
+    _REGISTRY["lsh_index_adds"] = (
+        fn,
+        f"""
+        SELECT a, b, n_buckets FROM ({minhash_sql})
+        WHERE ({is_add('a')}) OR ({is_add('b')})
+        ORDER BY a, b
+        """,
+    )
+
+
 _U64_MOD = 1 << 64
 
 
@@ -4150,7 +4225,9 @@ def _install_cc_oracles(minhash_sql: str):
 # deferred installers: the minhash oracle SQL composes the crc32-in-SQL
 # helpers defined above (after the query's own definition point); the
 # connected-components oracles close over the minhash SQL
-_install_cc_oracles(_install_minhash_oracle())
+_MINHASH_SQL = _install_minhash_oracle()
+_install_cc_oracles(_MINHASH_SQL)
+_install_lsh_index_oracle(_MINHASH_SQL)
 _install_multimodal_checksum_oracle()
 _install_jpeg_decode_oracle()
 _install_mp4_meta_oracle()

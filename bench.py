@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "multimodal_mp4_meta",
     "cdc_change_feed",
     "incremental_view_rollup",
+    "lsh_index_adds",
 ]
 
 

@@ -681,3 +681,67 @@ def test_png_unsupported_variant_falls_back_nonstrict():
     assert resized.column("payload").to_pylist()[0] == bad
     with _pt.raises(ValueError):
         mm.ResizeImage(3, 3, strict=True)(batch)
+
+
+def test_lsh_index_incremental_equals_full_recompute(ray_session, tmp_path):
+    """Persisted LSH index: probing two sequential ingest batches emits
+    exactly the full-corpus candidate pairs that touch an ingested doc
+    (batch1: base×b1 + b1×b1; batch2: (base∪b1)×b2 + b2×b2), with
+    bit-identical bucket counts — and re-probing a batch is idempotent."""
+    import ray.data as rd
+
+    from bcdc2bcdc_ray.functions import dedup
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 12))) for _ in range(90)]
+    # inject guaranteed near-dups across the batch boundary
+    texts[30] = texts[0]
+    texts[60] = texts[0] + " w1"
+    texts[61] = texts[31]
+    docs = pa.table({"doc_id": pa.array(range(90), pa.int64()),
+                     "text": pa.array(texts)})
+
+    def ds_of(lo, hi):
+        return rd.from_arrow(docs.slice(lo, hi - lo))
+
+    idx = str(tmp_path / "idx")
+    dedup.build_lsh_index(ds_of(0, 30), idx, num_partitions=8)
+
+    def collect(ds):
+        t = pa.concat_tables(
+            b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        )
+        return t.group_by(["a", "b"]).aggregate([("a", "count")]).sort_by(
+            [("a", "ascending"), ("b", "ascending")]
+        )
+
+    got1 = collect(dedup.incremental_lsh_pairs(idx, ds_of(30, 60), "b1"))
+    got2 = collect(dedup.incremental_lsh_pairs(idx, ds_of(60, 90), "b2"))
+
+    # full recompute reference: all bucket-coincident pairs of the corpus
+    bands = dedup.lsh_bands(dedup.minhash_batch(docs))
+    full = dedup.candidate_pairs_grouped(bands)
+    fullc = full.group_by(["a", "b"]).aggregate([("a", "count")])
+    ref = {}
+    for a, b, n in zip(
+        fullc.column("a").to_pylist(),
+        fullc.column("b").to_pylist(),
+        fullc.column("a_count").to_pylist(),
+    ):
+        if b >= 30 or a >= 30:  # touches an ingested doc
+            ref[(a, b)] = n
+    got = {}
+    for t in (got1, got2):
+        for a, b, n in zip(
+            t.column("a").to_pylist(),
+            t.column("b").to_pylist(),
+            t.column("a_count").to_pylist(),
+        ):
+            got[(a, b)] = got.get((a, b), 0) + n
+    assert got == ref and len(ref) > 0
+
+    # idempotent re-probe: same batch id → identical pairs, index unchanged
+    again = collect(dedup.incremental_lsh_pairs(idx, ds_of(60, 90), "b2"))
+    assert again.equals(got2)
