@@ -740,8 +740,12 @@ def _write_index_batch(index_dir: str, pid: int, batch_id: str, rows: pa.Table):
 
     from ..state.manifest import atomic_write_parquet
 
+    # sorted by bucket key: parquet row-group stats then let a future
+    # probe push band_hash ranges down instead of scanning the partition
     atomic_write_parquet(
-        rows.select(["doc_id", "band", "band_hash"]),
+        rows.select(["doc_id", "band", "band_hash"]).sort_by(
+            [("band", "ascending"), ("band_hash", "ascending")]
+        ),
         os.path.join(index_dir, f"bucket-{pid:05d}-{batch_id}.parquet"),
     )
 
@@ -838,8 +842,13 @@ def incremental_lsh_pairs(index_dir: str, new_ds, batch_id: str):
     (old×new + new×new candidates; old×old never recomputed) and the
     batch's rows land as one idempotent file. Returns the candidate-pair
     Dataset (one row per coincident bucket; count per (a,b) downstream).
-    Work is proportional to the NEW batch's buckets — the corpus is never
-    re-signed."""
+
+    Cost shape: the corpus is never re-signed; the probe reads only the
+    index PARTITIONS the new batch's buckets hash to, each ≈ corpus_bands
+    / num_partitions rows — size ``num_partitions`` so a partition is a
+    few row groups, and a small batch touches a small fraction of the
+    index. (Index files are bucket-sorted, so row-group pruning on
+    band_hash is available to push this below partition granularity.)"""
     import json
 
     with open(_index_meta_path(index_dir)) as f:
