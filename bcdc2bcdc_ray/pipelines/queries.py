@@ -113,11 +113,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_mp4_meta",
     # round-3 incremental materialized view (new code needs the driver row)
     "incremental_view_rollup",
-    # already-driver-green anchor (regression coverage inside the window);
-    # exact_dedup, cdc_delta_classify, minhash_lsh_pairs and cdc_lww_merge
-    # yielded their slots to the new multimodal_jpeg_decode /
-    # cdc_change_feed / multimodal_mp4_meta / incremental_view_rollup rows
-    "cdc_merge_apply",
+    # round-3 persisted-LSH-index incremental near-dup (new code; took the
+    # final slot from the cdc_merge_apply anchor — that family is green in
+    # CORRECTNESS r1+r2 and pinned by the pytest exactly-once/crash suite)
+    "lsh_index_adds",
 )
 
 
