@@ -171,6 +171,15 @@ def cmd_lookup(args) -> dict:
     }
 
 
+def cmd_diff(args) -> dict:
+    from .pipelines import cdc
+
+    return {
+        "cmd": "diff",
+        **cdc.diff_lakes(args.dst, args.src, args.out, _load_spec(args.spec)),
+    }
+
+
 def cmd_snapshot(args) -> dict:
     from .pipelines import cdc
 
@@ -371,6 +380,15 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--key", required=True)
     lk.set_defaults(fn=cmd_lookup)
+
+    df = sub.add_parser(
+        "diff", help="emit the WAL that makes DST equal SRC (co-partitioned lakes)"
+    )
+    df.add_argument("--dst", required=True)
+    df.add_argument("--src", required=True)
+    df.add_argument("--out", required=True)
+    df.add_argument("--spec")
+    df.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
     sp.add_argument("--lake", required=True)

@@ -239,14 +239,18 @@ def _hash_one_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         pa.types.is_integer(t)
         or pa.types.is_temporal(t)
     ):
+        # fill nulls BEFORE to_numpy: a null-bearing int/temporal array
+        # otherwise converts to float64 (NaN-nulls) and the uint64 bit
+        # reinterpret below would hash float bit patterns — i.e. the SAME
+        # value would hash differently depending on whether its batch
+        # happened to contain a null elsewhere. Null positions get the
+        # sentinel afterwards, so the fill value never surfaces.
         if pa.types.is_unsigned_integer(t):
-            x = arr.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+            xi = pc.fill_null(pc.cast(arr, pa.uint64()), 0)
+            x = xi.to_numpy(zero_copy_only=False)
         else:
-            x = (
-                arr.cast(pa.int64(), safe=False)
-                if not pa.types.is_temporal(t)
-                else pc.cast(arr, pa.int64(), safe=False)
-            ).to_numpy(zero_copy_only=False).view(np.uint64)
+            xi = pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+            x = xi.to_numpy(zero_copy_only=False).view(np.uint64)
         h = splitmix64(x)
     else:
         # exotic types (decimal, binary, nested): canonical string form

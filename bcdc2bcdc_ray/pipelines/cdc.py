@@ -1290,3 +1290,112 @@ def follow(
         "lsn_hi": (last or {}).get("lsn_hi", -1),
         **totals,
     }
+
+
+def diff_lakes(
+    dst_dir: str,
+    src_dir: str,
+    out_dir: str,
+    spec: Optional[TableSpec] = None,
+) -> dict:
+    """The reference's CORE semantic at lake scale: compare a DESTINATION
+    lake against a SOURCE lake and emit the update plan — a WAL whose
+    replay makes DST equal SRC (``runBCDC2BCDC.py``'s whole purpose:
+    deltas of adds/updates/deletes from a source-vs-destination compare,
+    ``CKANData.py:1426-1466`` + ``Diff.py:48-53`` — except the reference
+    deep-diffs in one driver process while this runs one classify per
+    co-partitioned pair, embarrassingly parallel and content-hash-backed).
+
+    Both lakes must share the partition layout (key, count, hash version),
+    which every lake pair produced by this engine from the same spec does
+    — the compare then never shuffles: partition i of DST only ever meets
+    partition i of SRC. Emitted per-partition chunk files
+    ``diff-{pid}-*.parquet`` are WAL-shaped with LSNs above DST's global
+    watermark, so ``replay(dst, <chunks>)`` applies them directly — the
+    defining property ``replay(dst, diff_lakes(dst, src)) == src`` is
+    pytest-pinned. NOOP-suppression comes free from the content-hash
+    classify: identical rows yield no event."""
+    from ..canonical import HASH_COL
+    from ..stages import delta as delta_mod
+
+    spec = spec or transcripts_spec()
+    dmeta, smeta = lake_meta(dst_dir), lake_meta(src_dir)
+    for k in ("num_partitions", "key", "hash"):
+        if dmeta[k] != smeta[k]:
+            raise ValueError(
+                f"lakes are not co-partitioned: {k} differs "
+                f"({dmeta[k]!r} vs {smeta[k]!r})"
+            )
+    P = dmeta["num_partitions"]
+    os.makedirs(out_dir, exist_ok=True)
+    base_lsn = ManifestStore(dst_dir).global_watermark() + 1
+    key = list(spec.key)
+
+    def diff_one(pid: int) -> None:
+        dst = read_partition_file(dst_dir, pid)
+        src = read_partition_file(src_dir, pid)
+        if dst is None and src is None:
+            return
+        schema_hint = (src if src is not None else dst).schema
+        if dst is None:
+            dst = schema_hint.empty_table()
+        if src is None:
+            src = schema_hint.empty_table()
+        # src rows as upsert events (unique per key already — a lake)
+        ev = src
+        if HASH_COL in ev.column_names:
+            ev = ev.drop_columns([HASH_COL])
+        ev = ev.append_column("op", pa.array(["upsert"] * ev.num_rows))
+        ev = ev.append_column(
+            "lsn", pa.array(np.arange(ev.num_rows, dtype=np.int64) + base_lsn)
+        )
+        joined, dschema = delta_mod.classify_delta(dst, ev, spec)
+        feed = delta_mod.change_feed(joined, dschema, spec)
+        # change_feed covers add/update; dst-only keys (KEEP with no
+        # incoming side) become deletes
+        has_inc = pc.is_valid(joined.column("__h_inc"))
+        keep_dead = pc.and_(
+            pc.equal(joined.column(delta_mod.OP_COL), delta_mod.KEEP),
+            pc.invert(has_inc),
+        )
+        dead = joined.filter(keep_dead)
+        if dead.num_rows:
+            cols = {
+                "lsn": pa.array(
+                    np.arange(dead.num_rows, dtype=np.int64)
+                    + base_lsn
+                    + feed.num_rows,
+                    pa.int64(),
+                ),
+                "op": pa.array(["delete"] * dead.num_rows),
+            }
+            for fld in dschema:
+                cols[fld.name] = (
+                    dead.column(fld.name)
+                    if fld.name in key
+                    else pa.nulls(dead.num_rows, fld.type)
+                )
+            feed = pa.concat_tables([feed, pa.table(cols, schema=feed.schema)])
+        if feed.num_rows:
+            # normalize op vocabulary to the WAL's (add/update → upsert)
+            op = feed.column("op")
+            op = pc.if_else(pc.equal(op, "delete"), op, pa.array(
+                ["upsert"] * feed.num_rows
+            ))
+            feed = feed.set_column(feed.column_names.index("op"), "op", op)
+            atomic_write_parquet(
+                feed, os.path.join(out_dir, f"diff-{pid:05d}.parquet")
+            )
+
+    def read_partition_file(lake_dir, pid):
+        p = partition_path(lake_dir, pid)
+        return pq.read_table(p) if os.path.exists(p) else None
+
+    _foreach_partition(range(P), diff_one)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("diff-") and f.endswith(".parquet")
+    )
+    events = sum(pq.read_metadata(f).num_rows for f in files)
+    return {"chunks": len(files), "events": events, "base_lsn": base_lsn}

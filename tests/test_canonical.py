@@ -76,3 +76,28 @@ def test_content_hash_of_sliced_batches_matches_full():
             ev.slice(off, ln), ["role", "text", "tool", "ts"], ("text", "tool")
         )
         assert (hs == full[off : off + ln]).all()
+
+
+def test_hash_context_independent_with_nulls():
+    """A value's hash must not depend on whether its batch happens to hold
+    a null elsewhere in the column (a null-bearing int/temporal array
+    converts to float64 via to_numpy, and reinterpreting those bits used
+    to poison every row's hash in the array — surfaced by diff_lakes,
+    whose delete rows null the ts payload)."""
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.canonical import _hash_one_column
+
+    cases = [
+        (pa.timestamp("us"), 1_767_237_427_000_000),
+        (pa.int32(), 42),
+        (pa.int64(), -7),
+        (pa.uint32(), 42),
+        (pa.float64(), 2.5),
+        (pa.string(), "x"),
+        (pa.bool_(), True),
+    ]
+    for t, v in cases:
+        with_null = _hash_one_column(pa.array([v, None], t))[0]
+        alone = _hash_one_column(pa.array([v], t))[0]
+        assert with_null == alone, (t, hex(with_null), hex(alone))

@@ -950,3 +950,42 @@ def test_feed_cursor_exactly_once_consumption(ray_session, dirs, tmp_path):
 
     with pytest.raises(ValueError):
         cdc.FeedCursor(changes, "../x")
+
+
+def test_diff_lakes_replay_converges_dst_to_src(ray_session, dirs, tmp_path):
+    """The reference's core loop at lake scale: diff two co-partitioned
+    lakes and replay the emitted WAL — replay(dst, diff(dst, src)) == src,
+    a second diff is empty (no-op suppression by content hash), and the
+    rerun is exactly-once."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=2500)
+    # src: the oracle-final lake; dst: a DIVERGED lake (replayed only part
+    # of the WAL, so it is missing adds/updates and retains doomed rows)
+    src_dir = str(tmp_path / "src")
+    cdc.init_lake(cg.oracle_replay(lake, events), src_dir, spec, num_partitions=8)
+    cdc.replay(lake_dir, paths[:2], spec)
+    assert not cdc.read_lake_table(lake_dir).equals(cdc.read_lake_table(src_dir))
+
+    out = str(tmp_path / "diff")
+    rep = cdc.diff_lakes(lake_dir, src_dir, out, spec)
+    assert rep["events"] > 0 and rep["chunks"] > 0
+    chunks = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    cdc.replay(lake_dir, chunks, spec)
+    assert cdc.read_lake_table(lake_dir).equals(cdc.read_lake_table(src_dir))
+
+    # converged: a fresh diff emits nothing
+    out2 = str(tmp_path / "diff2")
+    assert cdc.diff_lakes(lake_dir, src_dir, out2, spec)["events"] == 0
+    # and replaying the same diff chunks again is exactly-once
+    rep2 = cdc.replay(lake_dir, chunks, spec)
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
+
+    # mismatched layouts fail loudly
+    other = str(tmp_path / "other")
+    cdc.init_lake(lake, other, spec, num_partitions=4)
+    with pytest.raises(ValueError, match="co-partitioned"):
+        cdc.diff_lakes(lake_dir, other, str(tmp_path / "x"), spec)
