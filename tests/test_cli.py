@@ -298,3 +298,37 @@ def test_cli_add_aggregate(capsys, workdir):
 
     got = vw.read_view(view_dir)
     assert "max_turn" in got.column_names and got.num_rows > 0
+
+
+def test_cli_diff_converges_lakes(capsys, workdir, tmp_path):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    src = str(tmp_path / "srclake")
+    import pyarrow.parquet as _pq
+
+    final = cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    seed2 = str(tmp_path / "src_seed.parquet")
+    _pq.write_table(final, seed2)
+    _run(
+        capsys, "init-lake", "--input", seed2, "--lake", src,
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    out = str(tmp_path / "diffwal")
+    rep = _run(
+        capsys, "diff", "--dst", workdir["lake"], "--src", src, "--out", out,
+        "--spec", workdir["spec"],
+    )
+    assert rep["events"] > 0
+    import os as _os
+
+    chunks = sorted(
+        _os.path.join(out, f) for f in _os.listdir(out) if f.endswith(".parquet")
+    )
+    _run(
+        capsys, "replay", "--lake", workdir["lake"], "--wal", *chunks,
+        "--spec", workdir["spec"],
+    )
+    assert cdc.read_lake_table(workdir["lake"]).equals(final)
