@@ -171,6 +171,12 @@ def cmd_lookup(args) -> dict:
     }
 
 
+def cmd_fsck(args) -> dict:
+    from .pipelines import cdc
+
+    return {"cmd": "fsck", **cdc.fsck(args.lake, _load_spec(args.spec))}
+
+
 def cmd_diff(args) -> dict:
     from .pipelines import cdc
 
@@ -380,6 +386,11 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--key", required=True)
     lk.set_defaults(fn=cmd_lookup)
+
+    fs = sub.add_parser("fsck", help="lake integrity audit (read-only)")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--spec")
+    fs.set_defaults(fn=cmd_fsck)
 
     df = sub.add_parser(
         "diff", help="emit the WAL that makes DST equal SRC (co-partitioned lakes)"

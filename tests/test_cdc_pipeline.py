@@ -989,3 +989,32 @@ def test_diff_lakes_replay_converges_dst_to_src(ray_session, dirs, tmp_path):
     cdc.init_lake(lake, other, spec, num_partitions=4)
     with pytest.raises(ValueError, match="co-partitioned"):
         cdc.diff_lakes(lake_dir, other, str(tmp_path / "x"), spec)
+
+
+def test_fsck_clean_lake_and_detects_corruption(ray_session, dirs):
+    """fsck passes a healthy replayed lake and flags a corrupted stored
+    hash (the phantom-update class the null-context hash bug produced)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bcdc2bcdc_ray.canonical import HASH_COL
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=2000)
+    cdc.replay(lake_dir, paths, spec)
+    rep = cdc.fsck(lake_dir, spec)
+    assert rep["clean"] is True and rep["rows"] > 0
+
+    # corrupt one stored hash in place
+    p = os.path.join(lake_dir, "part-00000.parquet")
+    t = pq.read_table(p)
+    meta = t.schema.metadata
+    h = t.column(HASH_COL).to_pylist()
+    h[0] = (h[0] + 1) % (1 << 64)
+    t = t.set_column(
+        t.column_names.index(HASH_COL), HASH_COL, pa.array(h, pa.uint64())
+    )
+    pq.write_table(t.replace_schema_metadata(meta), p)
+    rep = cdc.fsck(lake_dir, spec)
+    assert rep["clean"] is False and rep["bad_hash"] == 1
