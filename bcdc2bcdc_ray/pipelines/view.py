@@ -1144,3 +1144,65 @@ def add_aggregate(
         "kind": agg.kind,
         "partitions_touched": len(lineage),
     }
+
+
+def fsck(view_dir: str) -> dict:
+    """View integrity audit (read-only), the view-side sibling of
+    ``cdc.fsck``: per partition — (a) every group's key hashes to the
+    partition holding it (routing invariant of the delta exchange and
+    repair); (b) ``n_rows`` strictly positive (zero-count groups must have
+    been dropped; negatives mean a double-retract); (c) group keys are
+    sorted and unique; (d) the applied-watermark vector parses and the
+    schema matches the view meta (a torn widen would show here); (e)
+    null min/max bounds are REPORTED (dirty-awaiting-repair is legal, but
+    the count should be zero in steady state)."""
+    m = view_meta(view_dir)
+    group_by: list[str] = m["group_by"]
+    aggs = [AggSpec(**a) for a in m["aggs"]]
+    P = int(m["num_partitions"])
+    want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
+    totals = {
+        "rows": 0, "misrouted": 0, "bad_counts": 0, "unsorted": 0,
+        "dup_groups": 0, "schema_mismatch": 0, "dirty_bounds": 0,
+        "partitions_checked": 0,
+    }
+    for pid in range(P):
+        path = _view_path(view_dir, pid)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path)
+        totals["partitions_checked"] += 1
+        totals["rows"] += t.num_rows
+        # schema: meta columns must be present (extras = staged widen only)
+        if [c for c in want if c not in t.column_names]:
+            totals["schema_mismatch"] += 1
+            continue
+        _ = json.loads((t.schema.metadata or {}).get(_APPLIED_KEY, b"{}"))
+        if t.num_rows == 0:
+            continue
+        routed = partition_ids(t, [group_by[0]], P)
+        totals["misrouted"] += int((routed != pid).sum())
+        counts = t.column("n_rows")
+        totals["bad_counts"] += int(
+            pc.sum(pc.cast(pc.less_equal(counts, 0), pa.int64())).as_py() or 0
+        )
+        idx = pc.sort_indices(
+            t.select(group_by), sort_keys=[(g, "ascending") for g in group_by]
+        ).to_numpy(zero_copy_only=False)
+        totals["unsorted"] += int((idx != np.arange(len(idx))).sum() > 0)
+        import pandas as _pd
+
+        totals["dup_groups"] += int(
+            _pd.DataFrame(
+                {g: t.column(g).to_numpy(zero_copy_only=False) for g in group_by}
+            ).duplicated().sum()
+        )
+        for a in aggs:
+            if a.kind in _MINMAX:
+                totals["dirty_bounds"] += t.column(a.out).null_count
+    totals["clean"] = all(
+        totals[k] == 0
+        for k in ("misrouted", "bad_counts", "unsorted", "dup_groups",
+                  "schema_mismatch")
+    )
+    return totals

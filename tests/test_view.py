@@ -653,3 +653,33 @@ def test_add_aggregate_survives_emptied_partition(ray_session, vdirs):
         }
     ).sort_by([("conv_id", "ascending")])
     assert view.read_view(vdirs["view"]).equals(expect)
+
+
+def test_view_fsck_clean_and_detects_dirty_bounds(ray_session, vdirs):
+    spec = _setup(vdirs)
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], AGGS)
+    _replay_round(vdirs, spec, 2000, seed=111)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    rep = view.fsck(vdirs["view"])
+    assert rep["clean"] is True and rep["rows"] > 0
+    assert rep["dirty_bounds"] == 0  # repair ran inside refresh
+
+    # plant a dirty bound: fsck reports it but stays structurally clean
+    import pyarrow.parquet as pq
+
+    p = next(
+        os.path.join(vdirs["view"], f)
+        for f in sorted(os.listdir(vdirs["view"]))
+        if f.endswith(".parquet")
+    )
+    t = pq.read_table(p)
+    meta = t.schema.metadata
+    mt = t.column("max_turn").to_pylist(); mt[0] = None
+    t = t.set_column(t.column_names.index("max_turn"), "max_turn",
+                     pa.array(mt, pa.int32()))
+    pq.write_table(t.replace_schema_metadata(meta), p)
+    rep = view.fsck(vdirs["view"])
+    assert rep["clean"] is True and rep["dirty_bounds"] == 1
+    # and repair_view heals what fsck reported
+    view.repair_view(vdirs["view"])
+    assert view.fsck(vdirs["view"])["dirty_bounds"] == 0
