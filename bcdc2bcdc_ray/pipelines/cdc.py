@@ -1401,7 +1401,9 @@ def diff_lakes(
     return {"chunks": len(files), "events": events, "base_lsn": base_lsn}
 
 
-def fsck(lake_dir: str, spec: Optional[TableSpec] = None) -> dict:
+def fsck(
+    lake_dir: str, spec: Optional[TableSpec] = None, parallel: bool = False
+) -> dict:
     """Lake integrity audit — verifies, per partition, the invariants every
     other operation SILENTLY relies on: (a) each row's persisted content
     hash matches a fresh recompute over the file's hash_cols (a stale/
@@ -1425,7 +1427,7 @@ def fsck(lake_dir: str, spec: Optional[TableSpec] = None) -> dict:
     store = ManifestStore(lake_dir)
     results: dict = {}
 
-    def check_one(pid: int) -> None:
+    def _check_partition(pid: int, results: dict) -> None:
         p = partition_path(lake_dir, pid)
         if not os.path.exists(p):
             return
@@ -1464,12 +1466,41 @@ def fsck(lake_dir: str, spec: Optional[TableSpec] = None) -> dict:
             rep["manifest_mismatch"] = 1
         results[pid] = rep
 
-    # driver loop (read-only metadata-light checks are per-partition cheap
-    # at test scale; _foreach_partition would distribute, but the closure
-    # must then return results through the dataset — keep the audit simple
-    # and deterministic, one partition at a time)
-    for pid in range(P):
-        check_one(pid)
+    if parallel:
+        # distributed audit: one task per partition, report rows flow back
+        # through the dataset (the 100 TB shape — each check is independent)
+        import ray.data as rd
+
+        def work(b: pa.Table) -> pa.Table:
+            local: dict = {}
+            for pid in b.column("pid").to_pylist():
+                _check_partition(int(pid), local)
+            if not local:
+                return pa.table({"pid": pa.array([], pa.int64())})
+            keys = ("rows", "bad_hash", "misrouted", "unsorted",
+                    "dup_keys", "manifest_mismatch")
+            return pa.table(
+                {"pid": pa.array(sorted(local), pa.int64())}
+                | {
+                    k: pa.array(
+                        [local[p][k] for p in sorted(local)], pa.int64()
+                    )
+                    for k in keys
+                }
+            )
+
+        ds = rd.from_items(
+            [{"pid": p} for p in range(P)], override_num_blocks=P
+        )
+        for b in ds.map_batches(work, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for row in b.to_pylist():
+                pid = row.pop("pid")
+                results[pid] = row
+    else:
+        for pid in range(P):
+            _check_partition(pid, results)
     totals = {
         k: int(sum(r[k] for r in results.values()))
         for k in ("rows", "bad_hash", "misrouted", "unsorted", "dup_keys",

@@ -1005,6 +1005,8 @@ def test_fsck_clean_lake_and_detects_corruption(ray_session, dirs):
     cdc.replay(lake_dir, paths, spec)
     rep = cdc.fsck(lake_dir, spec)
     assert rep["clean"] is True and rep["rows"] > 0
+    # distributed audit returns the identical report
+    assert cdc.fsck(lake_dir, spec, parallel=True) == rep
 
     # corrupt one stored hash in place
     p = os.path.join(lake_dir, "part-00000.parquet")
