@@ -174,7 +174,10 @@ def cmd_lookup(args) -> dict:
 def cmd_fsck(args) -> dict:
     from .pipelines import cdc
 
-    return {"cmd": "fsck", **cdc.fsck(args.lake, _load_spec(args.spec))}
+    return {
+        "cmd": "fsck",
+        **cdc.fsck(args.lake, _load_spec(args.spec), parallel=args.parallel),
+    }
 
 
 def cmd_diff(args) -> dict:
@@ -390,6 +393,7 @@ def build_parser() -> argparse.ArgumentParser:
     fs = sub.add_parser("fsck", help="lake integrity audit (read-only)")
     fs.add_argument("--lake", required=True)
     fs.add_argument("--spec")
+    fs.add_argument("--parallel", action="store_true")
     fs.set_defaults(fn=cmd_fsck)
 
     df = sub.add_parser(
