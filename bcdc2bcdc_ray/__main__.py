@@ -231,6 +231,12 @@ def cmd_add_aggregate(args) -> dict:
     }
 
 
+def cmd_view_fsck(args) -> dict:
+    from .pipelines import view
+
+    return {"cmd": "view-fsck", **view.fsck(args.view)}
+
+
 def cmd_view_lag(args) -> dict:
     from .pipelines import view
 
@@ -443,6 +449,10 @@ def build_parser() -> argparse.ArgumentParser:
     aa.add_argument("--changes-dir")
     aa.add_argument("--agg", required=True, help="out:kind[:col]")
     aa.set_defaults(fn=cmd_add_aggregate)
+
+    vf = sub.add_parser("view-fsck", help="view integrity audit (read-only)")
+    vf.add_argument("--view", required=True)
+    vf.set_defaults(fn=cmd_view_fsck)
 
     vl = sub.add_parser("view-lag", help="feed files/rows past a view's cursor")
     vl.add_argument("--view", required=True)

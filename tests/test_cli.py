@@ -209,6 +209,8 @@ def test_cli_view_lifecycle(capsys, workdir):
     )
     rep = _run(capsys, "refresh-view", "--view", view_dir, "--changes-dir", changes)
     assert rep["files"] > 0 and rep["applied_rows"] > 0
+    rep = _run(capsys, "view-fsck", "--view", view_dir)
+    assert rep["clean"] is True and rep["rows"] > 0
 
     # the maintained view equals a recompute over the replayed lake
     import pyarrow as pa
