@@ -201,6 +201,33 @@ def run_bench() -> dict:
     return out
 
 
+def _probe_burn(_):
+    import numpy as np
+
+    a = np.random.rand(600, 600)
+    t0 = time.perf_counter()
+    for _ in range(40):
+        a @ a
+    return time.perf_counter() - t0
+
+
+def _host_percore_ratio() -> float:
+    """Ray-free host calibration: per-process throughput of a fixed numpy
+    workload at 32-wide relative to 8-wide. On a healthy exclusive host
+    this reads ~1.0; shared-hypervisor windows have measured as low as
+    0.73, which mathematically caps any 8->32 scaling-efficiency reading
+    at that value regardless of engine code (see BASELINE.md drift
+    calibration). Reported alongside --scaling so every measurement
+    carries its own interpretation context."""
+    import multiprocessing as mp
+
+    means = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            means[n] = sum(p.map(_probe_burn, range(n))) / n
+    return round(means[8] / means[32], 3)
+
+
 def run_scaling() -> dict:
     # The scaling criterion targets the SUSTAINED-throughput regime (10^10
     # events on a real cluster); at the default 2M-event size fixed overheads
@@ -223,10 +250,12 @@ def run_scaling() -> dict:
         )
         return json.loads(r.stdout.strip().splitlines()[-1])
 
+    ratio = _host_percore_ratio()
     lo, hi = one(8), one(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32",
+        "host_percore_ratio_32v8": ratio,
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "events": lo["events"],
