@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Optional, Sequence
 
 import numpy as np
@@ -61,55 +62,143 @@ def lake_meta(lake_dir: str) -> dict:
 
 class _LakeLock:
     """Advisory writer lock: O_EXCL-create ``_lock.json`` holding
-    {pid, started_utc}. A lock whose holder process is dead — or older
-    than ``stale_after_s`` (the shared-storage lease fallback, where pid
-    liveness means nothing across nodes) — is reclaimed atomically. Held
-    only for the mutating section of one replay; ``dry_run`` never locks."""
+    {pid, host, token, started_utc}. Held only for the mutating section of
+    one replay; ``dry_run`` never locks.
+
+    Staleness (fixed per ADVICE r3 — the old version could reclaim a LIVE
+    lock and two reclaimers could cascade-unlink each other's fresh locks):
+
+    - same-host holder: pid liveness is authoritative. Alive → never stale
+      (no matter how old — a multi-hour 100-TB replay keeps its lock);
+      provably dead → stale immediately.
+    - cross-host holder (shared storage): mtime lease only — and holders
+      HEARTBEAT mtime from a daemon thread every ``stale_after_s/4`` (max
+      60 s), so only a truly dead remote holder ever ages out.
+    - reclaim is serialized through a second O_EXCL mutex file
+      (``_lock.reclaim``, own ~60 s lease): exactly one waiter unlinks, and
+      it re-checks staleness UNDER the mutex, so a lock freshly created by
+      a previous reclaimer (alive, recent mtime) is never removed.
+    - ``__exit__`` verifies the stored token before unlinking — it never
+      removes a lock it doesn't own.
+    """
 
     def __init__(self, lake_dir: str, stale_after_s: float = 3600.0):
         self.path = os.path.join(lake_dir, "_lock.json")
         self.stale_after_s = stale_after_s
         self._held = False
+        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        self._hb_stop = None
+        self._hb_thread = None
 
-    def _holder_is_stale(self) -> bool:
+    def _read_holder(self):
         try:
             with open(self.path) as f:
                 info = json.load(f)
             st = os.stat(self.path)
         except (OSError, ValueError):
-            return True  # unreadable/vanished lock: treat as stale
+            return None, None
+        return info, st
+
+    def _holder_is_stale(self) -> bool:
+        import socket
         import time as _time
 
-        if _time.time() - st.st_mtime > self.stale_after_s:
-            return True
+        info, st = self._read_holder()
+        if info is None:
+            return True  # unreadable/vanished lock: treat as stale
         pid = int(info.get("pid", -1))
+        if info.get("host", "") == socket.gethostname():
+            # pid liveness is authoritative on the same host — probe it
+            # BEFORE any age test so a long-running live replay is never
+            # reclaimed from under itself
+            try:
+                os.kill(pid, 0)  # liveness probe, no signal delivered
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False  # alive, owned by someone else
+            return False
+        # cross-host: pid means nothing; fall back to the mtime lease
+        # (the holder heartbeats, so a live remote writer never ages out)
+        return _time.time() - st.st_mtime > self.stale_after_s
+
+    def _reclaim(self) -> None:
+        """Remove a stale lock with exactly-one-winner semantics."""
+        import time as _time
+
+        mutex = self.path + ".reclaim"
         try:
-            os.kill(pid, 0)  # liveness probe, no signal delivered
-        except ProcessLookupError:
-            return True
-        except PermissionError:
-            return False  # alive, owned by someone else
-        return False
+            st = os.stat(mutex)
+            # a reclaimer crashed mid-reclaim: its mutex is held for
+            # microseconds normally, so a minute-old one is garbage
+            if _time.time() - st.st_mtime > 60.0:
+                try:
+                    os.unlink(mutex)
+                except FileNotFoundError:
+                    pass
+        except OSError:
+            pass
+        try:
+            rfd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            _time.sleep(0.05)  # another reclaimer active; retry the loop
+            return
+        try:
+            # re-check UNDER the mutex: the lock present now may be a
+            # fresh one created by the previous reclaimer — never unlink
+            # a non-stale lock
+            if self._holder_is_stale():
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+        finally:
+            os.close(rfd)
+            try:
+                os.unlink(mutex)
+            except FileNotFoundError:
+                pass
+
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        interval = min(60.0, max(1.0, self.stale_after_s / 4.0))
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(interval):
+                try:
+                    os.utime(self.path)
+                except OSError:
+                    return  # lock gone (released or lost) — stop quietly
+
+        t = threading.Thread(target=beat, daemon=True, name="lakelock-hb")
+        t.start()
+        self._hb_stop, self._hb_thread = stop, t
 
     def __enter__(self):
+        import socket
         import time as _time
 
         payload = json.dumps(
-            {"pid": os.getpid(), "started_utc": _time.time()}
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "token": self._token,
+                "started_utc": _time.time(),
+            }
         ).encode()
-        for _ in range(2):  # one reclaim attempt, then give up loudly
+        for _ in range(4):  # a few reclaim/contend attempts, then loud
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, payload)
                 os.close(fd)
                 self._held = True
+                self._start_heartbeat()
                 return self
             except FileExistsError:
                 if self._holder_is_stale():
-                    try:  # reclaim: remove + retry the exclusive create
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
+                    self._reclaim()
                     continue
                 raise LakeLockedError(
                     f"lake is locked by a live writer ({self.path}); "
@@ -119,10 +208,17 @@ class _LakeLock:
 
     def __exit__(self, *exc):
         if self._held:
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+            if self._hb_stop is not None:
+                self._hb_stop.set()
+            info, _ = self._read_holder()
+            # only unlink a lock we still own — if a (buggy or clock-skewed)
+            # reclaimer replaced it, removing the new holder's lock would
+            # cascade the mutual-exclusion loss
+            if info is not None and info.get("token") == self._token:
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
         return False
 
 

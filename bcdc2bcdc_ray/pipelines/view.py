@@ -275,6 +275,51 @@ def _fold(
     return folded.rename_columns(group_by + names).select(group_by + names)
 
 
+def _join_zero(t: pa.DataType) -> pa.Scalar:
+    """A valid arbitrary fill value of type ``t`` for null-safe join
+    encoding. Never surfaces in results: the companion validity flag
+    disambiguates a filled null from a real zero/empty value."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    return pa.scalar(0).cast(t)
+
+
+def _nullsafe_join(
+    left: pa.Table, right: pa.Table, keys: list[str], join_type: str
+) -> pa.Table:
+    """Join where NULL group keys MATCH each other. Arrow/Acero joins use
+    SQL semantics (NULL never equals NULL), but a view's GROUP BY treats
+    NULL as one ordinary group — so a null-keyed group's retract+assert
+    fold would fail to join its existing row and silently drop (corrupting
+    additive aggregates), and a null-keyed delete would surface as an
+    unmatched n_rows=-1 row tripping the negative-count guard forever.
+    Encode each key as (filled, is_valid), join on both, restore nulls."""
+    flags = [f"__nn_{k}" for k in keys]
+
+    def enc(t: pa.Table) -> pa.Table:
+        for k, fcol in zip(keys, flags):
+            col = t.column(k)
+            t = t.append_column(fcol, pc.is_valid(col).combine_chunks() if isinstance(col, pa.ChunkedArray) else pc.is_valid(col))
+            if col.null_count:
+                i = t.column_names.index(k)
+                t = t.set_column(i, k, pc.fill_null(col, _join_zero(col.type)))
+        return t
+
+    joined = enc(left).join(enc(right), keys=keys + flags, join_type=join_type)
+    n = joined.num_rows
+    for k, fcol in zip(keys, flags):
+        i = joined.column_names.index(k)
+        col = joined.column(k)
+        joined = joined.set_column(
+            i, k, pc.if_else(joined.column(fcol), col, pa.nulls(n, col.type))
+        )
+    return joined.drop_columns(flags)
+
+
 def _read_view_partition(path: str, schema: pa.Schema):
     """(table, applied_vector) — applied comes from the file's own schema
     metadata so data+watermark are always mutually consistent. The table
@@ -342,7 +387,7 @@ class ViewWriter:
         d = _fold(deltas, self.group_by, self.fold_specs)
         dnames = [c for c, _ in self.fold_specs]
         d = d.rename_columns(self.group_by + [f"__d_{c}" for c in dnames])
-        joined = current.join(d, keys=self.group_by, join_type="full outer")
+        joined = _nullsafe_join(current, d, self.group_by, "full outer")
         n = joined.num_rows
         has_cur = pc.is_valid(joined.column("n_rows"))
         cols: dict = {g: joined.column(g) for g in self.group_by}
@@ -639,19 +684,26 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
             os.remove(_repair_flag(view_dir))
         return rep0
 
-    feed_schema = pq.read_schema(picked[0][0])
     key_cols = set(m.get("source_key", []))
     # pre-images are needed for non-key agg sources AND non-key group
     # columns (the retract side of a group-key-changing update is keyed by
     # the BEFORE group values)
     need_payload = {a.col for a in aggs if a.col}
     need_before = (need_payload | set(group_by)) - key_cols
-    missing = {f"before_{c}" for c in need_before} - set(feed_schema.names)
-    if missing:
-        raise ValueError(
-            f"feed lacks pre-image columns {sorted(missing)} — emit it with "
-            "replay(..., changes_dir=..., changes_before=True)"
-        )
+    want_before = {f"before_{c}" for c in need_before}
+    if want_before:
+        # footer-check EVERY picked file, not just the first: a mixed feed
+        # (some files emitted without changes_before) would otherwise read
+        # its missing before_* columns as nulls and those files' retractions
+        # contribute 0 — the view silently diverges instead of failing loud
+        for p, _, _ in picked:
+            missing = want_before - set(pq.read_schema(p).names)
+            if missing:
+                raise ValueError(
+                    f"feed file {os.path.basename(p)} lacks pre-image "
+                    f"columns {sorted(missing)} — emit it with "
+                    "replay(..., changes_dir=..., changes_before=True)"
+                )
     cols = (
         ["op"]
         + group_by
@@ -765,7 +817,7 @@ class RepairWriter:
             b = b.rename_columns(
                 self.group_by + [f"__r_{a.out}" for a in self.minmax]
             )
-            joined = current.join(b, keys=self.group_by, join_type="left outer")
+            joined = _nullsafe_join(current, b, self.group_by, "left outer")
             # join may permute rows; rebuild in schema column order
             cols = {c: joined.column(c) for c in current.column_names}
             for a in self.minmax:
@@ -878,14 +930,25 @@ def repair_view(view_dir: str) -> dict:
     if not dirty_rows:
         return {"dirty_groups": 0, "repaired": 0}
     key0 = group_by[0]
-    dirty_key0 = pa.array(sorted({r[key0] for r in dirty_rows}))
+    key0_type = _type_from_str(dict(m["group_types"])[key0])
+    _vals = {r[key0] for r in dirty_rows}
+    dirty_has_null = None in _vals  # NULL is a legal group key (one group)
+    dirty_key0 = pa.array(
+        sorted(v for v in _vals if v is not None), type=key0_type
+    )
 
     lake_dir = m["source_lake"]
     lmeta = cdc.lake_meta(lake_dir)
     lake_pids = range(lmeta["num_partitions"])
     if m.get("source_key") and key0 == m["source_key"][0]:
         # co-keyed: dirty groups live in exactly these lake partitions
-        probe = pa.table({key0: dirty_key0})
+        # (a null dirty key hashes to the null sentinel's partition)
+        probe_vals = dirty_key0
+        if dirty_has_null:
+            probe_vals = pa.concat_arrays(
+                [dirty_key0, pa.nulls(1, type=key0_type)]
+            )
+        probe = pa.table({key0: probe_vals})
         pids = set(
             partition_ids(probe, [key0], lmeta["num_partitions"]).tolist()
         )
@@ -898,7 +961,12 @@ def repair_view(view_dir: str) -> dict:
     need = sorted(set(group_by) | {a.col for a in minmax})
 
     def partial_bounds(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(b.column(key0), value_set=dirty_key0))
+        mask = pc.fill_null(
+            pc.is_in(b.column(key0), value_set=dirty_key0), False
+        )
+        if dirty_has_null:
+            mask = pc.or_(mask, pc.is_null(b.column(key0)))
+        b = b.filter(mask)
         fields = [(g, b.schema.field(g).type) for g in group_by]
         fields += [(a.out, _type_from_str(dict(m["agg_types"])[a.out])) for a in minmax]
         if b.num_rows == 0:

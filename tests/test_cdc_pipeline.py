@@ -779,23 +779,118 @@ def test_lake_lock_blocks_concurrent_writers(ray_session, dirs, tmp_path):
     lake_dir, wal_dir = dirs
     spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=1500)
 
-    # plant a LIVE lock (our own pid is alive by definition)
+    import socket
+
+    host = socket.gethostname()
+
+    # plant a LIVE same-host lock (our own pid is alive by definition)
     lock_path = os.path.join(lake_dir, "_lock.json")
     with open(lock_path, "w") as f:
-        _json.dump({"pid": os.getpid(), "started_utc": 0}, f)
+        _json.dump({"pid": os.getpid(), "host": host, "started_utc": 0}, f)
+    with pytest.raises(cdc.LakeLockedError, match="live writer"):
+        cdc.replay(lake_dir, paths, spec)
+    # a live same-host holder is NEVER stale, no matter how old the lock
+    # file is (pid liveness beats the mtime lease — a multi-hour replay
+    # must not have its lock reclaimed from under it)
+    os.utime(lock_path, (0, 0))
     with pytest.raises(cdc.LakeLockedError, match="live writer"):
         cdc.replay(lake_dir, paths, spec)
     # read-only dry run is allowed beside a live writer
     rep = cdc.replay(lake_dir, paths, spec, dry_run=True)
     assert rep["adds"] > 0
 
-    # dead-holder lock: reclaimed, replay proceeds, lock released after
+    # cross-host lock inside its lease: pid liveness is unverifiable, so
+    # even a dead-looking pid must NOT be reclaimed until the lease expires
     with open(lock_path, "w") as f:
-        _json.dump({"pid": 2**22 + 12345, "started_utc": 0}, f)
+        _json.dump(
+            {"pid": 2**22 + 12345, "host": "some-other-node", "started_utc": 0},
+            f,
+        )
+    with pytest.raises(cdc.LakeLockedError, match="live writer"):
+        cdc.replay(lake_dir, paths, spec)
+    # …but an expired cross-host lease is reclaimed
+    os.utime(lock_path, (0, 0))
     rep = cdc.replay(lake_dir, paths, spec)
     assert rep["adds"] > 0
     assert not os.path.exists(lock_path)
-    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+    # dead same-host holder: reclaimed immediately (fresh mtime, dead pid).
+    # Needs a mutating wave — a fully-skipped rerun returns before locking.
+    ev2 = cg.gen_change_events(500, 120, seed=9, lsn_start=10_000_000)
+    paths2 = cg.write_wal_chunks(ev2, str(tmp_path / "wal-wave2"), num_chunks=2)
+    with open(lock_path, "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "host": host, "started_utc": 0}, f)
+    rep2 = cdc.replay(lake_dir, paths2, spec)
+    assert rep2["adds"] + rep2["updates"] + rep2["deletes"] > 0
+    assert not os.path.exists(lock_path)
+    assert cdc.read_lake_table(lake_dir).equals(
+        cg.oracle_replay(lake, pa.concat_tables([events, ev2]))
+    )
+
+
+def _lock_hammer_worker(lake_dir: str, counter_path: str, q) -> None:
+    """Acquire the lake lock (retrying on contention), bump a counter file
+    non-atomically inside the critical section. Any mutual-exclusion hole
+    (two holders at once) manifests as a lost update."""
+    import time
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            with cdc._LakeLock(lake_dir, stale_after_s=3600):
+                with open(counter_path) as f:
+                    v = int(f.read())
+                time.sleep(0.02)  # widen the lost-update window
+                with open(counter_path, "w") as f:
+                    f.write(str(v + 1))
+            q.put("ok")
+            return
+        except cdc.LakeLockedError:
+            time.sleep(0.005)
+    q.put("timeout")
+
+
+def test_lake_lock_stale_reclaim_single_winner(tmp_path):
+    """ADVICE r3 race: plant a STALE lock (dead same-host pid) and hammer it
+    with 6 processes that all start by attempting reclaim. The old
+    unlink-then-create reclaim let two waiters cascade-unlink each other's
+    fresh locks and both acquire; the reclaim mutex + under-mutex re-check +
+    token-verified release must keep the critical section exclusive:
+    counter ends exactly at N, and no lock file survives."""
+    import json as _json
+    import multiprocessing as mp
+    import socket
+
+    lake_dir = str(tmp_path / "lake")
+    os.makedirs(lake_dir)
+    lock_path = os.path.join(lake_dir, "_lock.json")
+    with open(lock_path, "w") as f:
+        _json.dump(
+            {"pid": 2**22 + 54321, "host": socket.gethostname(), "started_utc": 0},
+            f,
+        )
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as f:
+        f.write("0")
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_lock_hammer_worker, args=(lake_dir, counter, q))
+        for _ in range(6)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=90) for _ in procs]
+    for p in procs:
+        p.join(timeout=30)
+    assert results == ["ok"] * 6
+    with open(counter) as f:
+        assert int(f.read()) == 6
+    assert not os.path.exists(lock_path)
+    assert not os.path.exists(lock_path + ".reclaim")
 
 
 def test_lake_lock_released_on_failure(ray_session, dirs, tmp_path):

@@ -369,6 +369,57 @@ def test_view_non_cokeyed_group_by_payload_column(ray_session, vdirs):
         assert view.read_view(vdirs["view"]).equals(recompute_by_role())
 
 
+def test_view_null_group_key_merges_as_one_group(ray_session, vdirs):
+    """Group by ``tool``, which is NULL on every non-tool row (~85%): SQL
+    GROUP BY puts them in ONE null-keyed group, but arrow/Acero joins never
+    match NULL keys — without the null-safe join encoding the null group's
+    retract+assert folds silently dropped (additive corruption) and a
+    null-keyed delete surfaced as an unmatched n_rows=-1 row tripping the
+    negative-count guard on every refresh (permanent wedge; ADVICE r3
+    medium). Pins: multi-round refresh + dirty-bound repair on the null
+    group both match a full recompute."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("n_chars", "sum_len", "text"),
+        AggSpec("max_turn", "max", "turn_idx"),
+    ]
+    view.create_view(vdirs["view"], vdirs["lake"], ["tool"], aggs)
+
+    def recompute_by_tool():
+        df = cdc.read_lake_table(vdirs["lake"]).to_pandas()
+        df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+        g = (
+            df.groupby("tool", dropna=False)
+            .agg(
+                n_rows=("role", "size"),
+                n_chars=("n_chars", "sum"),
+                max_turn=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        import pandas as pd
+
+        return pa.table(
+            {
+                "tool": pa.array(
+                    [None if pd.isna(t) else t for t in g.tool], pa.string()
+                ),
+                "n_rows": pa.array(g.n_rows, pa.int64()),
+                "n_chars": pa.array(g.n_chars, pa.int64()),
+                "max_turn": pa.array(g.max_turn, pa.int32()),
+            }
+        ).sort_by([("tool", "ascending")])
+
+    assert view.read_view(vdirs["view"]).equals(recompute_by_tool())
+    for rnd, seed in enumerate((81, 83, 89)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+        assert view.read_view(vdirs["view"]).equals(recompute_by_tool())
+
+
 def test_feed_retention_prunes_consumed_files(ray_session, vdirs):
     """prune_changes with the view's consumed cursor removes exactly the
     fully-folded feed files; the view keeps working (no-op refresh, then a
