@@ -317,6 +317,26 @@ def bootstrap_lake(
                 f,
             )
         os.replace(meta_path + ".tmp", meta_path)
+    else:
+        # resume path: the COMMITTED meta is authoritative — silently using
+        # the caller's (possibly different) partitions/key here would route
+        # rows against the committed layout and break the co-partitioning
+        # every later merge/diff/lookup assumes. Adopt its partition count;
+        # refuse a key/hash mismatch loudly (mirrors replay's hash guard).
+        existing = lake_meta(lake_dir)
+        if list(existing.get("key", [])) != list(spec.key):
+            raise ValueError(
+                f"lake {lake_dir} exists with key {existing.get('key')!r} "
+                f"but bootstrap was called with spec key {list(spec.key)!r} "
+                "— refusing to misroute rows against the committed layout"
+            )
+        if existing.get("hash", HASH_VERSION) != HASH_VERSION:
+            raise ValueError(
+                f"lake {lake_dir} was partitioned with hash "
+                f"'{existing.get('hash')}' but this engine uses "
+                f"'{HASH_VERSION}' — re-init or migrate the lake"
+            )
+        num_partitions = int(existing["num_partitions"])
     store = ManifestStore(lake_dir)
 
     import ray
@@ -428,20 +448,48 @@ def lookup(lake_dir: str, key_value) -> pa.Table:
     """O(1)-file point read (the reference's single-package GET,
     ``CKAN.py`` package_show analog): hash the partition key value with the
     lake's own partitioner, read ONLY that partition's file, filter to the
-    key. At any lake size this touches one file — no scan, no shuffle."""
-    meta = lake_meta(lake_dir)
-    key_col = meta["key"][0]
-    probe = pa.table({key_col: pa.array([key_value])})
-    pid = int(partition_ids(probe, [key_col], meta["num_partitions"])[0])
-    p = partition_path(lake_dir, pid)
+    key. At any lake size this touches one file — no scan, no shuffle.
+
+    The key value is CAST to the lake's own key column type before hashing
+    (the CLI always passes a string; a config-declared lake may key on
+    int/timestamp — hashing the raw string would probe the wrong
+    partition), and the empty-result schema is the lake's, not a
+    hardcoded transcripts one."""
     from ..canonical import HASH_COL
 
-    if not os.path.exists(p):
+    meta = lake_meta(lake_dir)
+    key_col = meta["key"][0]
+    lake_schema = None
+    for pid in range(meta["num_partitions"]):
+        p = partition_path(lake_dir, pid)
+        if os.path.exists(p):
+            lake_schema = pq.read_schema(p)
+            break
+    if lake_schema is None:  # lake has no data files at all
         return transcripts_spec().schema.empty_table()
+    out_fields = [f for f in lake_schema if f.name != HASH_COL]
+    out_schema = pa.schema(out_fields)
+
+    arr = pa.array([key_value])
+    kt = lake_schema.field(key_col).type
+    if arr.type != kt:
+        try:
+            arr = arr.cast(kt)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            raise ValueError(
+                f"key value {key_value!r} is not castable to the lake's "
+                f"key column type {kt} ({key_col})"
+            ) from e
+    pid = int(
+        partition_ids(pa.table({key_col: arr}), [key_col], meta["num_partitions"])[0]
+    )
+    p = partition_path(lake_dir, pid)
+    if not os.path.exists(p):
+        return out_schema.empty_table()
     t = pq.read_table(p)
     if HASH_COL in t.column_names:
         t = t.drop_columns([HASH_COL])
-    return t.filter(pc.equal(t.column(key_col), key_value)).replace_schema_metadata(None)
+    return t.filter(pc.equal(t.column(key_col), arr[0])).replace_schema_metadata(None)
 
 
 def lake_stats(lake_dir: str) -> dict:

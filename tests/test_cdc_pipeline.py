@@ -934,11 +934,55 @@ def test_bootstrap_lake_streams_to_same_state_as_init(ray_session, tmp_path):
     rep2 = cdc.bootstrap_lake(snap, boot_dir, spec, num_partitions=8)
     assert rep2["adds"] + rep2["updates"] + rep2["deletes"] == 0
 
+    # a rerun with a DIFFERENT partition count must adopt the committed
+    # meta (not the argument) — misrouted rows would break co-partitioning
+    rep3 = cdc.bootstrap_lake(snap, boot_dir, spec, num_partitions=32)
+    assert rep3["adds"] + rep3["updates"] + rep3["deletes"] == 0
+    assert cdc.lake_meta(boot_dir)["num_partitions"] == 8
+    assert cdc.read_lake_table(boot_dir).equals(cdc.read_lake_table(ref_dir))
+    # …and a mismatched key is refused loudly
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    bad_spec = TableSpec(name=spec.name, schema=spec.schema, key=("turn_idx",))
+    with pytest.raises(ValueError, match="committed layout"):
+        cdc.bootstrap_lake(snap, boot_dir, bad_spec, num_partitions=8)
+
     # replay real WAL (lsn >= 1) on top of the bootstrapped lake
     events = cg.gen_change_events(3000, 150, seed=43)
     paths = cg.write_wal_chunks(events, str(tmp_path / "wal"), num_chunks=4)
     cdc.replay(boot_dir, paths, spec)
     assert cdc.read_lake_table(boot_dir).equals(cg.oracle_replay(lake, events))
+
+
+def test_lookup_casts_key_to_lake_type(ray_session, tmp_path):
+    """lookup() on a non-string-keyed lake (config-declared specs allow
+    it): a CLI-style string key is CAST to the lake's key type before
+    hashing — the raw string would hash to the wrong partition — and the
+    empty-result schema is the lake's own, not a hardcoded transcripts
+    one. Uncastable keys fail loudly."""
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    schema = pa.schema([("uid", pa.int64()), ("v", pa.string())])
+    tbl = pa.table(
+        {
+            "uid": pa.array(range(100), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(100)]),
+        }
+    )
+    spec = TableSpec(name="users", schema=schema, key=("uid",))
+    d = str(tmp_path / "ulake")
+    cdc.init_lake(tbl, d, spec, num_partitions=8)
+
+    got = cdc.lookup(d, "42")  # CLI always passes strings
+    assert got.num_rows == 1 and got.column("v")[0].as_py() == "v42"
+    assert got.equals(cdc.lookup(d, 42))
+    miss = cdc.lookup(d, 9999)
+    assert miss.num_rows == 0 and miss.schema.names == ["uid", "v"]
+    with pytest.raises(ValueError, match="castable"):
+        cdc.lookup(d, "not-a-number")
 
 
 def test_read_lake_column_and_key_pruning(ray_session, dirs):
