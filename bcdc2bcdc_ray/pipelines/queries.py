@@ -45,78 +45,75 @@ def q(name: str, sql: Optional[str] = None):
 
 # The external correctness driver evaluates the FIRST 50 entries of
 # ``queries()``. Registration order in this file is thematic (CDC → dedup →
-# text → ...), so without reordering the flagship replay family (registered
-# late) never lands inside the driver's window. This list pins the window:
-# the 45 queries the round-2 driver never saw (flagship first), then five
-# already-driver-green anchors for regression coverage. Everything else
-# follows in registration order — across rounds the union covers the whole
-# registry.
+# text → ...), so this list pins the driver window. Round-4 ROTATION
+# (VERDICT r3 next-round #2): the r3 window verified 50 queries; this
+# window keeps the flagship replay pinned in slot 1 and brings back every
+# oracle-bearing query that sat OUTSIDE the r3 window (the r1/r2 anchors:
+# cdc_lww_merge, the delta/join/window/transform families, minhash_lsh,
+# asof joins, order_customer_join_shuffle, ...) so that every
+# oracle-bearing query in the registry has a driver-green row in r3 ∪ r4.
+# embedding_neardup (rows-only approximate; pytest recall+precision gates)
+# stays out to make the slot arithmetic work: 1 flagship + 49 anchors.
+# Everything not listed follows in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship CDC replay family
+    # flagship CDC replay — pinned every round
     "transcripts_replay",
-    "transcripts_replay_remap",
-    "derived_ignore_replay",
-    "two_table_replay",
-    # dedup / training-data family
-    "dedup_components",
-    "neardup_dedup_docs",
-    "incremental_dedup_adds",
-    "training_corpus_build",
-    "contamination_flag",
-    "mixture_sample_docs",
-    "train_val_test_split",
-    # multimodal byte-level decodes
-    "multimodal_checksum",
-    "multimodal_decode",
-    "multimodal_audio",
-    "multimodal_frames",
-    "multimodal_jpeg_decode",
-    # text-analysis family
-    "pii_redact_contacts",
-    "normalize_text_docs",
-    "gopher_quality_docs",
-    "global_rank_docs",
-    "top_terms",
-    "session_documents",
-    "assemble_conversations",
-    "sessionize",
-    "hourly_rollup",
-    # joins / nested / spec machinery
-    "alt_key_latest_state",
-    "alt_key_delta",
-    "dup_group_drop",
-    "nested_scrub",
-    "nested_defaults",
-    "conditional_const_fill",
-    "user_customer_full_join",
-    # ingestion sources
-    "csv_ingest",
-    "jsonl_ingest",
-    # sketches / windows / rollups
-    "hll_distinct_parts",
-    "group_topk_docs",
-    "cube_pricing",
-    "daily_active_users",
-    "grouped_moments",
-    "daily_retention",
-    "moving_sum_events",
-    "hist_quantiles_events",
-    # similarity search (approximate paths are rows-only by design)
-    "ann_topk",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_multi",
-    # new round-3 CDC surface (the driver row matters most for new code)
-    "cdc_change_feed",
-    # round-3 MP4 container parse (its only chance at a driver row —
-    # registered last thematically, so pin it into the window)
-    "multimodal_mp4_meta",
-    # round-3 incremental materialized view (new code needs the driver row)
-    "incremental_view_rollup",
-    # round-3 persisted-LSH-index incremental near-dup (new code; took the
-    # final slot from the cdc_merge_apply anchor — that family is green in
-    # CORRECTNESS r1+r2 and pinned by the pytest exactly-once/crash suite)
-    "lsh_index_adds",
+    # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
+    "cdc_lww_merge",
+    "cdc_delta_classify",
+    "cdc_delta_counts",
+    "cdc_merge_apply",
+    # joins
+    "pricing_summary",
+    "top_orders",
+    "order_customer_join",
+    "order_customer_join_shuffle",
+    "customers_without_orders",
+    "semi_join_orders",
+    "anti_join_customers",
+    "asof_join_orders",
+    "asof_join_orders_broadcast",
+    "range_join_events",
+    # transform family
+    "ignore_filter",
+    "hot_users",
+    "value_map_lang",
+    "domain_clamp_lang",
+    "falsy_normalize",
+    "word_match_domain",
+    "source_url_rewrite",
+    "type_widen_nation",
+    "json_extract_props",
+    "canonical_json_props",
+    "json_rename_more_info",
+    # dedup / fingerprint family
+    "dup_groups",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "embedding_neardup_exact",
+    "fingerprint_md5",
+    "rolling_fingerprint",
+    # text analysis
+    "token_count",
+    "tfidf_doc_terms",
+    "length_filter_docs",
+    "bpe_token_count",
+    "quality_score",
+    "lang_id",
+    # windows / pivots / rollups
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "events_lag",
+    "rank_orders",
+    "pack_sequences",
+    "rollup_pricing",
+    "group_quantiles_events",
+    "heavy_hitters_events",
+    # sampling
+    "hash_sample_docs",
+    "group_sample_docs",
 )
 
 
@@ -1617,16 +1614,26 @@ def embedding_neardup_exact(sf_dir: str):
 def embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
     (bands=8 × bits=2 — measured recall 0.98 vs the exact baseline at this
-    threshold; the pytest gate pins ≥ 0.9):
+    threshold; the pytest gate pins ≥ 0.9), with the exact-cosine verify
+    FULLY DISTRIBUTED (VERDICT r3 wrong #1 removed the driver-side
+    pair+vector gather — the same fused shape as ``ngram_jaccard_pairs``):
 
     1. explode to (vec_id, band, bucket) rows — ids only, the embedding
-       payload never enters the shuffle;
-    2. one bucketed groupby on (band, bucket) → candidate pairs, deduped;
-    3. the SMALL candidate set gathers its vectors (semi-join) and exact
-       cosine verifies each pair vectorized.
+       payload never enters the banding shuffle;
+    2. one bucketed groupby on (band, bucket) → candidate pairs, exploded
+       to one row per pair SIDE (batch-local dedup only — the global dedup
+       falls out free at the attach bucket);
+    3. candidate vec IDS (8 B each — the only driver-side collect)
+       broadcast as a semi-filter; surviving vectors unit-normalize per
+       batch and co-locate with their pair sides on ONE vec-id-bucketed
+       exchange, attaching by vectorized ``index_in``;
+    4. attached sides re-bucket by pair hash; each bucket lays its pairs
+       out as two aligned matrix slices and one ``einsum`` computes every
+       cosine (no per-pair Python).
 
-    Scale: per-band bucket quadratic is (N/2^bits)² and everything after
-    the banding shuffle is candidate-proportional."""
+    Scale: per-band bucket quadratic is (N/2^bits)², everything after the
+    banding shuffle is candidate-proportional, and no vector ever lands on
+    the driver."""
     import ray
 
     first = pq.read_table(
@@ -1646,10 +1653,45 @@ def embedding_neardup(sf_dir: str):
         ),
     )
 
-    def distinct_pairs(g: pa.Table) -> pa.Table:
-        return g.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+    vec_t = pa.large_list(pa.float64())
+    side_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("vec", vec_t),
+            ("__side", pa.int8()),
+        ]
+    )
 
-    pair_tbl = _collect(_bucketed_map_groups(pairs, ["a", "b"], distinct_pairs))
+    def explode_sides(b: pa.Table) -> pa.Table:
+        d = b.group_by(["a", "b"]).aggregate([])
+        a = d.column("a").to_numpy(zero_copy_only=False)
+        bb = d.column("b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "vec_id": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "vec": pa.nulls(2 * n, vec_t),
+                "__side": pa.array(np.ones(2 * n, np.int8)),
+            },
+            schema=side_schema,
+        )
+
+    # snap once: feeds BOTH the id collect and the union (unsnapped, the
+    # LSH→pairs lineage would re-execute per consumer). One row per side.
+    side_rows = pairs.map_batches(
+        explode_sides, batch_format="pyarrow"
+    ).materialize()
+
+    id_tbl = _collect(
+        side_rows.map_batches(
+            lambda b: pa.table({"vec_id": pc.unique(b.column("vec_id"))}),
+            batch_format="pyarrow",
+        )
+    )
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),
@@ -1657,13 +1699,9 @@ def embedding_neardup(sf_dir: str):
             "cos": pa.array([], pa.float64()),
         }
     )
-    if pair_tbl is None or pair_tbl.num_rows == 0:
+    if id_tbl is None or id_tbl.num_rows == 0:
         return empty
-    cand_ids = pc.unique(
-        pa.chunked_array(
-            [pair_tbl.column("a"), pair_tbl.column("b")]
-        ).combine_chunks()
-    )
+    cand_ids = pc.unique(id_tbl.column("vec_id").combine_chunks())
     ids_ref = ray.put(cand_ids)
 
     class CandFilter:
@@ -1674,28 +1712,111 @@ def embedding_neardup(sf_dir: str):
             mask = pc.is_in(b.column("vec_id"), value_set=self.ids)
             return b.filter(pc.fill_null(mask, False))
 
-    cand_vecs = _collect(
-        ds.map_batches(lambda b: _cached(CandFilter, ids_ref)(b), batch_format="pyarrow")
+    def vec_rows(b: pa.Table) -> pa.Table:
+        # unit-normalize per batch; emit large_list<f64> built zero-copy
+        # from the flat matrix (no per-row Python)
+        n = b.num_rows
+        if n == 0:
+            return side_schema.empty_table()
+        m = similarity._to_matrix(b.column("embedding"))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = np.ascontiguousarray(m / norms)
+        vec = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * unit.shape[1]),
+            pa.array(unit.ravel(), pa.float64()),
+        )
+        return pa.table(
+            {
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "vec_id": b.column("vec_id"),
+                "vec": vec,
+                "__side": pa.array(np.zeros(n, np.int8)),
+            },
+            schema=side_schema,
+        )
+
+    doc_vecs = ds.map_batches(
+        lambda b: _cached(CandFilter, ids_ref)(b), batch_format="pyarrow"
+    ).map_batches(vec_rows, batch_format="pyarrow")
+
+    both = joins.union_snap(side_rows.union(doc_vecs))
+    attached_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("is_a", pa.bool_()),
+            ("vec", vec_t),
+        ]
     )
-    ids_np = cand_vecs.column("vec_id").to_numpy(zero_copy_only=False)
-    mat = similarity._to_matrix(cand_vecs.column("embedding"))
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    pos = {int(v): i for i, v in enumerate(ids_np)}
-    a_np = pair_tbl.column("a").to_numpy(zero_copy_only=False)
-    b_np = pair_tbl.column("b").to_numpy(zero_copy_only=False)
-    ai = np.array([pos[int(x)] for x in a_np])
-    bi = np.array([pos[int(x)] for x in b_np])
-    cos = np.einsum("ij,ij->i", unit[ai], unit[bi])
-    keep = cos >= 0.4
-    return pa.table(
-        {
-            "a": pa.array(a_np[keep], pa.int64()),
-            "b": pa.array(b_np[keep], pa.int64()),
-            "cos": pa.array(cos[keep], pa.float64()),
-        }
-    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        # vec-id bucket co-locates each vector row with every pair side
+        # referencing it; attach by local index_in (vectorized — no dict)
+        if g.num_rows == 0:
+            return attached_schema.empty_table()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        docs = g.take(pa.array(np.flatnonzero(side == 0)))
+        prs = g.take(pa.array(np.flatnonzero(side == 1)))
+        an = prs.column("a").to_numpy(zero_copy_only=False)
+        bn = prs.column("b").to_numpy(zero_copy_only=False)
+        vn = prs.column("vec_id").to_numpy(zero_copy_only=False)
+        # global side dedup: every copy of (a, b, vec_id) shares this bucket
+        order = np.lexsort((vn, bn, an))
+        an, bn, vn = an[order], bn[order], vn[order]
+        first = np.ones(len(an), bool)
+        if len(an) > 1:
+            first[1:] = (
+                (an[1:] != an[:-1]) | (bn[1:] != bn[:-1]) | (vn[1:] != vn[:-1])
+            )
+        prs = prs.take(pa.array(order[first]))
+        idx = pc.index_in(
+            prs.column("vec_id"), value_set=docs.column("vec_id").combine_chunks()
+        )
+        vec = docs.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        return pa.table(
+            {
+                "a": prs.column("a"),
+                "b": prs.column("b"),
+                "is_a": pc.equal(prs.column("vec_id"), prs.column("a")),
+                "vec": vec.take(idx),
+            },
+            schema=attached_schema,
+        )
+
+    attached = _bucketed_map_groups(both, ["vec_id"], attach)
+
+    def cosine_verify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        isa = g.column("is_a").to_numpy(zero_copy_only=False).astype(bool)
+        # a-side first within each (a, b) pair → rows 2k / 2k+1 align
+        order = np.lexsort((~isa, b, a))
+        a, b, isa = a[order], b[order], isa[order]
+        m = similarity._to_matrix(g.column("vec"))[order]
+        if len(a) % 2 or not (
+            np.array_equal(a[0::2], a[1::2]) and np.array_equal(b[0::2], b[1::2])
+        ):
+            raise RuntimeError(
+                "cosine verify bucket: a pair is missing one side — "
+                "candidate ids must all exist in the corpus"
+            )
+        cos = np.einsum("ij,ij->i", m[0::2], m[1::2])
+        keep = cos >= 0.4
+        return pa.table(
+            {
+                "a": pa.array(a[0::2][keep], pa.int64()),
+                "b": pa.array(b[0::2][keep], pa.int64()),
+                "cos": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return _bucketed_map_groups(attached, ["a", "b"], cosine_verify)
 
 
 # ---------------------------------------------------------------------------

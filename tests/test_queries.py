@@ -168,5 +168,10 @@ def test_embedding_neardup_recall_gate(ray_session):
     exact = e.queries()["embedding_neardup_exact"](SF).to_pandas()
     exact_pairs = set(zip(exact["a"], exact["b"]))
     approx = e.queries()["embedding_neardup"](SF)
-    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    if hasattr(approx, "iter_batches"):  # now a Dataset (distributed verify)
+        approx = approx.to_pandas()
+    approx_pairs = set(zip(approx["a"].tolist(), approx["b"].tolist()))
     assert len(exact_pairs & approx_pairs) / max(len(exact_pairs), 1) >= 0.9
+    # the verify stage is EXACT cosine, so precision must be 1: every
+    # emitted pair is in the quadratic baseline (candidates only lose)
+    assert approx_pairs <= exact_pairs
