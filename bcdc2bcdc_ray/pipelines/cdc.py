@@ -765,7 +765,98 @@ def read_changes_ds(changes_dir: str):
     return rd.read_parquet(files, override_num_blocks=_scan_blocks(files))
 
 
-def read_lake(lake_dir: str, columns=None, keys=None):
+_PRED_OPS = ("<", "<=", ">", ">=", "==", "between")
+
+
+def _predicate_mask(tbl: pa.Table, predicate) -> pa.ChunkedArray:
+    """Vectorized row mask for a conjunctive predicate — a list of
+    ``(column, op, value)`` with op ∈ {<, <=, >, >=, ==, between}
+    (``between`` takes ``value=(lo, hi)``, both inclusive). NULLs never
+    match (SQL comparison semantics)."""
+    mask = None
+    for col, op, val in predicate:
+        c = tbl.column(col)
+        if op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "==":
+            m = pc.equal(c, val)
+        elif op == "between":
+            lo, hi = val
+            m = pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}; use one of {_PRED_OPS}")
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def _footer_range(md, col_name: str):
+    """(min, max) of ``col_name`` across a parquet file's row groups from
+    FOOTER statistics only (no data read), or None when any row group
+    lacks stats — unknown ranges must never prune."""
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        found = False
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema == col_name:
+                found = True
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if not found:
+            return None  # column absent in this file (evolution) — keep
+    return None if lo is None else (lo, hi)
+
+
+def _prune_paths_by_predicate(paths, predicate) -> list:
+    """Zone-map partition pruning (the lake-side analog of the WAL's
+    footer-stats chunk pruning, ``sources/wal.py``): keep only files whose
+    footer [min, max] can satisfy every conjunct. Conservative by
+    construction — missing/incomparable stats keep the file; the exact
+    row filter downstream guarantees correctness either way. O(P) footer
+    reads (~1 ms each), zero data read for skipped partitions."""
+    kept = []
+    for p in paths:
+        md = pq.read_metadata(p)
+        keep = True
+        for col, op, val in predicate:
+            rng = _footer_range(md, col)
+            if rng is None:
+                continue
+            lo, hi = rng
+            try:
+                if op == "<":
+                    keep = lo < val
+                elif op == "<=":
+                    keep = lo <= val
+                elif op == ">":
+                    keep = hi > val
+                elif op == ">=":
+                    keep = hi >= val
+                elif op == "==":
+                    keep = lo <= val <= hi
+                elif op == "between":
+                    keep = hi >= val[0] and lo <= val[1]
+            except TypeError:
+                keep = True  # incomparable stats vs value — cannot prune
+            if not keep:
+                break
+        if keep:
+            kept.append(p)
+    return kept
+
+
+def read_lake(lake_dir: str, columns=None, keys=None, predicate=None):
     """Streaming read of the lake as a Ray Dataset (scale path). Drops the
     internal persisted-hash column.
 
@@ -775,7 +866,12 @@ def read_lake(lake_dir: str, columns=None, keys=None):
     lake's own partitioner, ONLY those files are listed, and a vectorized
     row filter keeps exactly the requested keys. A k-key read touches at
     most k files regardless of lake size (the multi-key generalization of
-    :func:`lookup`)."""
+    :func:`lookup`). ``predicate`` — a list of ``(column, op, value)``
+    conjuncts (see :func:`_predicate_mask`) — prunes at the partition
+    level too, via parquet FOOTER min/max zone maps (skipped partitions
+    read zero data; effective when the column's values cluster per
+    partition, e.g. append-mostly ``ts``/``lsn``), then filters rows
+    exactly."""
     import ray.data as rd
 
     from ..canonical import HASH_COL
@@ -788,15 +884,23 @@ def read_lake(lake_dir: str, columns=None, keys=None):
         key_set = pa.array(sorted(set(keys)))
         probe = pa.table({key_col: key_set})
         pids = sorted(set(partition_ids(probe, [key_col], meta["num_partitions"]).tolist()))
+    pred_extra_cols: list = []
     if columns is not None:
         columns = list(columns)
         if key_set is not None and key_col not in columns:
             columns = [key_col] + columns
+        if predicate is not None:
+            pred_extra_cols = [
+                c for c, _, _ in predicate if c not in columns
+            ]
+            columns = columns + pred_extra_cols
     paths = [
         partition_path(lake_dir, pid)
         for pid in pids
         if os.path.exists(partition_path(lake_dir, pid))
     ]
+    if predicate is not None and paths:
+        paths = _prune_paths_by_predicate(paths, predicate)
     if not paths:
         # keys pruned to partitions that hold no file yet → empty dataset
         # with the real lake schema (from any existing partition)
@@ -814,7 +918,9 @@ def read_lake(lake_dir: str, columns=None, keys=None):
             raise FileNotFoundError(f"empty lake {lake_dir}")
         schema = pq.read_schema(any_file)
         if columns is not None:
-            schema = pa.schema([schema.field(c) for c in columns])
+            schema = pa.schema(
+                [schema.field(c) for c in columns if c not in pred_extra_cols]
+            )
         from ..canonical import HASH_COL as _HC
 
         if _HC in schema.names:
@@ -824,6 +930,10 @@ def read_lake(lake_dir: str, columns=None, keys=None):
     def strip(b: pa.Table) -> pa.Table:
         if key_set is not None:
             b = b.filter(pc.is_in(b.column(key_col), value_set=key_set))
+        if predicate is not None:
+            b = b.filter(_predicate_mask(b, predicate))
+        if pred_extra_cols:
+            b = b.drop_columns(pred_extra_cols)
         if HASH_COL in b.column_names:
             b = b.drop_columns([HASH_COL])
         return b.replace_schema_metadata(None) if b.schema.metadata else b

@@ -53,11 +53,16 @@ def q(name: str, sql: Optional[str] = None):
 # asof joins, order_customer_join_shuffle, ...) so that every
 # oracle-bearing query in the registry has a driver-green row in r3 ∪ r4.
 # embedding_neardup (rows-only approximate; pytest recall+precision gates)
-# stays out to make the slot arithmetic work: 1 flagship + 49 anchors.
+# stays out to make the slot arithmetic work: 1 flagship + 1 new + 48
+# anchors. New oracle-bearing round-4 code (incremental_view_distinct)
+# displaces top_orders — the one trivial ORDER BY/LIMIT anchor (green in
+# r1+r2, still covered by tests/check_oracles.py every session).
 # Everything not listed follows in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # flagship CDC replay — pinned every round
     "transcripts_replay",
+    # round-4 hll view aggregate (new code needs the driver row)
+    "incremental_view_distinct",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -65,7 +70,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_merge_apply",
     # joins
     "pricing_summary",
-    "top_orders",
     "order_customer_join",
     "order_customer_join_shuffle",
     "customers_without_orders",
@@ -3744,6 +3748,73 @@ def incremental_view_rollup(sf_dir: str):
                 view.AggSpec("first_ts", "min", "ts"),
                 # exact integer sum of squares → incremental grouped variance
                 view.AggSpec("sq_turn", "sum_sq", "turn_idx"),
+            ],
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+        view.refresh_view(os.path.join(tmp, "view"), changes)
+        return view.read_view(os.path.join(tmp, "view"))
+
+
+def _view_distinct_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """count / max / HLL-approx-count-distinct rollup over the replay
+    oracle's final state. The HLL column is the sketch kit's integer-exact
+    SQL mirror (same splitmix64, same fixed-point alpha, same int128
+    division), so the incrementally maintained register vectors must land
+    on bit-identical estimates."""
+    from ..functions import sketch
+
+    hll = sketch.hll_distinct_sql("fin", "conv_id", "turn_idx")
+    return f"""
+    WITH fin AS ({_replay_oracle_sql(lake_path, wal_path)}),
+    base AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows,
+               max(turn_idx) AS max_turn
+        FROM fin GROUP BY conv_id
+    ),
+    h AS (SELECT * FROM ({hll}) hh)
+    SELECT base.conv_id, base.n_rows,
+           h.approx_distinct AS distinct_turns, base.max_turn
+    FROM base JOIN h ON base.conv_id = h.conv_id
+    """
+
+
+@q(
+    "incremental_view_distinct",
+    _view_distinct_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+)
+def incremental_view_distinct(sf_dir: str):
+    """Incremental COUNT(DISTINCT)-per-group view (round-4 ``hll``
+    aggregate kind): per-conversation distinct-turn sketch maintained as an
+    m=256 HLL register vector under the same signed-delta feed as every
+    other view aggregate — adds fold element-wise max; a delete/update
+    whose pre-image register reaches the stored one dirties the vector
+    (NULL) and the standard pruned lake-repair pass recomputes it. The SQL
+    oracle recomputes the estimator from the replayed final state with the
+    sketch kit's bit-exact SQL mirror, so a hash match proves incremental
+    register maintenance == full recompute. (Raw integer-exact estimator —
+    documented ~6.5% error above ~640 distinct, overshoots below; the
+    DETERMINISM is the contract here, same as ``hll_distinct_parts``.)"""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txvd_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        view.create_view(
+            os.path.join(tmp, "view"),
+            lake_dir,
+            ["conv_id"],
+            [
+                view.AggSpec("n_rows", "count"),
+                view.AggSpec("distinct_turns", "hll", "turn_idx"),
+                # a plain bound alongside: both repair families in one pass
+                view.AggSpec("max_turn", "max", "turn_idx"),
             ],
         )
         events = pq.read_table(_FLAGSHIP_WAL)

@@ -68,6 +68,7 @@ from ..state.manifest import atomic_write_parquet
 VIEW_PART = "__vpart"
 SRC_PID = "__src_pid"
 SRC_LSN = "__src_lsn"
+_HLL = ("hll",)  # approximate count-distinct: HLL register-vector aggregate
 _APPLIED_KEY = b"view_applied"
 _FEED_RE = re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
 
@@ -124,10 +125,120 @@ def _load_consumed(view_dir: str) -> dict[int, int]:
 
 
 _MINMAX = ("min", "max")
+# kinds that do NOT admit retraction: a delete/update pre-image that reaches
+# the stored value makes it untrustworthy → NULL (dirty) → lake repair
+_REPAIRABLE = _MINMAX + _HLL
 
 
 def _retract_col(out: str) -> str:
     return f"__retract_{out}"
+
+
+# --- HLL register-vector kind ------------------------------------------------
+# count(DISTINCT col) per group, maintained incrementally as an m=256
+# register vector (one fixed_size_binary[256] column; rho ≤ 57 fits uint8).
+# Register fold = element-wise max, which is retraction-free exactly like
+# min/max: an ADD can only tighten (raise) registers; a retraction whose
+# pre-image's register REACHES the stored one cannot be certified away, so
+# the group's vector goes NULL (dirty) and the standard repair pass
+# recomputes it from the lake. The estimator and the hash are the sketch
+# kit's integer-exact HLL (functions/sketch.py) — bit-reproducible in
+# DuckDB SQL, so an hll view column carries a hash-exact oracle.
+
+from ..functions.sketch import (  # noqa: E402  (constants shared with the SQL mirror)
+    HLL_M,
+    HLL_P,
+    _HLL_EST_NUM,
+    _HLL_RHO_MAX,
+    _bit_length_u64,
+)
+from ..canonical import splitmix64  # noqa: E402
+
+
+def _fsb_from_matrix(mat: np.ndarray, valid: np.ndarray | None = None) -> pa.Array:
+    """(n, HLL_M) uint8 register matrix → fixed_size_binary[HLL_M] array,
+    optionally with a validity mask (False = NULL = dirty)."""
+    n = len(mat)
+    bufs = [None, pa.py_buffer(np.ascontiguousarray(mat, np.uint8).tobytes())]
+    if valid is not None and not valid.all():
+        bufs[0] = pa.py_buffer(
+            np.packbits(valid.astype(bool), bitorder="little").tobytes()
+        )
+    return pa.FixedSizeBinaryArray.from_buffers(pa.binary(HLL_M), n, bufs)
+
+
+def _fsb_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """fixed_size_binary[HLL_M] column → ((n, HLL_M) uint8 matrix, null
+    mask). Null rows come back as ZERO registers (the max-fold identity);
+    callers that care about dirty-ness use the mask."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, HLL_M), np.uint8), np.zeros(0, bool)
+    buf = arr.buffers()[1]
+    if buf is None:  # all-null array may carry no data buffer
+        return np.zeros((n, HLL_M), np.uint8), np.ones(n, bool)
+    mat = (
+        np.frombuffer(buf, np.uint8, count=(arr.offset + n) * HLL_M)[
+            arr.offset * HLL_M :
+        ]
+        .reshape(n, HLL_M)
+        .copy()
+    )
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        mat[nulls] = 0
+    else:
+        nulls = np.zeros(n, bool)
+    return mat, nulls
+
+
+def _hll_row_registers(col) -> pa.Array:
+    """Per-row HLL contribution: one (idx, rho) register set from the SAME
+    splitmix64 hash as ``sketch.hll_partial`` (bit-parity with the SQL
+    mirror). A NULL value contributes an empty (all-zero) vector —
+    count(DISTINCT) ignores nulls."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.binary(HLL_M))
+    nulls = (
+        pc.is_null(arr).to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    # fill BEFORE to_numpy: a null-bearing int array converts to float64
+    # (CLAUDE.md hash-context pin)
+    x = (
+        pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
+    h = splitmix64(x)
+    idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    rho = (_HLL_RHO_MAX - _bit_length_u64(h >> np.uint64(HLL_P))).astype(np.uint8)
+    mat = np.zeros((n, HLL_M), np.uint8)
+    mat[np.arange(n), idx] = rho
+    if nulls is not None and nulls.any():
+        mat[nulls] = 0
+    return _fsb_from_matrix(mat)
+
+
+def _hll_estimates(col) -> pa.Array:
+    """Register-vector column → int64 approx-distinct estimates (the sketch
+    kit's integer-exact raw estimator; NULL (dirty) stays NULL)."""
+    mat, nulls = _fsb_matrix(col)
+    out = np.zeros(len(mat), np.int64)
+    for i in range(len(mat)):
+        cnt = np.bincount(mat[i], minlength=_HLL_RHO_MAX + 1)
+        z = sum(
+            int(c) << (_HLL_RHO_MAX - r)
+            for r, c in enumerate(cnt.tolist())
+            if c
+        )
+        out[i] = _HLL_EST_NUM // ((1 << 30) * z)
+    est = pa.array(out, pa.int64())
+    if nulls.any():
+        est = pc.if_else(pa.array(~nulls), est, pa.nulls(len(mat), pa.int64()))
+    return est
 
 
 def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
@@ -135,6 +246,8 @@ def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
         return pa.int64()
     if agg.kind in _MINMAX:  # bounds keep the source column's type
         return schema.field(agg.col).type
+    if agg.kind in _HLL:  # stored representation: the register vector
+        return pa.binary(HLL_M)
     t = schema.field(agg.col).type
     return pa.float64() if pa.types.is_floating(t) else pa.int64()
 
@@ -151,13 +264,17 @@ def _is_orderable(t: pa.DataType) -> bool:
 
 def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
     for a in aggs:
-        if a.kind not in ("count", "sum", "sum_len", "sum_sq") + _MINMAX:
+        if a.kind not in ("count", "sum", "sum_len", "sum_sq") + _MINMAX + _HLL:
             raise ValueError(f"unsupported agg kind {a.kind!r} ({a.out})")
         if a.kind == "count":
             continue
         if a.col is None or a.col not in schema.names:
             raise ValueError(f"agg {a.out}: unknown column {a.col!r}")
         t = schema.field(a.col).type
+        if a.kind in _HLL and not pa.types.is_integer(t):
+            # integer-only keeps hash parity with the SQL-mirrored sketch
+            # (hash strings upstream into an int column first)
+            raise ValueError(f"agg {a.out}: hll needs an integer column")
         if a.kind == "sum" and not (
             pa.types.is_integer(t) or pa.types.is_floating(t)
         ):
@@ -184,9 +301,9 @@ def _fold_specs(aggs: list[AggSpec], retract: bool) -> list[tuple[str, str]]:
     threat column."""
     specs: list[tuple[str, str]] = []
     for a in aggs:
-        fn = a.kind if a.kind in _MINMAX else "sum"
+        fn = a.kind if a.kind in _REPAIRABLE else "sum"
         specs.append((a.out, fn))
-        if retract and a.kind in _MINMAX:
+        if retract and a.kind in _REPAIRABLE:
             specs.append((_retract_col(a.out), a.kind))
     return specs
 
@@ -203,6 +320,8 @@ def _contribution(
     col = batch.column(f"{col_prefix}{agg.col}")
     if agg.kind in _MINMAX:
         return pc.cast(col, out_type)
+    if agg.kind in _HLL:
+        return _hll_row_registers(col)
     if agg.kind == "sum_len":
         vals = pc.fill_null(pc.utf8_length(col), 0)
         return pc.cast(vals, out_type)
@@ -248,7 +367,7 @@ def _signed_deltas(
         before = _contribution(
             feed, agg, "" if (agg.col in key_cols) else "before_", ot
         )
-        if agg.kind in _MINMAX:
+        if agg.kind in _REPAIRABLE:
             a_cols[agg.out] = after
             a_cols[_retract_col(agg.out)] = pa.nulls(n, ot)
             r_cols[agg.out] = pa.nulls(n, ot)
@@ -269,10 +388,29 @@ def _fold(
 ) -> pa.Table:
     """Per-group fold (arrow hash aggregate) with a per-column aggregate
     function — sum for additive kinds, min/max for bounds — restoring the
-    input column names."""
-    folded = table.group_by(group_by).aggregate(specs)
-    names = [c for c, _ in specs]
-    return folded.rename_columns(group_by + names).select(group_by + names)
+    input column names. ``hll`` columns (register vectors, outside arrow's
+    aggregate kernels) fold by a vectorized numpy scatter-max aligned to
+    the arrow groups through the canonical group-key hash (null-safe —
+    the same hash that routes partitions)."""
+    hll_cols = [c for c, k in specs if k == "hll"]
+    plain = [(c, k) for c, k in specs if k != "hll"]
+    folded = table.group_by(group_by).aggregate(plain)
+    names_p = [c for c, _ in plain]
+    folded = folded.rename_columns(group_by + names_p)
+    if hll_cols:
+        from ..canonical import content_hash
+
+        row_code = content_hash(table, group_by)
+        out_code = content_hash(folded, group_by)
+        order = np.argsort(out_code, kind="stable")
+        row_to_out = order[np.searchsorted(out_code[order], row_code)]
+        ng = folded.num_rows
+        for c in hll_cols:
+            mat, _ = _fsb_matrix(table.column(c))  # nulls fold as zeros
+            out_mat = np.zeros((ng, HLL_M), np.uint8)
+            np.maximum.at(out_mat, row_to_out, mat)
+            folded = folded.append_column(c, _fsb_from_matrix(out_mat))
+    return folded.select(group_by + [c for c, _ in specs])
 
 
 def _join_zero(t: pa.DataType) -> pa.Scalar:
@@ -371,7 +509,7 @@ class ViewWriter:
     def _dirty_count(self, merged: pa.Table) -> int:
         dirty = None
         for a in self.aggs:
-            if a.kind in _MINMAX:
+            if a.kind in _REPAIRABLE:
                 nulls = pc.is_null(merged.column(a.out))
                 dirty = nulls if dirty is None else pc.or_(dirty, nulls)
         if dirty is None:
@@ -411,6 +549,20 @@ class ViewWriter:
                 cmp = pc.less_equal if a.kind == "min" else pc.greater_equal
                 hit = pc.fill_null(cmp(pc.cast(threat, ot), tentative), False)
                 cols[a.out] = pc.if_else(hit, pa.nulls(n, ot), tentative)
+            elif a.kind in _HLL:
+                threat = joined.column(f"__d_{_retract_col(a.out)}")
+                cur_mat, cur_null = _fsb_matrix(cur)
+                dd_mat, _ = _fsb_matrix(dd)
+                th_mat, _ = _fsb_matrix(threat)
+                tentative = np.maximum(cur_mat, dd_mat)
+                # per-register threat test (the min/max rule, elementwise):
+                # a removed value whose register rho REACHES the tentative
+                # one may have held it → dirty; strictly below can't lower
+                # a max-folded register → safe
+                hit = ((th_mat > 0) & (th_mat >= tentative)).any(axis=1)
+                has_np = has_cur.to_numpy(zero_copy_only=False)
+                dirty_out = hit | (has_np & cur_null)  # dirty stays dirty
+                cols[a.out] = _fsb_from_matrix(tentative, valid=~dirty_out)
             else:
                 cols[a.out] = pc.add_checked(
                     pc.fill_null(pc.cast(cur, ot), 0),
@@ -494,7 +646,11 @@ def _type_from_str(s: str) -> pa.DataType:
         "large_string": pa.large_string(),
         "timestamp[us]": pa.timestamp("us"),
     }
-    return fixed[s] if s in fixed else pa.type_for_alias(s)
+    if s in fixed:
+        return fixed[s]
+    if s.startswith("fixed_size_binary["):  # hll register vectors
+        return pa.binary(int(s[len("fixed_size_binary[") : -1]))
+    return pa.type_for_alias(s)
 
 
 def _read_blocks(paths: list[str]) -> int:
@@ -616,7 +772,7 @@ def create_view(
             cols: dict = {g: batch.column(g) for g in group_by}
             for agg, ot in zip(aggs, out_types):
                 cols[agg.out] = _contribution(batch, agg, "", ot)
-                if agg.kind in _MINMAX:
+                if agg.kind in _REPAIRABLE:
                     # initial build retracts nothing
                     cols[_retract_col(agg.out)] = pa.nulls(batch.num_rows, ot)
             t = _fold(pa.table(cols), group_by, _fold_specs(aggs, retract=True))
@@ -646,7 +802,7 @@ def _empty_delta_table(group_by, aggs, out_types, schema) -> pa.Table:
     fields = [(g, schema.field(g).type) for g in group_by]
     for a, t in zip(aggs, out_types):
         fields.append((a.out, t))
-        if a.kind in _MINMAX:
+        if a.kind in _REPAIRABLE:
             fields.append((_retract_col(a.out), t))
     fields += [(VIEW_PART, pa.int64()), (SRC_PID, pa.int64()), (SRC_LSN, pa.int64())]
     return pa.schema(fields).empty_table()
@@ -793,7 +949,7 @@ class RepairWriter:
         self.view_dir = view_dir
         self.group_by: list[str] = m["group_by"]
         self.minmax = [
-            AggSpec(**a) for a in m["aggs"] if a["kind"] in _MINMAX
+            AggSpec(**a) for a in m["aggs"] if a["kind"] in _REPAIRABLE
         ]
         self.agg_types = {a: _type_from_str(t) for a, t in m["agg_types"]}
         self.schema = pa.schema(
@@ -822,6 +978,18 @@ class RepairWriter:
             cols = {c: joined.column(c) for c in current.column_names}
             for a in self.minmax:
                 cur = cols[a.out]
+                if a.kind in _HLL:
+                    # binary registers: if_else lacks a fixed-size-binary
+                    # kernel — heal via the matrix form instead
+                    cur_mat, cur_null = _fsb_matrix(cur)
+                    rep_mat, rep_null = _fsb_matrix(joined.column(f"__r_{a.out}"))
+                    heal_np = cur_null & ~rep_null
+                    fixed += int(heal_np.sum())
+                    out_mat = np.where(heal_np[:, None], rep_mat, cur_mat)
+                    cols[a.out] = _fsb_from_matrix(
+                        out_mat, valid=~(cur_null & rep_null)
+                    )
+                    continue
                 rep = pc.cast(
                     joined.column(f"__r_{a.out}"), self.agg_types[a.out]
                 )
@@ -890,7 +1058,7 @@ def repair_view(view_dir: str) -> dict:
     m = view_meta(view_dir)
     group_by: list[str] = m["group_by"]
     aggs = [AggSpec(**a) for a in m["aggs"]]
-    minmax = [a for a in aggs if a.kind in _MINMAX]
+    minmax = [a for a in aggs if a.kind in _REPAIRABLE]
     if not minmax:
         return {"dirty_groups": 0, "repaired": 0}
     P = int(m["num_partitions"])
@@ -973,9 +1141,12 @@ def repair_view(view_dir: str) -> dict:
             return pa.schema(fields + [(VIEW_PART, pa.int64())]).empty_table()
         cols: dict = {g: b.column(g) for g in group_by}
         for a in minmax:
-            cols[a.out] = pc.cast(
-                b.column(a.col), _type_from_str(dict(m["agg_types"])[a.out])
-            )
+            if a.kind in _HLL:
+                cols[a.out] = _hll_row_registers(b.column(a.col))
+            else:
+                cols[a.out] = pc.cast(
+                    b.column(a.col), _type_from_str(dict(m["agg_types"])[a.out])
+                )
         t = _fold(pa.table(cols), group_by, [(a.out, a.kind) for a in minmax])
         vp = partition_ids(t, [key0], P)
         return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
@@ -1015,8 +1186,11 @@ def read_view(view_dir: str) -> pa.Table:
     """Driver-side full read (tests / small results): concat partitions,
     sorted by the group key. Selects exactly the meta's columns, so a
     crashed mid-widen (some partitions carrying a staged new column the
-    meta hasn't committed yet) still reads consistently."""
+    meta hasn't committed yet) still reads consistently. ``hll`` register
+    vectors surface as their int64 approx-distinct ESTIMATE (the stored
+    representation is internal); a dirty (null) vector reads as null."""
     m = view_meta(view_dir)
+    hll_outs = {a["out"] for a in m["aggs"] if a["kind"] in _HLL}
     want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
     parts = []
     for pid in range(int(m["num_partitions"])):
@@ -1028,11 +1202,18 @@ def read_view(view_dir: str) -> pa.Table:
     if not parts:
         return pa.schema(
             [(g, _type_from_str(t)) for g, t in m["group_types"]]
-            + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
+            + [
+                (a, pa.int64() if a in hll_outs else _type_from_str(t))
+                for a, t in m["agg_types"]
+            ]
         ).empty_table()
-    return pa.concat_tables(parts).sort_by(
+    out = pa.concat_tables(parts).sort_by(
         [(g, "ascending") for g in m["group_by"]]
     )
+    for a in hll_outs:
+        i = out.column_names.index(a)
+        out = out.set_column(i, a, _hll_estimates(out.column(a)))
+    return out
 
 
 def follow(
@@ -1104,13 +1285,18 @@ def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
             return LINEAGE_SCHEMA.empty_table()
         current = pq.read_table(path)
         meta_bytes = current.schema.metadata or {}
-        fold_fn = agg.kind if agg.kind in _MINMAX else "sum"
+        fold_fn = agg.kind if agg.kind in _REPAIRABLE else "sum"
         vals = _fold(
             group.select(group_by + [agg.out]), group_by, [(agg.out, fold_fn)]
         ).rename_columns(group_by + [f"__new_{agg.out}"])
-        joined = current.join(vals, keys=group_by, join_type="left outer")
+        joined = _nullsafe_join(current, vals, group_by, "left outer")
         col = joined.column(f"__new_{agg.out}")
-        if agg.kind not in _MINMAX:
+        if agg.kind in _HLL:
+            # a group the lake pass never saw has zero contributions — an
+            # EMPTY register vector, not null (null = dirty)
+            mat, _ = _fsb_matrix(col)
+            col = _fsb_from_matrix(mat)
+        elif agg.kind not in _MINMAX:
             col = pc.fill_null(pc.cast(col, ot), 0)
         else:
             col = pc.cast(col, ot)
@@ -1178,7 +1364,7 @@ def add_aggregate(
         _validate_aggs([agg], schema)
         ot = _agg_out_type(agg, schema)
         need = sorted(set(group_by) | {agg.col})
-        fold_fn = agg.kind if agg.kind in _MINMAX else "sum"
+        fold_fn = agg.kind if agg.kind in _REPAIRABLE else "sum"
 
         def partials(b: pa.Table) -> pa.Table:
             fields = [(g, b.schema.field(g).type) for g in group_by]
@@ -1266,7 +1452,7 @@ def fsck(view_dir: str) -> dict:
             ).duplicated().sum()
         )
         for a in aggs:
-            if a.kind in _MINMAX:
+            if a.kind in _REPAIRABLE:
                 totals["dirty_bounds"] += t.column(a.out).null_count
     totals["clean"] = all(
         totals[k] == 0

@@ -1016,6 +1016,83 @@ def test_read_lake_column_and_key_pruning(ray_session, dirs):
     assert cdc.read_lake(lake_dir, keys=["conv-zz"]).count() == 0
 
 
+def test_read_lake_predicate_zone_map_pruning(ray_session, tmp_path):
+    """read_lake(predicate=): parquet-footer min/max zone maps skip whole
+    partition files (the lake-side analog of the WAL's footer-stats chunk
+    pruning). The lake is crafted so each partition's file covers ONE
+    distinct day — a one-day ts range must list a strict subset of files
+    and still return exactly the row-filtered result; a predicate column
+    outside ``columns`` is read for filtering then dropped."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.canonical import partition_ids as pids_of
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    P = 8
+    pid = pids_of(lake.select(["conv_id"]), ["conv_id"], P)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base + (pid * 86_400_000_000).astype("timedelta64[us]")
+    lake = lake.set_column(
+        lake.column_names.index("ts"), "ts", pa.array(ts)
+    )
+    d = str(tmp_path / "lake")
+    cdc.init_lake(lake, d, spec, num_partitions=P)
+
+    lo = dt.datetime(2026, 1, 2)
+    hi = dt.datetime(2026, 1, 3, 23, 59, 59)
+    pred = [("ts", "between", (lo, hi))]
+    all_paths = [
+        cdc.partition_path(d, p)
+        for p in range(P)
+        if os.path.exists(cdc.partition_path(d, p))
+    ]
+    kept = cdc._prune_paths_by_predicate(all_paths, pred)
+    assert 0 < len(kept) < len(all_paths)  # strict subset listed
+
+    got = pa.concat_tables(
+        list(cdc.read_lake(d, predicate=pred).iter_batches(batch_format="pyarrow"))
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    full = cdc.read_lake_table(d)
+    want = full.filter(cdc._predicate_mask(full, pred)).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.equals(want) and got.num_rows > 0
+
+    # predicate column outside `columns`: read for the filter, then dropped
+    t2 = pa.concat_tables(
+        list(
+            cdc.read_lake(
+                d, columns=["conv_id"], predicate=[("ts", ">=", lo)]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    assert t2.column_names == ["conv_id"]
+    assert t2.num_rows == int(
+        pa.compute.sum(
+            pa.compute.cast(
+                cdc._predicate_mask(full, [("ts", ">=", lo)]), pa.int64()
+            )
+        ).as_py()
+    )
+
+    # composite predicate + keys compose; empty result keeps the schema
+    none = pa.concat_tables(
+        list(
+            cdc.read_lake(
+                d, predicate=[("ts", ">", dt.datetime(2030, 1, 1))]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    ) if cdc._prune_paths_by_predicate(
+        all_paths, [("ts", ">", dt.datetime(2030, 1, 1))]
+    ) else None
+    assert none is None  # every file pruned — zero data read
+
+
 def test_snapshot_restore_time_travel(ray_session, dirs):
     """Zero-copy snapshot → mutate → restore → byte-equal state, and a
     re-replay of the same WAL resumes exactly from the snapshot's

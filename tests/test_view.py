@@ -420,6 +420,43 @@ def test_view_null_group_key_merges_as_one_group(ray_session, vdirs):
         assert view.read_view(vdirs["view"]).equals(recompute_by_tool())
 
 
+def test_view_hll_distinct_incremental_matches_rebuild(ray_session, vdirs, tmp_path):
+    """``hll`` aggregate kind (approx count-distinct as an m=256 register
+    vector, element-wise-max fold): through multiple replay rounds with
+    deletes — which dirty register vectors exactly like min/max bounds and
+    route through the same lake-repair pass — the incrementally maintained
+    view must equal a from-scratch ``create_view`` over the final lake
+    state, bit for bit (the registers are deterministic, so the int64
+    estimates are too)."""
+    from bcdc2bcdc_ray.pipelines import view as V
+
+    spec = _setup(vdirs)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("distinct_turns", "hll", "turn_idx"),
+        AggSpec("max_turn", "max", "turn_idx"),
+    ]
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], aggs)
+    assert view.read_view(vdirs["view"]).column("distinct_turns").null_count == 0
+
+    for rnd, seed in enumerate((31, 37, 41)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+        rebuilt = str(tmp_path / f"rebuild{rnd}")
+        view.create_view(rebuilt, vdirs["lake"], ["conv_id"], aggs)
+        got, want = view.read_view(vdirs["view"]), view.read_view(rebuilt)
+        assert got.equals(want)
+        # repair healed every dirty vector (no nulls left at rest)
+        assert got.column("distinct_turns").null_count == 0
+        assert view.fsck(vdirs["view"])["clean"]
+    # estimates are plausibly distinct-ish: every group has n_rows >= 1 and
+    # a strictly positive estimate
+    est = view.read_view(vdirs["view"]).column("distinct_turns")
+    import pyarrow.compute as pc
+
+    assert pc.min(est).as_py() > 0
+
+
 def test_feed_retention_prunes_consumed_files(ray_session, vdirs):
     """prune_changes with the view's consumed cursor removes exactly the
     fully-folded feed files; the view keeps working (no-op refresh, then a
