@@ -192,9 +192,21 @@ def cmd_diff(args) -> dict:
 def cmd_snapshot(args) -> dict:
     from .pipelines import cdc
 
+    if args.stats:
+        return {"cmd": "snapshot", "stats": cdc.snapshot_stats(args.lake)}
     if args.list:
         return {"cmd": "snapshot", "snapshots": cdc.list_snapshots(args.lake)}
     return {"cmd": "snapshot", **cdc.snapshot(args.lake, args.tag)}
+
+
+def cmd_prune_snapshots(args) -> dict:
+    from .pipelines import cdc
+
+    tags = args.tag or None
+    return {
+        "cmd": "prune-snapshots",
+        **cdc.prune_snapshots(args.lake, keep=args.keep, tags=tags),
+    }
 
 
 def cmd_restore(args) -> dict:
@@ -415,7 +427,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lake", required=True)
     sp.add_argument("--tag")
     sp.add_argument("--list", action="store_true")
+    sp.add_argument(
+        "--stats", action="store_true",
+        help="per-snapshot disk cost (exclusive vs hardlink-shared bytes)",
+    )
     sp.set_defaults(fn=cmd_snapshot)
+
+    ps = sub.add_parser(
+        "prune-snapshots", help="snapshot retention GC (keep the N newest)"
+    )
+    ps.add_argument("--lake", required=True)
+    ps.add_argument("--keep", type=int, default=0)
+    ps.add_argument("--tag", action="append", help="prune exactly these tags")
+    ps.set_defaults(fn=cmd_prune_snapshots)
 
     rs = sub.add_parser("restore", help="roll the lake back to a snapshot")
     rs.add_argument("--lake", required=True)

