@@ -388,6 +388,12 @@ def bootstrap_lake(
     lineage = (
         pa.concat_tables(batches) if batches else LINEAGE_SCHEMA.empty_table()
     ).to_pandas()
+    # lsn-0 snapshot durably applied → commit the lake-level watermark too
+    # (replay does the same; without it, diff_lakes on a bootstrap-only
+    # lake read global=-1, assigned base_lsn=0, and each partition's first
+    # diff event was silently watermark-skipped — pinned by
+    # test_diff_converges_bootstrapped_snapshot_clone)
+    store.commit_global(0)
     report = {
         k: int(lineage[k].sum())
         for k in ("events", "adds", "updates", "deletes", "noops", "skipped")
@@ -1653,7 +1659,19 @@ def diff_lakes(
             )
     P = dmeta["num_partitions"]
     os.makedirs(out_dir, exist_ok=True)
-    base_lsn = ManifestStore(dst_dir).global_watermark() + 1
+    # base ABOVE every watermark the destination holds — global AND
+    # per-partition (a lake whose global marker trails its partition
+    # watermarks, e.g. seeded by an engine path that forgot commit_global,
+    # would otherwise get events at an already-committed lsn, which the
+    # replay's exactly-once filter silently skips)
+    dst_store = ManifestStore(dst_dir)
+    base_lsn = (
+        max(
+            dst_store.global_watermark(),
+            max(dst_store.watermarks().values(), default=-1),
+        )
+        + 1
+    )
     key = list(spec.key)
 
     def diff_one(pid: int) -> None:

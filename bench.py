@@ -427,14 +427,172 @@ def run_view_bench() -> dict:
     }
 
 
+def run_soak_once() -> dict:
+    """Full-lifecycle soak at sustained scale (one Ray session): bootstrap
+    a lake from a snapshot table → replay a ~32.6M-event WAL with the
+    pre-image change feed → view.follow drains the feed into a live
+    per-conversation rollup (count + sum_len + the hll distinct sketch) →
+    clone the pre-replay snapshot as a second lake and diff_lakes it
+    against the live one → replay the diff into the clone → a re-diff
+    emits 0 events (the defining convergence property). The number a
+    cluster operator would quote: one end-to-end wall per stage."""
+    import ray
+
+    events = int(os.environ.get("SOAK_EVENTS", 32_640_000))
+    n_convs = max(1_000, events // 40)
+    P = max(16, min(256, events // 250_000))
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow.parquet as _pq
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc, view
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    work = f"/tmp/bench_soak_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    lake_dir = os.path.join(work, "lake")
+    view_dir = os.path.join(work, "view")
+    changes = os.path.join(work, "changes")
+    spec = transcripts_spec()
+
+    # untimed input generation (identical across CPU legs: fixed seeds,
+    # fixed chunk count)
+    snap_path = os.path.join(work, "snapshot.parquet")
+    lake_tbl = cg.gen_transcripts(n_convs, seed=42)
+    lake_rows = lake_tbl.num_rows
+    _pq.write_table(lake_tbl, snap_path)
+    del lake_tbl
+    paths = cg.gen_wal_chunks(
+        events, n_convs, os.path.join(work, "wal"), num_chunks=32,
+        seed=43, noop_frac=0.05,
+    )
+    n_events = sum(_pq.read_metadata(p).num_rows for p in paths)
+
+    t = {}
+    t0 = time.perf_counter()
+    cdc.bootstrap_lake(snap_path, lake_dir, spec, num_partitions=P)
+    t["bootstrap_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    view.create_view(
+        view_dir, lake_dir, ["conv_id"],
+        [
+            view.AggSpec("n_rows", "count"),
+            view.AggSpec("n_chars", "sum_len", "text"),
+            view.AggSpec("distinct_turns", "hll", "turn_idx"),
+        ],
+    )
+    t["view_build_sec"] = round(time.perf_counter() - t0, 2)
+
+    cdc.snapshot(lake_dir, "pre")
+
+    t0 = time.perf_counter()
+    rep = cdc.replay(
+        lake_dir, paths, spec, changes_dir=changes, changes_before=True
+    )
+    t["replay_feed_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    frep = view.follow(view_dir, changes, max_rounds=10)
+    t["view_follow_sec"] = round(time.perf_counter() - t0, 2)
+
+    # materialize the pre-replay snapshot as a standalone lake (hardlinks —
+    # O(partitions) metadata, the restored-snapshot side of the diff)
+    clone = os.path.join(work, "clone")
+    sdir = os.path.join(lake_dir, "_snapshots", "pre")
+    os.makedirs(os.path.join(clone, "_manifests"))
+    for fn in os.listdir(sdir):
+        if fn.endswith(".parquet") or fn == "_meta.json":
+            os.link(os.path.join(sdir, fn), os.path.join(clone, fn))
+    for fn in os.listdir(os.path.join(sdir, "_manifests")):
+        os.link(
+            os.path.join(sdir, "_manifests", fn),
+            os.path.join(clone, "_manifests", fn),
+        )
+
+    diff_out = os.path.join(work, "diff")
+    t0 = time.perf_counter()
+    drep = cdc.diff_lakes(clone, lake_dir, diff_out, spec)
+    t["diff_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cdc.replay(clone, sorted(
+        os.path.join(diff_out, f) for f in os.listdir(diff_out)
+        if f.endswith(".parquet")
+    ), spec)
+    t["converge_sec"] = round(time.perf_counter() - t0, 2)
+    rediff = cdc.diff_lakes(clone, lake_dir, os.path.join(work, "rediff"), spec)
+    assert rediff["events"] == 0, rediff  # convergence property
+
+    total = round(sum(t.values()), 2)
+    out = {
+        "metric": "lifecycle_soak_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "lake_rows": lake_rows,
+        "applied": rep["adds"] + rep["updates"] + rep["deletes"],
+        "feed_files_folded": frep["files"],
+        "view_rows_applied": frep["applied_rows"],
+        "diff_events": drep["events"],
+        **t,
+        "events_per_sec_total": round(n_events / total),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_soak() -> dict:
+    """--soak: the lifecycle at 8 and 32 CPUs in fresh processes (same
+    inputs), with the Ray-free host probe bracketing the measurement."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="soak")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    ratio = _host_percore_ratio()
+    lo, hi = one(8), one(32)
+    return {
+        "metric": "lifecycle_soak_scaling_8_to_32",
+        "host_percore_ratio_32v8": ratio,
+        "host_percore_ratio_after": _host_percore_ratio(),
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "stages_8": {k: lo[k] for k in lo if k.endswith("_sec")},
+        "stages_32": {k: hi[k] for k in hi if k.endswith("_sec")},
+        "events": lo["events"],
+        "scaling_efficiency": round((lo["value"] / hi["value"]) / 4.0, 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--soak" in sys.argv:
+        print(json.dumps(run_soak()))
     elif "--maintenance" in sys.argv:
         print(json.dumps(run_maintenance_scaling()))
     elif "--view" in sys.argv:
         print(json.dumps(run_view_bench()))
     elif MODE == "maintenance":
         print(json.dumps(run_maintenance_once()))
+    elif MODE == "soak":
+        print(json.dumps(run_soak_once()))
     else:
         print(json.dumps(run_bench()))

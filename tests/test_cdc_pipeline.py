@@ -954,6 +954,57 @@ def test_bootstrap_lake_streams_to_same_state_as_init(ray_session, tmp_path):
     assert cdc.read_lake_table(boot_dir).equals(cg.oracle_replay(lake, events))
 
 
+def test_diff_converges_bootstrapped_snapshot_clone(ray_session, tmp_path):
+    """Round-4 soak bug pin: bootstrap a lake (lsn-0 load), snapshot it,
+    replay a WAL, hardlink-clone the snapshot as a standalone lake, then
+    diff_lakes(clone, live) and replay the diff into the clone. Before the
+    fix, bootstrap never committed the lake-level replay watermark, so the
+    clone read global=-1, diff assigned base_lsn=0, and each partition's
+    FIRST diff event was silently skipped by the exactly-once filter
+    (lsn 0 <= partition watermark 0) — one stale row per partition. The
+    clone must converge exactly: re-diff emits 0 events."""
+    import pyarrow.parquet as pq
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    work = tmp_path
+    t = cg.gen_transcripts(300, seed=42)
+    snap = str(work / "snap.parquet")
+    pq.write_table(t, snap)
+    lake = str(work / "lake")
+    cdc.bootstrap_lake(snap, lake, spec, num_partitions=8)
+    cdc.snapshot(lake, "pre")
+    events = cg.gen_change_events(4000, 300, seed=43)
+    paths = cg.write_wal_chunks(events, str(work / "wal"), num_chunks=4)
+    cdc.replay(lake, paths, spec)
+
+    clone = str(work / "clone")
+    sdir = os.path.join(lake, "_snapshots", "pre")
+    os.makedirs(os.path.join(clone, "_manifests"))
+    for fn in os.listdir(sdir):
+        if fn.endswith(".parquet") or fn == "_meta.json":
+            os.link(os.path.join(sdir, fn), os.path.join(clone, fn))
+    for fn in os.listdir(os.path.join(sdir, "_manifests")):
+        os.link(
+            os.path.join(sdir, "_manifests", fn),
+            os.path.join(clone, "_manifests", fn),
+        )
+
+    d1 = cdc.diff_lakes(clone, lake, str(work / "diff"), spec)
+    assert d1["events"] > 0
+    files = sorted(
+        str(work / "diff" / f)
+        for f in os.listdir(work / "diff")
+        if f.endswith(".parquet")
+    )
+    rep = cdc.replay(clone, files, spec)
+    assert rep["skipped"] == 0  # the bug manifested as one skip/partition
+    assert cdc.read_lake_table(clone).equals(cdc.read_lake_table(lake))
+    d2 = cdc.diff_lakes(clone, lake, str(work / "rediff"), spec)
+    assert d2["events"] == 0
+
+
 def test_prune_snapshots_gc_keeps_restores_working(ray_session, dirs, tmp_path):
     """Snapshot retention GC: take three snapshots across replay rounds,
     prune to keep=1 — the survivors' restores must still work byte-exact
