@@ -1466,6 +1466,7 @@ def replay(
     stats: bool = False,
     changes_dir: Optional[str] = None,
     changes_before: bool = False,
+    _locked: bool = False,
 ) -> dict:
     """Replay WAL parquet chunks against the lake. Returns the run report:
     total adds/updates/deletes/noops/skipped + per-partition lineage rows.
@@ -1547,7 +1548,11 @@ def replay(
             "lsn_hi": max(watermarks.values(), default=-1),
             "lineage": [],
         }
-    if dry_run:  # read-only: no lock needed, safe beside a live writer
+    if dry_run or _locked:
+        # dry_run: read-only, no lock needed, safe beside a live writer.
+        # _locked: the CALLER already holds the lake lock (delete_where /
+        # update_where hold it across emit+apply so a concurrent writer
+        # cannot advance watermarks past the emitted LSNs in between).
         return _replay_execute(
         lake_dir, spec, P, store, watermarks, live_paths, wal_paths,
         salt=salt, hot_key_threshold=hot_key_threshold,
@@ -1742,6 +1747,226 @@ def diff_lakes(
     )
     events = sum(pq.read_metadata(f).num_rows for f in files)
     return {"chunks": len(files), "events": events, "base_lsn": base_lsn}
+
+
+def _emit_where(
+    lake_dir: str,
+    predicate,
+    out_dir: str,
+    spec: TableSpec,
+    *,
+    op: str,
+    set_values: Optional[dict] = None,
+    prefix: str,
+) -> dict:
+    """Shared emitter for :func:`delete_where` / :func:`update_where`:
+    scan only the partitions whose footer zone maps can satisfy the
+    predicate (``_prune_paths_by_predicate`` — skipped partitions read
+    ZERO data), filter rows exactly, and write one WAL-shaped chunk per
+    touched partition with LSNs above every watermark the lake holds.
+    Embarrassingly parallel (one task per partition, never a shuffle);
+    the emitted chunks feed the ordinary exactly-once :func:`replay`."""
+    if not predicate:
+        raise ValueError(
+            "predicate must have at least one (column, op, value) conjunct "
+            "— a full-table mutation should be explicit (read + re-init)"
+        )
+    meta = lake_meta(lake_dir)
+    P = meta["num_partitions"]
+    names = set(spec.schema.names)
+    for col, _o, _v in predicate:
+        if col not in names:
+            raise ValueError(
+                f"predicate column {col!r} not in table schema {sorted(names)}"
+            )
+    key = list(spec.key)
+    if set_values:
+        for col in set_values:
+            if col not in names:
+                raise ValueError(f"set column {col!r} not in table schema")
+            if col in key:
+                raise ValueError(
+                    f"cannot update key column {col!r} — a key change is a "
+                    "delete + add, not an update (row identity would fork)"
+                )
+    store = ManifestStore(lake_dir)
+    base_lsn = (
+        max(
+            store.global_watermark(),
+            max(store.watermarks().values(), default=-1),
+        )
+        + 1
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    # delete needs only key + predicate columns off storage; update needs
+    # the full payload (an upsert replaces the row)
+    if op == "delete":
+        read_cols = sorted(set(key) | {c for c, _, _ in predicate})
+    else:
+        read_cols = list(spec.schema.names)
+
+    def emit_one(pid: int) -> None:
+        p = partition_path(lake_dir, pid)
+        if not os.path.exists(p):
+            return
+        if not _prune_paths_by_predicate([p], predicate):
+            return  # zone-map skip: this partition cannot hold a match
+        t = pq.read_table(p, columns=read_cols)
+        t = t.filter(_predicate_mask(t, predicate))
+        if t.num_rows == 0:
+            return
+        n = t.num_rows
+        cols = {
+            "lsn": pa.array(
+                np.arange(n, dtype=np.int64) + base_lsn, pa.int64()
+            ),
+            "op": pa.array([op] * n, pa.string()),
+        }
+        for fld in spec.schema:
+            if fld.name in key:
+                cols[fld.name] = t.column(fld.name).cast(fld.type)
+            elif op == "delete":
+                cols[fld.name] = pa.nulls(n, fld.type)
+            elif set_values is not None and fld.name in set_values:
+                cols[fld.name] = pa.array(
+                    [set_values[fld.name]] * n, fld.type
+                )
+            else:
+                cols[fld.name] = t.column(fld.name).cast(fld.type)
+        atomic_write_parquet(
+            pa.table(cols), os.path.join(out_dir, f"{prefix}-{pid:05d}.parquet")
+        )
+
+    _foreach_partition(range(P), emit_one)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith(f"{prefix}-") and f.endswith(".parquet")
+    )
+    return {
+        "chunks": len(files),
+        "events": sum(pq.read_metadata(f).num_rows for f in files),
+        "base_lsn": base_lsn,
+        "files": files,
+    }
+
+
+def delete_where(
+    lake_dir: str,
+    predicate,
+    spec: Optional[TableSpec] = None,
+    *,
+    out_dir: Optional[str] = None,
+    apply: bool = True,
+    **replay_kw,
+) -> dict:
+    """Predicate-driven bulk delete (retention / right-to-erasure): emit
+    delete events for every lake row matching a conjunctive ``predicate``
+    (see :func:`_predicate_mask`) and — with ``apply=True`` (default) —
+    replay them through the ordinary exactly-once merge path, so
+    downstream consumers stay correct for free: the change feed
+    (``changes_dir=``/``changes_before=`` pass through to :func:`replay`)
+    carries the deletions into incremental views and chained lakes.
+
+    The reference has no bulk mutation (every delete is one hand-picked
+    API POST, ``CKANUpdate.py:251-305``); at lake scale the natural form
+    is declarative. The scan is zone-map pruned per partition (an
+    append-mostly ``ts`` predicate touches only the matching time range's
+    partitions) and column-pruned to key + predicate columns — the wide
+    payload never leaves storage. ``apply=False`` emits the WAL into
+    ``out_dir`` without applying (the what-would-change dry run; replay it
+    later or inspect it). Rerunning the same delete is a no-op (matching
+    rows are gone; nothing is emitted)."""
+    import shutil
+    import tempfile
+
+    spec = spec or transcripts_spec()
+    tmp = None
+    if out_dir is None:
+        if not apply:
+            raise ValueError("apply=False requires out_dir= to keep the WAL")
+        tmp = tempfile.mkdtemp(prefix="delete_where_")
+        out_dir = tmp
+    try:
+        if apply:
+            # one lock across emit + apply: a concurrent writer cannot
+            # advance watermarks past the emitted LSNs in between (the
+            # exactly-once filter would silently skip them)
+            with _LakeLock(lake_dir):
+                rep = _emit_where(
+                    lake_dir, predicate, out_dir, spec,
+                    op="delete", prefix="del",
+                )
+                rep = {"matched": rep["events"], **rep}
+                if rep["files"]:
+                    rep["replay"] = replay(
+                        lake_dir, rep["files"], spec, _locked=True, **replay_kw
+                    )
+        else:
+            rep = _emit_where(
+                lake_dir, predicate, out_dir, spec, op="delete", prefix="del"
+            )
+            rep = {"matched": rep["events"], **rep}
+        rep.pop("files", None)
+        return rep
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def update_where(
+    lake_dir: str,
+    predicate,
+    set_values: dict,
+    spec: Optional[TableSpec] = None,
+    *,
+    out_dir: Optional[str] = None,
+    apply: bool = True,
+    **replay_kw,
+) -> dict:
+    """Predicate-driven bulk update: for every lake row matching
+    ``predicate``, emit an upsert whose ``set_values`` columns are
+    overwritten with the given constants (key columns refused — a key
+    change forks row identity) and replay it exactly-once. Rows whose
+    target columns already hold those constants classify NOOP by content
+    hash, so re-running the same update costs a pruned scan and changes
+    nothing. Same pruning, feed propagation and ``apply``/``out_dir``
+    semantics as :func:`delete_where`."""
+    import shutil
+    import tempfile
+
+    spec = spec or transcripts_spec()
+    if not set_values:
+        raise ValueError("set_values must name at least one column")
+    tmp = None
+    if out_dir is None:
+        if not apply:
+            raise ValueError("apply=False requires out_dir= to keep the WAL")
+        tmp = tempfile.mkdtemp(prefix="update_where_")
+        out_dir = tmp
+    try:
+        if apply:
+            with _LakeLock(lake_dir):  # see delete_where: emit+apply atomic
+                rep = _emit_where(
+                    lake_dir, predicate, out_dir, spec,
+                    op="upsert", set_values=set_values, prefix="upd",
+                )
+                rep = {"matched": rep["events"], **rep}
+                if rep["files"]:
+                    rep["replay"] = replay(
+                        lake_dir, rep["files"], spec, _locked=True, **replay_kw
+                    )
+        else:
+            rep = _emit_where(
+                lake_dir, predicate, out_dir, spec,
+                op="upsert", set_values=set_values, prefix="upd",
+            )
+            rep = {"matched": rep["events"], **rep}
+        rep.pop("files", None)
+        return rep
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def fsck(

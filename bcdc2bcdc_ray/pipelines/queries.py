@@ -53,20 +53,25 @@ def q(name: str, sql: Optional[str] = None):
 # asof joins, order_customer_join_shuffle, ...) so that every
 # oracle-bearing query in the registry has a driver-green row in r3 ∪ r4.
 # embedding_neardup (rows-only approximate; pytest recall+precision gates)
-# stays out to make the slot arithmetic work: 1 flagship + 1 new + 48
-# anchors. New oracle-bearing round-4 code (incremental_view_distinct)
-# displaces top_orders — the one trivial ORDER BY/LIMIT anchor (green in
-# r1+r2, still covered by tests/check_oracles.py every session).
+# stays out to make the slot arithmetic work: 1 flagship + 3 new + 46
+# anchors. New oracle-bearing round-4 code (incremental_view_distinct,
+# delete_where_retention, update_where_quarantine) displaces top_orders
+# (the one trivial ORDER BY/LIMIT anchor), cdc_delta_counts (same
+# _DELTA_CTE core as its two remaining siblings) and fingerprint_md5
+# (trivial per-row md5 demo; the engine's real fingerprint path was
+# driver-green in r3 under incremental_dedup_adds) — all three green in
+# r1+r2 and still covered by tests/check_oracles.py every session.
 # Everything not listed follows in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # flagship CDC replay — pinned every round
     "transcripts_replay",
-    # round-4 hll view aggregate (new code needs the driver row)
+    # round-4 additions (new code needs the driver row)
     "incremental_view_distinct",
+    "delete_where_retention",
+    "update_where_quarantine",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
-    "cdc_delta_counts",
     "cdc_merge_apply",
     # joins
     "pricing_summary",
@@ -97,7 +102,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_neardup_exact",
-    "fingerprint_md5",
     "rolling_fingerprint",
     # text analysis
     "token_count",
@@ -3616,6 +3620,80 @@ def transcripts_replay(sf_dir: str):
         events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
         cdc.replay(lake_dir, paths, spec)
+        return cdc.read_lake_table(lake_dir)
+
+
+@q(
+    "delete_where_retention",
+    f"""
+    SELECT * FROM ({_replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL)})
+    WHERE ts >= TIMESTAMP '2026-01-05 00:00:00' OR ts IS NULL
+    """,
+)
+def delete_where_retention(sf_dir: str):
+    """Declarative retention delete on a live lake (``cdc.delete_where``):
+    replay the flagship WAL, then delete every row older than the cutoff —
+    a zone-map-pruned, column-pruned per-partition scan emits the delete
+    WAL and the ordinary exactly-once replay applies it. NULL timestamps
+    never match the predicate (engine fill_null(False) ≡ SQL comparison
+    semantics). The reference deletes one record per API POST
+    (CKANUpdate.py:251-305); at lake scale the form is declarative."""
+    import datetime as dt
+
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txdw_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16
+        )
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
+        cdc.replay(lake_dir, paths, spec)
+        cdc.delete_where(
+            lake_dir, [("ts", "<", dt.datetime(2026, 1, 5))], spec
+        )
+        return cdc.read_lake_table(lake_dir)
+
+
+@q(
+    "update_where_quarantine",
+    f"""
+    SELECT conv_id, turn_idx, role, text,
+           CASE WHEN role = 'tool' THEN 'quarantined' ELSE tool END AS tool,
+           ts
+    FROM ({_replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL)})
+    """,
+)
+def update_where_quarantine(sf_dir: str):
+    """Declarative bulk update (``cdc.update_where``): after the flagship
+    replay, overwrite ``tool`` with a constant on every row whose role
+    matches the predicate — emitted as ordinary upserts through the
+    exactly-once merge (rows already holding the constant classify NOOP by
+    content hash, so a rerun changes nothing). NULL roles never match."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txuw_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16
+        )
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
+        cdc.replay(lake_dir, paths, spec)
+        cdc.update_where(
+            lake_dir, [("role", "==", "tool")], {"tool": "quarantined"}, spec
+        )
         return cdc.read_lake_table(lake_dir)
 
 

@@ -1332,3 +1332,141 @@ def test_fsck_clean_lake_and_detects_corruption(ray_session, dirs):
     pq.write_table(t.replace_schema_metadata(meta), p)
     rep = cdc.fsck(lake_dir, spec)
     assert rep["clean"] is False and rep["bad_hash"] == 1
+
+
+def test_delete_where_matches_filter_and_prunes(ray_session, tmp_path):
+    """cdc.delete_where: final state = lake minus predicate-matching rows;
+    zone-map pruning leaves non-matching partitions' files untouched (same
+    inode — zero data read AND zero rewrite); a rerun matches nothing."""
+    import datetime as dt
+
+    import numpy as np
+
+    from bcdc2bcdc_ray.canonical import partition_ids as pids_of
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    P = 8
+    # one distinct day per partition so the ts zone maps separate cleanly
+    pid = pids_of(lake.select(["conv_id"]), ["conv_id"], P)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base + (pid * 86_400_000_000).astype("timedelta64[us]")
+    lake = lake.set_column(lake.column_names.index("ts"), "ts", pa.array(ts))
+    d = str(tmp_path / "lake")
+    cdc.init_lake(lake, d, spec, num_partitions=P)
+    inodes_before = {
+        p: os.stat(cdc.partition_path(d, p)).st_ino
+        for p in range(P)
+        if os.path.exists(cdc.partition_path(d, p))
+    }
+
+    cutoff = dt.datetime(2026, 1, 3)
+    rep = cdc.delete_where(d, [("ts", "<", cutoff)], spec)
+    import pyarrow.compute as pc
+
+    want_deleted = int(
+        pc.sum(
+            pc.cast(cdc._predicate_mask(lake, [("ts", "<", cutoff)]), pa.int64())
+        ).as_py()
+    )
+    assert rep["matched"] == want_deleted > 0
+    assert rep["replay"]["deletes"] == want_deleted
+    final = cdc.read_lake_table(d)
+    keep_mask = pc.invert(cdc._predicate_mask(lake, [("ts", "<", cutoff)]))
+    want = lake.filter(keep_mask).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert final.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).equals(want)
+    # partitions whose zone map excluded the predicate were never rewritten
+    untouched = [
+        p for p in inodes_before
+        if os.stat(cdc.partition_path(d, p)).st_ino == inodes_before[p]
+    ]
+    assert len(untouched) > 0
+    # rerun: matched rows are gone — nothing emitted, nothing replayed
+    rep2 = cdc.delete_where(d, [("ts", "<", cutoff)], spec)
+    assert rep2["matched"] == 0 and "replay" not in rep2
+    assert cdc.fsck(d, spec)["clean"] is True
+
+
+def test_delete_where_feed_chains_and_dry_run(ray_session, tmp_path):
+    """delete_where(changes_dir=) propagates the deletions through the
+    outbound feed — a chained lake replaying the feed reaches the identical
+    state; apply=False emits the WAL without mutating."""
+    import datetime as dt
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(100, seed=42)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cdc.init_lake(lake, d1, spec, num_partitions=8)
+    cdc.init_lake(lake, d2, spec, num_partitions=8)
+    cutoff = dt.datetime(2026, 1, 4)
+
+    # dry-run first: WAL emitted, lake untouched
+    out = str(tmp_path / "plan")
+    rep0 = cdc.delete_where(
+        d1, [("ts", "<", cutoff)], spec, out_dir=out, apply=False
+    )
+    assert rep0["matched"] > 0 and rep0["chunks"] > 0
+    assert cdc.read_lake_table(d1).num_rows == lake.num_rows
+
+    feed = str(tmp_path / "feed")
+    rep = cdc.delete_where(d1, [("ts", "<", cutoff)], spec, changes_dir=feed)
+    assert rep["matched"] == rep0["matched"]
+    chunks = sorted(
+        os.path.join(feed, f) for f in os.listdir(feed) if f.endswith(".parquet")
+    )
+    cdc.replay(d2, chunks, spec)
+    assert cdc.read_lake_table(d2).equals(cdc.read_lake_table(d1))
+
+
+def test_update_where_sets_values_rerun_noop(ray_session, tmp_path):
+    """cdc.update_where: matched rows get the constant overwrite, everything
+    else is untouched; a rerun classifies every emitted upsert NOOP by
+    content hash (zero updates); key columns and unknown columns refused."""
+    import pyarrow.compute as pc
+    import pytest as _pytest
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(100, seed=42)
+    d = str(tmp_path / "lake")
+    cdc.init_lake(lake, d, spec, num_partitions=8)
+
+    pred = [("role", "==", "tool")]
+    rep = cdc.update_where(d, pred, {"tool": "quarantined"}, spec)
+    n_match = int(
+        pc.sum(pc.cast(cdc._predicate_mask(lake, pred), pa.int64())).as_py()
+    )
+    assert rep["matched"] == n_match > 0
+    assert rep["replay"]["updates"] == n_match
+    final = cdc.read_lake_table(d).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    srt = lake.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    m = cdc._predicate_mask(srt, pred)
+    want = srt.set_column(
+        srt.column_names.index("tool"),
+        "tool",
+        pc.if_else(m.combine_chunks(), pa.scalar("quarantined"), srt.column("tool").combine_chunks()),
+    )
+    assert final.equals(want)
+    # rerun: every emitted upsert already matches the stored row → NOOP
+    rep2 = cdc.update_where(d, pred, {"tool": "quarantined"}, spec)
+    assert rep2["matched"] == n_match
+    assert rep2["replay"]["updates"] == 0 and rep2["replay"]["adds"] == 0
+    assert rep2["replay"]["noops"] == n_match
+    assert cdc.fsck(d, spec)["clean"] is True
+
+    with _pytest.raises(ValueError, match="key column"):
+        cdc.update_where(d, pred, {"conv_id": "x"}, spec)
+    with _pytest.raises(ValueError, match="not in table schema"):
+        cdc.update_where(d, pred, {"nope": 1}, spec)
+    with _pytest.raises(ValueError, match="at least one"):
+        cdc.delete_where(d, [], spec)
