@@ -466,16 +466,29 @@ def run_soak_once() -> dict:
     spec = transcripts_spec()
 
     # untimed input generation (identical across CPU legs: fixed seeds,
-    # fixed chunk count)
-    snap_path = os.path.join(work, "snapshot.parquet")
-    lake_tbl = cg.gen_transcripts(n_convs, seed=42)
-    lake_rows = lake_tbl.num_rows
-    _pq.write_table(lake_tbl, snap_path)
-    del lake_tbl
-    paths = cg.gen_wal_chunks(
-        events, n_convs, os.path.join(work, "wal"), num_chunks=32,
-        seed=43, noop_frac=0.05,
-    )
+    # fixed chunk count). SOAK_INPUT_DIR lets --soak generate once and
+    # share the bytes across both legs (pure wall-clock savings; the
+    # content is deterministic either way).
+    indir = os.environ.get("SOAK_INPUT_DIR") or work
+    os.makedirs(indir, exist_ok=True)
+    snap_path = os.path.join(indir, "snapshot.parquet")
+    if not os.path.exists(snap_path):
+        lake_tbl = cg.gen_transcripts(n_convs, seed=42)
+        _pq.write_table(lake_tbl, snap_path + ".tmp")
+        os.replace(snap_path + ".tmp", snap_path)
+        del lake_tbl
+    lake_rows = _pq.read_metadata(snap_path).num_rows
+    wal_dir = os.path.join(indir, "wal")
+    if not os.path.isdir(wal_dir):
+        paths = cg.gen_wal_chunks(
+            events, n_convs, wal_dir, num_chunks=32, seed=43, noop_frac=0.05,
+        )
+    else:
+        paths = sorted(
+            os.path.join(wal_dir, f)
+            for f in os.listdir(wal_dir)
+            if f.endswith(".parquet")
+        )
     n_events = sum(_pq.read_metadata(p).num_rows for p in paths)
 
     t = {}
@@ -558,8 +571,13 @@ def run_soak() -> dict:
     """--soak: the lifecycle at 8 and 32 CPUs in fresh processes (same
     inputs), with the Ray-free host probe bracketing the measurement."""
 
+    indir = os.environ.get("SOAK_INPUT_DIR", "/tmp/bench_soak_input")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="soak")
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="soak",
+            SOAK_INPUT_DIR=indir,
+        )
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -567,10 +585,13 @@ def run_soak() -> dict:
         return json.loads(r.stdout.strip().splitlines()[-1])
 
     ratio = _host_percore_ratio()
-    lo, hi = one(8), one(32)
+    lo = one(8)
+    ratio_mid = _host_percore_ratio()
+    hi = one(32)
     return {
         "metric": "lifecycle_soak_scaling_8_to_32",
         "host_percore_ratio_32v8": ratio,
+        "host_percore_ratio_mid": ratio_mid,
         "host_percore_ratio_after": _host_percore_ratio(),
         "sec_8": lo["value"],
         "sec_32": hi["value"],
