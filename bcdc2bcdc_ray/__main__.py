@@ -189,6 +189,70 @@ def cmd_diff(args) -> dict:
     }
 
 
+def _parse_pred_value(v: str):
+    """CLI predicate/set literal → typed value: int, float, ISO timestamp,
+    else string (matches the lake column's arrow comparison semantics)."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    try:
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(v)
+    except ValueError:
+        return v
+
+
+def _parse_where(items: list[str]):
+    """``col:op:value`` conjuncts (op ∈ <,<=,>,>=,==,between; between takes
+    ``lo..hi``)."""
+    preds = []
+    for it in items:
+        col, op, val = it.split(":", 2)
+        if op == "between":
+            lo, hi = val.split("..", 1)
+            preds.append(
+                (col, op, (_parse_pred_value(lo), _parse_pred_value(hi)))
+            )
+        else:
+            preds.append((col, op, _parse_pred_value(val)))
+    return preds
+
+
+def cmd_delete_where(args) -> dict:
+    from .pipelines import cdc
+
+    kw = {}
+    if args.changes:
+        kw["changes_dir"] = args.changes
+        kw["changes_before"] = args.changes_before
+    rep = cdc.delete_where(
+        args.lake, _parse_where(args.where), _load_spec(args.spec),
+        out_dir=args.out, apply=not args.no_apply, **kw,
+    )
+    return {"cmd": "delete-where", **rep}
+
+
+def cmd_update_where(args) -> dict:
+    from .pipelines import cdc
+
+    set_values = {}
+    for it in args.set:
+        col, val = it.split("=", 1)
+        set_values[col] = _parse_pred_value(val)
+    kw = {}
+    if args.changes:
+        kw["changes_dir"] = args.changes
+        kw["changes_before"] = args.changes_before
+    rep = cdc.update_where(
+        args.lake, _parse_where(args.where), set_values, _load_spec(args.spec),
+        out_dir=args.out, apply=not args.no_apply, **kw,
+    )
+    return {"cmd": "update-where", **rep}
+
+
 def cmd_snapshot(args) -> dict:
     from .pipelines import cdc
 
@@ -422,6 +486,34 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--out", required=True)
     df.add_argument("--spec")
     df.set_defaults(fn=cmd_diff)
+
+    for nm, fn, hlp in (
+        ("delete-where", cmd_delete_where,
+         "bulk delete rows matching a predicate (retention / erasure)"),
+        ("update-where", cmd_update_where,
+         "bulk constant-overwrite of rows matching a predicate"),
+    ):
+        mw = sub.add_parser(nm, help=hlp)
+        mw.add_argument("lake")
+        mw.add_argument(
+            "--where", action="append", required=True, metavar="COL:OP:VAL",
+            help="conjunct, op in <,<=,>,>=,==,between (between: lo..hi); "
+                 "repeatable",
+        )
+        if nm == "update-where":
+            mw.add_argument(
+                "--set", action="append", required=True, metavar="COL=VAL",
+                help="column constant overwrite; repeatable",
+            )
+        mw.add_argument("--spec", default=None)
+        mw.add_argument("--out", default=None, help="keep the emitted WAL here")
+        mw.add_argument(
+            "--no-apply", action="store_true",
+            help="emit the plan WAL only (requires --out)",
+        )
+        mw.add_argument("--changes", default=None, help="outbound feed dir")
+        mw.add_argument("--changes-before", action="store_true")
+        mw.set_defaults(fn=fn)
 
     sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
     sp.add_argument("--lake", required=True)

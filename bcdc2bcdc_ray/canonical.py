@@ -187,6 +187,14 @@ def hash_string_array(arr: pa.Array) -> np.ndarray:
         if data_len / n <= 24:
             denc = pc.dictionary_encode(arr)
             dict_vals = denc.dictionary
+            if len(dict_vals) == 0:
+                # ALL-null array: empty dictionary, every index null — the
+                # gather below would index into an empty hash array. Hash
+                # straight to the null sentinel (what the caller's sentinel
+                # pass would produce anyway). Reachable from any >1024-row
+                # batch whose string key column is entirely null (e.g. the
+                # null group of a secondary index / view partition).
+                return np.full(n, _NULL_SENTINEL, np.uint64)
             if len(dict_vals) < n // 2:  # real repeats — worth the encode
                 uh = hash_string_array(dict_vals)
                 idx = pc.fill_null(denc.indices, 0).to_numpy(zero_copy_only=False)

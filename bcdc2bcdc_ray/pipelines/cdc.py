@@ -498,6 +498,97 @@ def lookup(lake_dir: str, key_value) -> pa.Table:
     return t.filter(pc.equal(t.column(key_col), arr[0])).replace_schema_metadata(None)
 
 
+def create_index(
+    index_dir: str, lake_dir: str, col: str, num_partitions: int | None = None
+) -> dict:
+    """Feed-maintained SECONDARY INDEX on a non-key column: a materialized
+    view grouped by ``[col, *lake_key]`` (liveness count only), partitioned
+    by hash(col) so a value probe reads ONE index file. Maintained from the
+    pre-image change feed exactly like any view (``view.refresh_view`` /
+    ``view.follow`` — exactly-once, zero-count groups removed, group-moving
+    updates retract+assert), so the index tracks the lake at O(change
+    volume), never a rebuild.
+
+    Re-expresses the reference's alternate-key LUTs (email↔name,
+    ``DataCache.py:98-141`` + ``calcEmailLut`` ``CKANData.py:1689-1700``) —
+    an in-driver dict rebuilt per run there; a co-maintained, partitioned,
+    crash-consistent aggregate here. Point read: :func:`lookup_by`."""
+    from . import view as view_mod
+
+    meta = lake_meta(lake_dir)
+    if col in meta["key"]:
+        raise ValueError(
+            f"{col!r} is a partition key column — point reads on it are "
+            "already O(1)-file via lookup(); an index would be redundant"
+        )
+    return view_mod.create_view(
+        index_dir, lake_dir, [col, *meta["key"]], [],
+        num_partitions=num_partitions,
+    )
+
+
+def lookup_by(lake_dir: str, index_dir: str, value) -> pa.Table:
+    """Non-key point read through a secondary index (:func:`create_index`):
+    ONE index file gives the matching ``(col, *key)`` groups, the key
+    values hash to their lake partitions, and only THOSE files are read —
+    a value probe costs 1 + (distinct key partitions) file reads at any
+    lake size. Returns the exact matching lake rows (composite-key
+    semi-join against the index pairs, so two conversations sharing a
+    partition never cross-contaminate)."""
+    from ..canonical import HASH_COL
+    from . import view as view_mod
+
+    meta = lake_meta(lake_dir)
+    m = view_mod.view_meta(index_dir)
+    if list(m["group_by"][1:]) != list(meta["key"]):
+        raise ValueError(
+            f"view at {index_dir} (group_by={m['group_by']}) is not a "
+            f"secondary index of this lake: expected group_by = "
+            f"[<col>, {', '.join(meta['key'])}]"
+        )
+    key = list(meta["key"])
+    key0 = key[0]
+    pairs = view_mod.lookup(index_dir, value).select(key)
+
+    lake_schema = None
+    for pid in range(meta["num_partitions"]):
+        p = partition_path(lake_dir, pid)
+        if os.path.exists(p):
+            lake_schema = pq.read_schema(p)
+            break
+    if lake_schema is None:
+        return transcripts_spec().schema.empty_table()
+    out_schema = pa.schema([f for f in lake_schema if f.name != HASH_COL])
+    if pairs.num_rows == 0:
+        return out_schema.empty_table()
+
+    pids = sorted(set(partition_ids(pairs, [key0], meta["num_partitions"]).tolist()))
+    key_vals = pairs.column(key0).combine_chunks()
+    tabs = []
+    for pid in pids:
+        p = partition_path(lake_dir, pid)
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p)
+        if HASH_COL in t.column_names:
+            t = t.drop_columns([HASH_COL])
+        tabs.append(
+            t.filter(pc.is_in(t.column(key0), value_set=key_vals))
+            .replace_schema_metadata(None)
+        )
+    if not tabs:
+        return out_schema.empty_table()
+    t = pa.concat_tables(tabs)
+    # exact composite-key match (keys are non-null by construction, so the
+    # arrow join's no-null-match rule cannot drop rows)
+    for k in key:
+        pairs = pairs.set_column(
+            pairs.column_names.index(k), k, pairs.column(k).cast(t.schema.field(k).type)
+        )
+    t = t.join(pairs, keys=key, join_type="left semi")
+    return t.sort_by([(k, "ascending") for k in key])
+
+
 def lake_stats(lake_dir: str) -> dict:
     """Operational summary from METADATA only (no data read): partition
     count, rows/bytes per the parquet footers, watermark spread, committed

@@ -53,13 +53,15 @@ def q(name: str, sql: Optional[str] = None):
 # asof joins, order_customer_join_shuffle, ...) so that every
 # oracle-bearing query in the registry has a driver-green row in r3 ∪ r4.
 # embedding_neardup (rows-only approximate; pytest recall+precision gates)
-# stays out to make the slot arithmetic work: 1 flagship + 3 new + 46
+# stays out to make the slot arithmetic work: 1 flagship + 4 new + 45
 # anchors. New oracle-bearing round-4 code (incremental_view_distinct,
-# delete_where_retention, update_where_quarantine) displaces top_orders
-# (the one trivial ORDER BY/LIMIT anchor), cdc_delta_counts (same
-# _DELTA_CTE core as its two remaining siblings) and fingerprint_md5
-# (trivial per-row md5 demo; the engine's real fingerprint path was
-# driver-green in r3 under incremental_dedup_adds) — all three green in
+# delete_where_retention, update_where_quarantine, index_lookup_tool)
+# displaces top_orders (the one trivial ORDER BY/LIMIT anchor),
+# cdc_delta_counts (same _DELTA_CTE core as its two remaining siblings),
+# fingerprint_md5 (trivial per-row md5 demo; the engine's real
+# fingerprint path was driver-green in r3 under incremental_dedup_adds)
+# and asof_join_orders_broadcast (same oracle SQL as the asof_join_orders
+# slot that stays; plan equivalence is pytest-pinned) — all four green in
 # r1+r2 and still covered by tests/check_oracles.py every session.
 # Everything not listed follows in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -69,6 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_view_distinct",
     "delete_where_retention",
     "update_where_quarantine",
+    "index_lookup_tool",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -81,7 +84,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semi_join_orders",
     "anti_join_customers",
     "asof_join_orders",
-    "asof_join_orders_broadcast",
     "range_join_events",
     # transform family
     "ignore_filter",
@@ -3695,6 +3697,44 @@ def update_where_quarantine(sf_dir: str):
             lake_dir, [("role", "==", "tool")], {"tool": "quarantined"}, spec
         )
         return cdc.read_lake_table(lake_dir)
+
+
+@q(
+    "index_lookup_tool",
+    f"""
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ({_replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL)})
+    WHERE tool = 'search'
+    """,
+)
+def index_lookup_tool(sf_dir: str):
+    """Secondary index lifecycle: create the index on ``tool`` over the
+    initial lake, replay the flagship WAL with a pre-image feed, refresh
+    the index incrementally from the feed (exactly-once view machinery),
+    then answer a non-key point read through it — one index file + k lake
+    files (``cdc.create_index`` / ``cdc.lookup_by``). The oracle recomputes
+    the same rows relationally from the replay oracle's final state, so a
+    stale or over-complete index hash-mismatches."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view as view_mod
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txix_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        idx_dir = os.path.join(tmp, "idx")
+        feed = os.path.join(tmp, "feed")
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16
+        )
+        cdc.create_index(idx_dir, lake_dir, "tool")
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
+        cdc.replay(lake_dir, paths, spec, changes_dir=feed, changes_before=True)
+        view_mod.refresh_view(idx_dir, feed)
+        return cdc.lookup_by(lake_dir, idx_dir, "search")
 
 
 def _change_feed_oracle_sql(lake_path: str, wal_path: str) -> str:

@@ -1216,6 +1216,56 @@ def read_view(view_dir: str) -> pa.Table:
     return out
 
 
+def lookup(view_dir: str, value) -> pa.Table:
+    """O(1)-FILE point probe on the view's partition column
+    (``group_by[0]``): the value hashes to its partition with the view's
+    own partitioner, ONE parquet file is read, and the exact-match group
+    rows come back — regardless of view size. The probe value is cast to
+    the column's own type first (a CLI always passes strings).
+
+    This is what makes a view usable as a feed-maintained SECONDARY INDEX
+    (``create_view(idx, lake, group_by=[col, *lake_key], aggs=[])``): the
+    reference resolves alternate-key point reads with per-record API calls
+    + an in-memory LUT (``DataCache.py:384-437``); here the index is a
+    co-maintained aggregate and a non-key point read costs one index file
+    + k lake files (see :func:`cdc.lookup_by`)."""
+    m = view_meta(view_dir)
+    col = m["group_by"][0]
+    col_type = _type_from_str(dict(m["group_types"])[col])
+    try:
+        v = pa.scalar(value, col_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError) as e:
+        raise ValueError(
+            f"probe value {value!r} is not castable to {col!r}'s type "
+            f"{col_type}: {e}"
+        ) from None
+    P = int(m["num_partitions"])
+    pid = int(
+        partition_ids(pa.table({col: pa.array([v.as_py()], col_type)}), [col], P)[0]
+    )
+    hll_outs = {a["out"] for a in m["aggs"] if a["kind"] in _HLL}
+    want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
+    empty = pa.schema(
+        [(g, _type_from_str(t)) for g, t in m["group_types"]]
+        + [
+            (a, pa.int64() if a in hll_outs else _type_from_str(t))
+            for a, t in m["agg_types"]
+        ]
+    ).empty_table()
+    p = _view_path(view_dir, pid)
+    if not os.path.exists(p):
+        return empty
+    t = pq.read_table(p).replace_schema_metadata(None)
+    if t.num_rows == 0:
+        return empty
+    t = t.select(want).filter(pc.equal(t.column(col), v))
+    t = t.sort_by([(g, "ascending") for g in m["group_by"]])
+    for a in hll_outs:
+        i = t.column_names.index(a)
+        t = t.set_column(i, a, _hll_estimates(t.column(a)))
+    return t
+
+
 def follow(
     view_dir: str,
     changes_dir: str,

@@ -101,3 +101,31 @@ def test_hash_context_independent_with_nulls():
         with_null = _hash_one_column(pa.array([v, None], t))[0]
         alone = _hash_one_column(pa.array([v], t))[0]
         assert with_null == alone, (t, hex(with_null), hex(alone))
+
+
+def test_hash_all_null_long_string_array():
+    """An ALL-null string array longer than the dictionary-encode threshold
+    (1024) used to crash hash_string_array (empty dictionary → gather into
+    an empty hash array) — reachable from partition_ids on any big batch
+    whose string key column is entirely null (the null group of a secondary
+    index, surfaced by view.fsck). All-null must hash to the same sentinel
+    the mixed-null path produces, at every size."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.canonical import _hash_one_column
+
+    small = _hash_one_column(pa.array([None, "x"], pa.string()))
+    for n in (2000, 5000):
+        h = _hash_one_column(pa.array([None] * n, pa.string()))
+        assert len(h) == n
+        assert (h == small[0]).all()  # same null sentinel as the mixed path
+    # repeat-heavy null-bearing long array still matches the scalar path
+    vals = (["a", None, "bb"] * 700)[:2000]
+    big = _hash_one_column(pa.array(vals, pa.string()))
+    one_by_one = np.array(
+        [_hash_one_column(pa.array([v], pa.string()))[0] for v in ("a", None, "bb")],
+        np.uint64,
+    )
+    lut = {"a": one_by_one[0], None: one_by_one[1], "bb": one_by_one[2]}
+    assert (big == np.array([lut[v] for v in vals], np.uint64)).all()

@@ -1470,3 +1470,89 @@ def test_update_where_sets_values_rerun_noop(ray_session, tmp_path):
         cdc.update_where(d, pred, {"nope": 1}, spec)
     with _pytest.raises(ValueError, match="at least one"):
         cdc.delete_where(d, [], spec)
+
+
+def test_secondary_index_lifecycle(ray_session, tmp_path):
+    """cdc.create_index / cdc.lookup_by: the index (a count view grouped by
+    [col, *key], partitioned by hash(col)) is maintained incrementally from
+    the pre-image feed — after replay+refresh a value probe reads ONE index
+    file plus only the matching lake partitions and returns exactly the
+    lake rows holding that value; the index equals a recompute; a rerun
+    refresh is a no-op; deletes drop index entries to zero (removed)."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc, view as view_mod
+
+    lake_dir = str(tmp_path / "lake")
+    idx_dir = str(tmp_path / "idx")
+    feed = str(tmp_path / "feed")
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    cdc.create_index(idx_dir, lake_dir, "tool")
+
+    # index == recompute of the initial lake
+    def recompute():
+        t = cdc.read_lake_table(lake_dir)
+        return (
+            t.filter(pc.is_valid(t.column("tool")))
+            .group_by(["tool", "conv_id", "turn_idx"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["tool", "conv_id", "turn_idx", "n_rows"])
+            .sort_by([("tool", "ascending"), ("conv_id", "ascending"),
+                      ("turn_idx", "ascending")])
+            .select(["tool", "conv_id", "turn_idx", "n_rows"])
+        )
+
+    def index_state():
+        t = view_mod.read_view(idx_dir)
+        # null group (rows without a tool) is legal view state; the
+        # recompute comparison covers non-null values
+        return t.filter(pc.is_valid(t.column("tool"))).cast(recompute().schema)
+
+    assert index_state().equals(recompute())
+
+    # replay with pre-image feed → refresh → still equals recompute
+    ev = cg.gen_change_events(4000, 120, seed=43)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "wal"), num_chunks=5)
+    cdc.replay(lake_dir, paths, spec, changes_dir=feed, changes_before=True)
+    rep = view_mod.refresh_view(idx_dir, feed)
+    assert rep["files"] > 0
+    assert index_state().equals(recompute())
+    # exactly-once refresh
+    rep2 = view_mod.refresh_view(idx_dir, feed)
+    assert rep2["files"] == 0
+
+    # point probe: one index file, exact lake rows back
+    final = cdc.read_lake_table(lake_dir)
+    tools = pc.unique(final.filter(pc.is_valid(final.column("tool"))).column("tool"))
+    probe = tools[0].as_py()
+    got = cdc.lookup_by(lake_dir, idx_dir, probe)
+    want = final.filter(
+        pc.equal(final.column("tool"), probe)
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).equals(want) and got.num_rows > 0
+
+    # a value absent from the lake → empty with the lake schema
+    none = cdc.lookup_by(lake_dir, idx_dir, "no_such_tool")
+    assert none.num_rows == 0 and none.schema.names == list(final.schema.names)
+
+    # indexing a key column is refused; wrong-shape view refused
+    with pytest.raises(ValueError, match="partition key"):
+        cdc.create_index(str(tmp_path / "bad"), lake_dir, "conv_id")
+    v2 = str(tmp_path / "v2")
+    view_mod.create_view(v2, lake_dir, ["tool"], [])
+    with pytest.raises(ValueError, match="not a"):
+        cdc.lookup_by(lake_dir, v2, probe)
+
+    # delete every row holding the probed value → index entry vanishes
+    cdc.delete_where(
+        lake_dir, [("tool", "==", probe)], spec,
+        changes_dir=feed, changes_before=True,
+    )
+    view_mod.refresh_view(idx_dir, feed)
+    assert view_mod.lookup(idx_dir, probe).num_rows == 0
+    assert cdc.lookup_by(lake_dir, idx_dir, probe).num_rows == 0
+    assert index_state().equals(recompute())

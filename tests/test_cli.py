@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -334,3 +335,51 @@ def test_cli_diff_converges_lakes(capsys, workdir, tmp_path):
         "--spec", workdir["spec"],
     )
     assert cdc.read_lake_table(workdir["lake"]).equals(final)
+
+
+def test_cli_delete_and_update_where(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    import pyarrow.compute as pc
+
+    lake = workdir["lake_table"]
+    # typed predicate parsing: ISO timestamp cutoff
+    rep = _run(
+        capsys, "delete-where", workdir["lake"],
+        "--where", "ts:<:2026-01-04T00:00:00", "--spec", workdir["spec"],
+    )
+    n_old = int(
+        pc.sum(
+            pc.cast(
+                pc.less(lake.column("ts"), __import__("datetime").datetime(2026, 1, 4)),
+                pa.int64(),
+            )
+        ).as_py()
+    )
+    assert rep["matched"] == n_old > 0
+    assert rep["replay"]["deletes"] == n_old
+    assert cdc.read_lake_table(workdir["lake"]).num_rows == lake.num_rows - n_old
+
+    rep = _run(
+        capsys, "update-where", workdir["lake"],
+        "--where", "role:==:tool", "--set", "tool=quarantined",
+        "--spec", workdir["spec"],
+    )
+    assert rep["matched"] == rep["replay"]["updates"] > 0
+    t = cdc.read_lake_table(workdir["lake"])
+    tools = t.filter(pc.equal(t.column("role"), "tool")).column("tool")
+    assert pc.all(pc.equal(tools, "quarantined")).as_py()
+
+    # plan-only: --no-apply requires --out, writes WAL, mutates nothing
+    n_before = t.num_rows
+    out = str(workdir["tmp"] / "plan")
+    rep = _run(
+        capsys, "delete-where", workdir["lake"],
+        "--where", "role:==:user", "--no-apply", "--out", out,
+        "--spec", workdir["spec"],
+    )
+    assert rep["matched"] > 0 and "replay" not in rep
+    assert cdc.read_lake_table(workdir["lake"]).num_rows == n_before
