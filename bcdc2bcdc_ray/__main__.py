@@ -253,6 +253,39 @@ def cmd_update_where(args) -> dict:
     return {"cmd": "update-where", **rep}
 
 
+def cmd_create_index(args) -> dict:
+    from .pipelines import cdc
+
+    return {
+        "cmd": "create-index",
+        **cdc.create_index(args.index, args.lake, args.col),
+    }
+
+
+def cmd_lookup_by(args) -> dict:
+    from .pipelines import cdc
+
+    t = cdc.lookup_by(args.lake, args.index, args.value)
+    return {
+        "cmd": "lookup-by",
+        "value": args.value,
+        "rows": t.num_rows,
+        "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
+    }
+
+
+def cmd_view_lookup(args) -> dict:
+    from .pipelines import view
+
+    t = view.lookup(args.view, args.value)
+    return {
+        "cmd": "view-lookup",
+        "value": args.value,
+        "rows": t.num_rows,
+        "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
+    }
+
+
 def cmd_snapshot(args) -> dict:
     from .pipelines import cdc
 
@@ -514,6 +547,29 @@ def build_parser() -> argparse.ArgumentParser:
         mw.add_argument("--changes", default=None, help="outbound feed dir")
         mw.add_argument("--changes-before", action="store_true")
         mw.set_defaults(fn=fn)
+
+    ci = sub.add_parser(
+        "create-index", help="feed-maintained secondary index on a column"
+    )
+    ci.add_argument("index")
+    ci.add_argument("--lake", required=True)
+    ci.add_argument("--col", required=True)
+    ci.set_defaults(fn=cmd_create_index)
+
+    lb = sub.add_parser(
+        "lookup-by", help="non-key point read via a secondary index"
+    )
+    lb.add_argument("lake")
+    lb.add_argument("--index", required=True)
+    lb.add_argument("--value", required=True)
+    lb.set_defaults(fn=cmd_lookup_by)
+
+    vlk = sub.add_parser(
+        "view-lookup", help="O(1)-file point probe on a view's first group column"
+    )
+    vlk.add_argument("view")
+    vlk.add_argument("--value", required=True)
+    vlk.set_defaults(fn=cmd_view_lookup)
 
     sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
     sp.add_argument("--lake", required=True)

@@ -183,6 +183,25 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _avg_col_bytes(sf_dir: str, table: str, col: str) -> float:
+    """Average UNCOMPRESSED bytes per row of one column, from parquet
+    FOOTER statistics only (no data read) — the cost probe behind
+    gather-vs-distribute crossovers (e.g. ngram_jaccard_pairs' verify)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        md = pq.read_metadata(path)
+    except OSError:
+        return float("inf")
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema == col:
+                total += c.total_uncompressed_size
+    return total / max(1, md.num_rows)
+
+
 def _bucketed_map_groups(
     ds, key_cols, fn, n_buckets: int | None = None, batch_format: str = "pyarrow"
 ):
@@ -1357,6 +1376,18 @@ def ngram_jaccard_pairs(sf_dir: str):
     cand_ids = pc.unique(id_tbl.column("doc_id").combine_chunks())
     ids_ref = ray.put(cand_ids)
 
+    # Crossover (same philosophy as auto_join's broadcast probe and the
+    # view repair's local-scan path): when the CANDIDATE shingle payload
+    # comfortably fits the driver, gathering and verifying locally skips
+    # two exchanges — measured 3× faster at fixture scale (75 vs 227 s on
+    # a 300k-doc near-dup-heavy corpus, BASELINE round 4) — while the
+    # distributed attach keeps the driver flat (~300 MB) beyond it.
+    # Estimate from parquet FOOTERS only: shingles/doc ≈ text bytes/6
+    # (word+space), 8 B per shingle hash.
+    gather_cap = float(os.environ.get("JACC_GATHER_BYTES", 64 << 20))
+    est_payload = len(cand_ids) * (_avg_col_bytes(sf_dir, "documents", "text") / 6.0) * 8.0
+    local_verify = est_payload <= gather_cap
+
     class CandidateFilter:
         def __init__(self, r):
             self.ids = ray.get(r) if isinstance(r, ray.ObjectRef) else r
@@ -1382,6 +1413,37 @@ def ngram_jaccard_pairs(sf_dir: str):
     doc_sets = ds.map_batches(
         lambda b: _cached(CandidateFilter, ids_ref)(b), batch_format="pyarrow"
     ).map_batches(doc_rows, batch_format="pyarrow")
+
+    if local_verify:
+        # LOCAL verify: the shingle computation still runs distributed and
+        # candidate-filtered; only the (small by the estimate above)
+        # candidate sets and pair sides land on the driver, where the SAME
+        # vectorized duplicate-count kernel verifies everything in one call
+        # — bit-identical to the distributed path by construction.
+        prs = _collect(side_rows)
+        d = prs.filter(pc.equal(prs.column("__side"), 1)).group_by(
+            ["a", "b"]
+        ).aggregate([])
+        docs_t = _collect(doc_sets)
+        if docs_t is None or d.num_rows == 0:
+            return empty
+        a = d.column("a").to_numpy(zero_copy_only=False)
+        bb = d.column("b").to_numpy(zero_copy_only=False)
+        doc_ids = docs_t.column("doc_id").combine_chunks()
+        sh = docs_t.column("shingles")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        idx = pc.index_in(
+            pa.array(np.concatenate([a, bb]), pa.int64()), value_set=doc_ids
+        )
+        attached_local = pa.table(
+            {
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "shingles": sh.take(idx),
+            }
+        )
+        return dedup.jaccard_pairs_grouped(attached_local, 0.35)
 
     both = joins.union_snap(side_rows.union(doc_sets))
     attached_schema = pa.schema(

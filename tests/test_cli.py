@@ -383,3 +383,35 @@ def test_cli_delete_and_update_where(capsys, workdir):
     )
     assert rep["matched"] > 0 and "replay" not in rep
     assert cdc.read_lake_table(workdir["lake"]).num_rows == n_before
+
+
+def test_cli_index_lifecycle(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    idx = str(workdir["tmp"] / "idx")
+    rep = _run(capsys, "create-index", idx, "--lake", workdir["lake"], "--col", "tool")
+    assert rep["cmd"] == "create-index" and rep["view_rows"] > 0
+
+    # replay with a pre-image feed, refresh the index, probe through it
+    feed = str(workdir["tmp"] / "feed")
+    _run(
+        capsys, "replay", "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"], "--changes-dir", feed, "--changes-before",
+    )
+    _run(capsys, "refresh-view", "--view", idx, "--changes-dir", feed)
+
+    import pyarrow.compute as pc
+
+    final = cdc.read_lake_table(workdir["lake"])
+    tools = pc.unique(
+        final.filter(pc.is_valid(final.column("tool"))).column("tool")
+    )
+    probe = tools[0].as_py()
+    want = final.filter(pc.equal(final.column("tool"), probe)).num_rows
+    rep = _run(capsys, "lookup-by", workdir["lake"], "--index", idx, "--value", probe)
+    assert rep["rows"] == want > 0
+    rep = _run(capsys, "view-lookup", idx, "--value", probe)
+    assert rep["rows"] == want  # one index group per (tool, conv, turn) row

@@ -175,3 +175,27 @@ def test_embedding_neardup_recall_gate(ray_session):
     # the verify stage is EXACT cosine, so precision must be 1: every
     # emitted pair is in the quadratic baseline (candidates only lose)
     assert approx_pairs <= exact_pairs
+
+
+def test_ngram_jaccard_crossover_paths_identical(ray_session, monkeypatch):
+    """The gather-vs-distribute crossover in ngram_jaccard_pairs must be
+    invisible in the result: the local verify (candidate payload under the
+    cap) and the fully distributed attach return the same pairs and the
+    same jaccard values."""
+    from bcdc2bcdc_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return (
+            _to_pandas(Q.queries()["ngram_jaccard_pairs"](sf))
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    monkeypatch.setenv("JACC_GATHER_BYTES", str(1 << 40))
+    local = run()
+    monkeypatch.setenv("JACC_GATHER_BYTES", "0")
+    dist = run()
+    assert len(local) == len(dist) > 0
+    pd.testing.assert_frame_equal(local, dist)
