@@ -353,3 +353,26 @@ def partition_ids(
     batch: pa.Table, key_columns: Sequence[str], num_partitions: int
 ) -> np.ndarray:
     return (key_hash(batch, key_columns) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def partition_fingerprint(
+    tbl: pa.Table, key_columns: Sequence[str], hash_col: str = HASH_COL
+) -> int:
+    """Order-independent uint64 fingerprint of a partition's key→content
+    mapping: XOR over rows of splitmix64(key_hash ^ stored content hash).
+    Together with the row count, equality means identical partition STATE
+    under the engine's content-hash equality model (the same 64-bit trust
+    NOOP suppression and diff classification rest on) — which is what lets
+    ``diff_lakes`` skip an unchanged co-partition without reading either
+    file (cost ∝ changed partitions, the dominant win of an incremental
+    100-TB sync). The splitmix64 mix prevents the XOR from cancelling
+    structured hash pairs; per-key hashes make key-set differences with
+    coincidentally equal payload multisets visible."""
+    if tbl.num_rows == 0:
+        return 0
+    kh = key_hash(tbl, key_columns)
+    ch = tbl.column(hash_col)
+    if isinstance(ch, pa.ChunkedArray):
+        ch = ch.combine_chunks()
+    chn = ch.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return int(np.bitwise_xor.reduce(splitmix64(kh ^ chn)))

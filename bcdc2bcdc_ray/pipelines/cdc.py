@@ -265,11 +265,14 @@ def init_lake(
     table = table.replace_schema_metadata(
         {b"hash_cols": json.dumps(list(cmp_cols)).encode()}
     )
+    from ..canonical import partition_fingerprint
+
     pids = partition_ids(table, [spec.key[0]], num_partitions)
     order = np.argsort(pids, kind="stable")
     sorted_tbl = table.take(order)
     sorted_pids = pids[order]
     bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
+    store = ManifestStore(lake_dir)
     for pid in range(num_partitions):
         lo, hi = bounds[pid], bounds[pid + 1]
         if hi > lo:
@@ -277,7 +280,20 @@ def init_lake(
                 [(k, "ascending") for k in spec.key]
             )
             atomic_write_parquet(part, partition_path(lake_dir, pid))
-    ManifestStore(lake_dir)  # create _manifests/
+            # seed manifest: lsn_hi=-1 (no replay watermark — identical to
+            # absent for every watermark consumer), but rows + content
+            # fingerprint present so diff_lakes can skip unchanged
+            # partitions and fsck can audit state at rest from day one
+            store.commit(
+                PartitionManifest(
+                    partition=pid,
+                    lsn_hi=-1,
+                    rows=part.num_rows,
+                    schema_names=list(part.schema.names),
+                    data_file=f"part-{pid:05d}.parquet",
+                    content_fp=partition_fingerprint(part, list(spec.key)),
+                )
+            )
 
 
 def bootstrap_lake(
@@ -1180,6 +1196,8 @@ def split_partitions(lake_dir: str) -> None:
             part = t.filter(pa.array(pids == child))
             atomic_write_parquet(part, partition_path(lake_dir, child) + ".split")
             if m is not None:
+                from ..canonical import partition_fingerprint
+
                 store.commit(
                     PartitionManifest(
                         partition=child,
@@ -1188,6 +1206,7 @@ def split_partitions(lake_dir: str) -> None:
                         counts=dict(m.counts) if child == pid else {},
                         schema_names=list(part.schema.names),
                         data_file=f"part-{child:05d}.parquet",
+                        content_fp=partition_fingerprint(part, meta["key"]),
                     )
                 )
 
@@ -1246,6 +1265,8 @@ def merge_partitions(lake_dir: str) -> None:
             for m in manifests:
                 for k, v in m.counts.items():
                     counts[k] = counts.get(k, 0) + v
+            from ..canonical import partition_fingerprint
+
             store.commit(
                 PartitionManifest(
                     partition=pid,
@@ -1256,6 +1277,9 @@ def merge_partitions(lake_dir: str) -> None:
                     if merged is not None
                     else [],
                     data_file=f"part-{pid:05d}.parquet",
+                    content_fp=partition_fingerprint(merged, key)
+                    if merged is not None
+                    else 0,
                 )
             )
 
@@ -1770,6 +1794,28 @@ def diff_lakes(
     )
     key = list(spec.key)
 
+    # Unchanged-partition skip: both sides' manifests carry an
+    # order-independent key→content fingerprint committed with every write
+    # (canonical.partition_fingerprint) — equal fp + equal rows means the
+    # per-row classify below would emit ZERO events, so the pair of files
+    # never needs to be read. O(P) driver-side JSON loads; at an
+    # incremental 100-TB sync (most partitions untouched) this turns the
+    # diff from "read both lakes" into "read the changed partitions".
+    src_store = ManifestStore(src_dir)
+    live_pids, skipped_parts = [], 0
+    for pid in range(P):
+        dm, sm = dst_store.load(pid), src_store.load(pid)
+        if (
+            dm is not None
+            and sm is not None
+            and dm.content_fp is not None
+            and dm.content_fp == sm.content_fp
+            and dm.rows == sm.rows
+        ):
+            skipped_parts += 1
+            continue
+        live_pids.append(pid)
+
     def diff_one(pid: int) -> None:
         dst = read_partition_file(dst_dir, pid)
         src = read_partition_file(src_dir, pid)
@@ -1830,14 +1876,20 @@ def diff_lakes(
         p = partition_path(lake_dir, pid)
         return pq.read_table(p) if os.path.exists(p) else None
 
-    _foreach_partition(range(P), diff_one)
+    _foreach_partition(live_pids, diff_one)
     files = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
         if f.startswith("diff-") and f.endswith(".parquet")
     )
     events = sum(pq.read_metadata(f).num_rows for f in files)
-    return {"chunks": len(files), "events": events, "base_lsn": base_lsn}
+    return {
+        "chunks": len(files),
+        "events": events,
+        "base_lsn": base_lsn,
+        "partitions_skipped": skipped_parts,
+        "partitions_compared": len(live_pids),
+    }
 
 
 def _emit_where(
@@ -2092,7 +2144,8 @@ def fsck(
             return
         t = pq.read_table(p)
         rep = {"rows": t.num_rows, "bad_hash": 0, "misrouted": 0,
-               "unsorted": 0, "dup_keys": 0, "manifest_mismatch": 0}
+               "unsorted": 0, "dup_keys": 0, "manifest_mismatch": 0,
+               "bad_fp": 0}
         if HASH_COL in t.column_names:
             md = t.schema.metadata or {}
             hc = _json.loads(md.get(b"hash_cols", b"null"))
@@ -2123,6 +2176,18 @@ def fsck(
         m = store.load(pid)
         if m is not None and m.rows != t.num_rows:
             rep["manifest_mismatch"] = 1
+        if (
+            m is not None
+            and m.content_fp is not None
+            and HASH_COL in t.column_names
+        ):
+            # the at-rest audit of the diff-skip invariant: a stale stored
+            # fingerprint would make diff_lakes silently skip a CHANGED
+            # partition
+            from ..canonical import partition_fingerprint as _pfp
+
+            if _pfp(t, key) != m.content_fp:
+                rep["bad_fp"] = 1
         results[pid] = rep
 
     if parallel:
@@ -2137,7 +2202,7 @@ def fsck(
             if not local:
                 return pa.table({"pid": pa.array([], pa.int64())})
             keys = ("rows", "bad_hash", "misrouted", "unsorted",
-                    "dup_keys", "manifest_mismatch")
+                    "dup_keys", "manifest_mismatch", "bad_fp")
             return pa.table(
                 {"pid": pa.array(sorted(local), pa.int64())}
                 | {
@@ -2163,12 +2228,12 @@ def fsck(
     totals = {
         k: int(sum(r[k] for r in results.values()))
         for k in ("rows", "bad_hash", "misrouted", "unsorted", "dup_keys",
-                  "manifest_mismatch")
+                  "manifest_mismatch", "bad_fp")
     }
     totals["partitions_checked"] = len(results)
     totals["clean"] = all(
         totals[k] == 0
         for k in ("bad_hash", "misrouted", "unsorted", "dup_keys",
-                  "manifest_mismatch")
+                  "manifest_mismatch", "bad_fp")
     )
     return totals

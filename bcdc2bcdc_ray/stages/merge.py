@@ -168,6 +168,8 @@ class MergeWriter:
                 )
             atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
             _maybe_crash_once(self.lake_dir, pid)
+            from ..canonical import partition_fingerprint
+
             self.store.commit(
                 PartitionManifest(
                     partition=pid,
@@ -176,6 +178,9 @@ class MergeWriter:
                     counts=counts,
                     schema_names=list(new_state.schema.names),
                     data_file=f"part-{pid:05d}.parquet",
+                    content_fp=partition_fingerprint(
+                        new_state, list(self.spec.key)
+                    ),
                 )
             )
         return pa.table(

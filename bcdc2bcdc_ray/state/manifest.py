@@ -42,6 +42,11 @@ class PartitionManifest:
     counts: dict = field(default_factory=lambda: {"adds": 0, "updates": 0, "deletes": 0, "noops": 0})
     schema_names: list = field(default_factory=list)
     data_file: str = ""
+    # order-independent uint64 fingerprint of the partition's key→content
+    # state (canonical.partition_fingerprint), committed with every write.
+    # None on manifests predating the field — consumers (diff_lakes skip,
+    # fsck audit) must treat None as "unknown", never as a mismatch.
+    content_fp: int | None = None
 
 
 class ManifestStore:

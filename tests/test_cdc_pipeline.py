@@ -396,7 +396,9 @@ def test_protected_lake_guard_and_dry_run(ray_session, dirs):
     rep = cdc.replay(lake_dir, paths, spec, dry_run=True)
     assert rep["adds"] > 0 and rep["partitions_touched"] > 0
     assert cdc.read_lake_table(lake_dir).equals(before)
-    assert ManifestStore(lake_dir).watermarks() == {}
+    # no replay watermark advanced (init_lake seeds manifests at -1 for the
+    # content fingerprints; -1 is identical to absent for every consumer)
+    assert set(ManifestStore(lake_dir).watermarks().values()) <= {-1}
     # force override applies for real
     rep2 = cdc.replay(lake_dir, paths, spec, force=True)
     assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
@@ -1556,3 +1558,78 @@ def test_secondary_index_lifecycle(ray_session, tmp_path):
     assert view_mod.lookup(idx_dir, probe).num_rows == 0
     assert cdc.lookup_by(lake_dir, idx_dir, probe).num_rows == 0
     assert index_state().equals(recompute())
+
+
+def test_diff_lakes_skips_unchanged_partitions_by_fingerprint(
+    ray_session, tmp_path
+):
+    """Manifest content fingerprints let diff_lakes skip co-partitions whose
+    key→content state is identical WITHOUT reading either file — the
+    incremental-sync shape where most partitions are untouched. A localized
+    mutation must leave every other partition skipped, the diff output
+    unchanged vs a full compare, and fsck must audit the stored fp."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    P = 8
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cdc.init_lake(lake, src, spec, num_partitions=P)
+    cdc.init_lake(lake, dst, spec, num_partitions=P)
+
+    # identical lakes: EVERY partition skipped, zero events, zero reads
+    rep = cdc.diff_lakes(dst, src, str(tmp_path / "d0"))
+    assert rep["events"] == 0 and rep["chunks"] == 0
+    assert rep["partitions_skipped"] == P and rep["partitions_compared"] == 0
+
+    # mutate ONE conversation in src (one partition's state changes)
+    conv = lake.column("conv_id")[0].as_py()
+    cdc.update_where(src, [("conv_id", "==", conv)], {"text": "edited"}, spec)
+    rep = cdc.diff_lakes(dst, src, str(tmp_path / "d1"))
+    assert rep["partitions_compared"] == 1
+    assert rep["partitions_skipped"] == P - 1
+    assert rep["events"] > 0
+
+    # replay converges and the re-diff goes back to all-skipped
+    chunks = sorted(
+        str(f) for f in (tmp_path / "d1").iterdir() if f.name.endswith(".parquet")
+    )
+    cdc.replay(dst, chunks, spec)
+    assert cdc.read_lake_table(dst).equals(cdc.read_lake_table(src))
+    rep2 = cdc.diff_lakes(dst, src, str(tmp_path / "d2"))
+    assert rep2["events"] == 0 and rep2["partitions_compared"] == 0
+    assert rep2["partitions_skipped"] == P
+
+    # fsck audits the stored fingerprint: flip one row's STORED hash in
+    # place (file no longer matches the manifest's committed fp) →
+    # bad_hash (stored vs recompute) AND bad_fp (file vs manifest) flagged
+    from bcdc2bcdc_ray.canonical import HASH_COL
+
+    pid_file = next(
+        cdc.partition_path(src, p) for p in range(P)
+        if os.path.exists(cdc.partition_path(src, p))
+    )
+    t = pq.read_table(pid_file)
+    meta_md = t.schema.metadata
+    h = t.column(HASH_COL).to_pylist()
+    h[0] = (h[0] + 1) % (1 << 64)
+    t = t.set_column(
+        t.column_names.index(HASH_COL), HASH_COL, pa.array(h, pa.uint64())
+    )
+    pq.write_table(t.replace_schema_metadata(meta_md), pid_file)
+    rep = cdc.fsck(src, spec)
+    assert rep["clean"] is False and rep["bad_hash"] >= 1 and rep["bad_fp"] == 1
+
+    # maintenance preserves fingerprint correctness: split then merge on the
+    # clean DST lake keeps fsck clean and the self-diff fully skipped
+    cdc.split_partitions(dst)
+    assert cdc.fsck(dst, spec)["clean"] is True
+    cdc.merge_partitions(dst)
+    assert cdc.fsck(dst, spec)["clean"] is True
+    rep3 = cdc.diff_lakes(
+        dst, dst, str(tmp_path / "d3")
+    )
+    assert rep3["events"] == 0 and rep3["partitions_skipped"] == P
