@@ -80,7 +80,17 @@ class _LakeLock:
       a previous reclaimer (alive, recent mtime) is never removed.
     - ``__exit__`` verifies the stored token before unlinking — it never
       removes a lock it doesn't own.
+    - the lock file is created ATOMICALLY WITH ITS PAYLOAD (unique temp
+      file + ``os.link`` into place): an O_EXCL-create-then-write leaves a
+      momentarily EMPTY lock that a contender's staleness probe reads as
+      unparseable → "stale" → reclaims, unlinking a LIVE holder's fresh
+      lock (two writers; caught as a lost update by the 6-process hammer
+      test). With link-create no reader can ever observe a torn lock; an
+      unreadable file now means a crashed legacy writer and is only
+      declared stale past a short grace age.
     """
+
+    _UNREADABLE_GRACE_S = 5.0
 
     def __init__(self, lake_dir: str, stale_after_s: float = 3600.0):
         self.path = os.path.join(lake_dir, "_lock.json")
@@ -105,7 +115,18 @@ class _LakeLock:
 
         info, st = self._read_holder()
         if info is None:
-            return True  # unreadable/vanished lock: treat as stale
+            # unreadable/vanished lock. Creation is atomic-with-payload
+            # (link-create), so this is never a concurrent writer mid-write
+            # — but grant a short grace age anyway so a probe racing an
+            # unlink/replace sequence can't misjudge; genuinely torn files
+            # (crashed legacy writer) age out in seconds.
+            try:
+                st2 = os.stat(self.path)
+            except OSError:
+                return True  # vanished: stale by definition
+            import time as _t
+
+            return _t.time() - st2.st_mtime > self._UNREADABLE_GRACE_S
         pid = int(info.get("pid", -1))
         if info.get("host", "") == socket.gethostname():
             # pid liveness is authoritative on the same host — probe it
@@ -188,11 +209,26 @@ class _LakeLock:
                 "started_utc": _time.time(),
             }
         ).encode()
+        # stage the full payload in a uniquely-named sibling, then LINK it
+        # into place: the lock either doesn't exist or exists with complete
+        # content — no reader can ever observe the empty-file window an
+        # O_EXCL-create-then-write leaves (which a contender judged "stale"
+        # and reclaimed, losing mutual exclusion; see class docstring)
+        tmp = f"{self.path}.{self._token}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        try:
+            return self._acquire_linked(tmp)
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _acquire_linked(self, tmp: str):
         for _ in range(4):  # a few reclaim/contend attempts, then loud
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, payload)
-                os.close(fd)
+                os.link(tmp, self.path)  # atomic create-with-content
                 self._held = True
                 self._start_heartbeat()
                 return self

@@ -895,6 +895,43 @@ def test_lake_lock_stale_reclaim_single_winner(tmp_path):
     assert not os.path.exists(lock_path + ".reclaim")
 
 
+def test_lake_lock_torn_file_not_stale_while_young(tmp_path):
+    """Regression for the round-4 hammer flake: O_EXCL-create-then-write left
+    a momentarily EMPTY lock file that a contender's staleness probe read as
+    unparseable → 'stale' → reclaimed, unlinking a LIVE holder's fresh lock
+    (two writers in the critical section, observed as a lost counter update).
+    Creation is now atomic-with-payload (link-create) so the torn state can't
+    arise from a live writer — and if a torn file DOES exist (crashed legacy
+    writer), it must not be judged stale until a grace age passes."""
+    import json as _json
+    import time
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir = str(tmp_path / "lake")
+    os.makedirs(lake_dir)
+    lock_path = os.path.join(lake_dir, "_lock.json")
+    with open(lock_path, "w") as f:
+        pass  # empty = torn mid-write in the old scheme
+
+    probe = cdc._LakeLock(lake_dir)
+    # young torn file: NOT stale (a reclaim here is the old double-writer bug)
+    assert probe._holder_is_stale() is False
+    with pytest.raises(cdc.LakeLockedError):
+        probe.__enter__()
+    # aged past the grace window: a genuinely dead torn lock is reclaimable
+    old = time.time() - (cdc._LakeLock._UNREADABLE_GRACE_S + 1.0)
+    os.utime(lock_path, (old, old))
+    assert probe._holder_is_stale() is True
+    with cdc._LakeLock(lake_dir):
+        # acquired by reclaiming the aged torn lock; holder file is complete
+        with open(lock_path) as f:
+            assert _json.load(f)["pid"] == os.getpid()
+    assert not os.path.exists(lock_path)
+    # no stray temp siblings leak from the link-create path
+    assert [p for p in os.listdir(lake_dir) if p.startswith("_lock")] == []
+
+
 def test_lake_lock_released_on_failure(ray_session, dirs, tmp_path):
     from bcdc2bcdc_ray.pipelines import cdc
 
