@@ -274,6 +274,31 @@ def cmd_lookup_by(args) -> dict:
     }
 
 
+def cmd_create_denorm(args) -> dict:
+    from .pipelines import denorm
+
+    sel = {}
+    for it in args.select:
+        out, src = it.split("=", 1)
+        sel[out] = src
+    rep = denorm.create_denorm(
+        args.denorm, args.fact, args.dim, args.fk, sel,
+        index_dir=args.index,
+        fact_changes_dir=args.fact_changes,
+        dim_changes_dir=args.dim_changes,
+    )
+    return {"cmd": "create-denorm", **rep}
+
+
+def cmd_refresh_denorm(args) -> dict:
+    from .pipelines import denorm
+
+    kw = {}
+    if args.changes:
+        kw["changes_dir"] = args.changes
+    return {"cmd": "refresh-denorm", **denorm.refresh_denorm(args.denorm, **kw)}
+
+
 def cmd_view_lookup(args) -> dict:
     from .pipelines import view
 
@@ -563,6 +588,30 @@ def build_parser() -> argparse.ArgumentParser:
     lb.add_argument("--index", required=True)
     lb.add_argument("--value", required=True)
     lb.set_defaults(fn=cmd_lookup_by)
+
+    cdn = sub.add_parser(
+        "create-denorm",
+        help="materialize fact LEFT JOIN dim as a feed-maintained lake",
+    )
+    cdn.add_argument("denorm")
+    cdn.add_argument("--fact", required=True)
+    cdn.add_argument("--dim", required=True)
+    cdn.add_argument("--fk", required=True)
+    cdn.add_argument(
+        "--select", action="append", required=True,
+        help="out_col=dim_col (repeatable)",
+    )
+    cdn.add_argument("--index", required=True, help="secondary index on fact.fk")
+    cdn.add_argument("--fact-changes", required=True)
+    cdn.add_argument("--dim-changes", required=True)
+    cdn.set_defaults(fn=cmd_create_denorm)
+
+    rdn = sub.add_parser(
+        "refresh-denorm", help="fold both change feeds into a denorm lake"
+    )
+    rdn.add_argument("denorm")
+    rdn.add_argument("--changes", default=None, help="denorm's own outbound feed dir")
+    rdn.set_defaults(fn=cmd_refresh_denorm)
 
     vlk = sub.add_parser(
         "view-lookup", help="O(1)-file point probe on a view's first group column"

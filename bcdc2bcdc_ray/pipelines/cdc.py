@@ -299,7 +299,10 @@ def init_lake(
     cmp_cols = _compare_columns(table.schema, spec)
     table = add_content_hash(table, cmp_cols, spec.falsy_null_columns, HASH_COL)
     table = table.replace_schema_metadata(
-        {b"hash_cols": json.dumps(list(cmp_cols)).encode()}
+        {
+            b"hash_cols": json.dumps(list(cmp_cols)).encode(),
+            b"falsy_cols": json.dumps(list(spec.falsy_null_columns)).encode(),
+        }
     )
     from ..canonical import partition_fingerprint
 
@@ -2186,9 +2189,19 @@ def fsck(
             md = t.schema.metadata or {}
             hc = _json.loads(md.get(b"hash_cols", b"null"))
             if hc:
+                # the falsy canonicalization is part of the hash's identity
+                # and travels in the file metadata (a lake written under a
+                # different spec than the caller's — e.g. a denorm lake,
+                # falsy=() — must be audited under ITS OWN rules); files
+                # from before falsy_cols was persisted fall back to the spec
+                fc = md.get(b"falsy_cols")
+                falsy = (
+                    tuple(_json.loads(fc))
+                    if fc is not None
+                    else spec.falsy_null_columns
+                )
                 rh = add_content_hash(
-                    t.drop_columns([HASH_COL]), hc,
-                    spec.falsy_null_columns, "__rh",
+                    t.drop_columns([HASH_COL]), hc, falsy, "__rh",
                 )
                 neq = pc.invert(pc.equal(t.column(HASH_COL), rh.column("__rh")))
                 rep["bad_hash"] = int(

@@ -1,0 +1,549 @@
+"""Incrementally-maintained DENORMALIZED JOIN VIEW: fact lake ⋈ dim lake,
+kept fresh from both change feeds.
+
+The reference denormalizes at sync time — cross-record field pulls join a
+fetched record with its owning users/orgs via driver-side LUTs
+(``/root/reference/bcdc2bcdc/DataCache.py:384-437`` alternate-key reads,
+``CKANData.py:1689-1700`` email LUT) and the joined shape is recomputed
+from scratch every run. Here the joined table is a FIRST-CLASS LAKE
+(snapshots, fsck, indexes, its own change feed all apply) maintained at
+O(change volume):
+
+- fact-side changes name their keys directly in the fact feed;
+- dim-side changes reverse-resolve to the referencing fact keys through
+  the feed-maintained SECONDARY INDEX on the FK column
+  (:func:`cdc.create_index`) — never a fact scan;
+- the union of affected partition-key values is recomputed FROM BASE
+  STATE (pruned k-file reads on both lakes), so the refresh is idempotent
+  by construction: a crashed refresh reruns into content-hash NOOPs.
+
+Join semantics are LEFT OUTER on ``fact.fk = dim.key``: fact rows always
+survive; dim attributes null out when the dim row is absent/deleted (a
+dim delete therefore UPDATES the joined rows, it never deletes them).
+
+Scale shape: one index refresh (change-proportional), one distributed
+per-affected-partition recompute (fact and denorm lakes are co-partitioned
+by construction, so each task joins two co-located files), and one replay
+of the recomputed events (change-proportional). The dim rows shipped to
+the recompute are only those referenced by affected fact rows — broadcast
+once via ``ray.put``, NOT re-read per task. The only full-dim pass is the
+initial build at :func:`create_denorm` (same dimension-sized-broadcast
+contract as the remap LUTs, ``pipelines/sync.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..canonical import HASH_COL, partition_ids
+from ..spec import TableSpec
+from ..stages.merge import partition_path
+from . import cdc
+from . import view as view_mod
+
+_META = "_denorm.json"
+_STATE = "_denorm_state.json"
+
+
+def _meta_path(denorm_dir: str) -> str:
+    return os.path.join(denorm_dir, _META)
+
+
+def denorm_meta(denorm_dir: str) -> dict:
+    with open(_meta_path(denorm_dir)) as f:
+        return json.load(f)
+
+
+def _load_state(denorm_dir: str) -> dict:
+    p = os.path.join(denorm_dir, _STATE)
+    if not os.path.exists(p):
+        return {"fact": {}, "dim": {}}
+    with open(p) as f:
+        raw = json.load(f)
+    return {
+        side: {int(k): int(v) for k, v in raw.get(side, {}).items()}
+        for side in ("fact", "dim")
+    }
+
+
+def _commit_state(denorm_dir: str, state: dict) -> None:
+    p = os.path.join(denorm_dir, _STATE)
+    enc = {
+        side: {str(k): int(v) for k, v in state[side].items()}
+        for side in ("fact", "dim")
+    }
+    with open(p + ".tmp", "w") as f:
+        json.dump(enc, f)
+    os.replace(p + ".tmp", p)
+
+
+def _feed_head(changes_dir: str) -> dict[int, int]:
+    """Current high-watermark per producer pid of a feed directory."""
+    head: dict[int, int] = {}
+    if not os.path.isdir(changes_dir):
+        return head
+    for fn in os.listdir(changes_dir):
+        m = view_mod._FEED_RE.search(fn)
+        if not m:
+            continue
+        pid, hi = int(m.group(1)), int(m.group(2))
+        if hi > head.get(pid, -1):
+            head[pid] = hi
+    return head
+
+
+def _pick_fresh(changes_dir: str, consumed: dict[int, int]) -> list[tuple[str, int, int]]:
+    picked = []
+    if not os.path.isdir(changes_dir):
+        return picked
+    for fn in sorted(os.listdir(changes_dir)):
+        m = view_mod._FEED_RE.search(fn)
+        if not m:
+            continue
+        pid, hi = int(m.group(1)), int(m.group(2))
+        if hi > consumed.get(pid, -1):
+            picked.append((os.path.join(changes_dir, fn), pid, hi))
+    return picked
+
+
+def _denorm_spec(meta: dict, fact_schema: pa.Schema) -> TableSpec:
+    """The joined table's spec: fact data columns + selected dim columns,
+    keyed and compared like any lake (all non-key columns hash — so a
+    refresh that recomputes an unchanged joined row NOOPs)."""
+    fields = [f for f in fact_schema if f.name != HASH_COL]
+    dim_types = {n: pa.string() for n in meta["dim_select"]}
+    # recorded at create time from the dim lake's real schema
+    for n, t in meta["dim_out_types"]:
+        dim_types[n] = view_mod._type_from_str(t)
+    fields += [pa.field(n, dim_types[n]) for n in meta["dim_select"]]
+    return TableSpec(
+        name=meta["name"],
+        schema=pa.schema(fields),
+        key=tuple(meta["key"]),
+        compare_columns=None,
+    )
+
+
+def _attach_dim(
+    fact: pa.Table, dim_sub: pa.Table, fk: str, dim_key: str, dim_select: dict
+) -> pa.Table:
+    """LEFT-OUTER attach of selected dim columns onto fact rows. ``dim_sub``
+    holds (dim_key, *selected) already renamed to output names. Arrow joins
+    reorder rows — callers must not rely on order (replay re-sorts)."""
+    if HASH_COL in fact.column_names:
+        fact = fact.drop_columns([HASH_COL])
+    fact = fact.replace_schema_metadata(None)
+    if fact.num_rows == 0:
+        out = fact
+        for name in dim_select:
+            out = out.append_column(
+                name, pa.nulls(0, dim_sub.schema.field(name).type)
+            )
+        return out
+    # arrow joins never MATCH null keys but left-outer keeps the row
+    # unmatched — exactly LEFT JOIN semantics for a null FK
+    return fact.join(
+        dim_sub, keys=[fk], right_keys=[dim_key], join_type="left outer"
+    )
+
+
+def create_denorm(
+    denorm_dir: str,
+    fact_dir: str,
+    dim_dir: str,
+    fk: str,
+    dim_select: dict,
+    *,
+    index_dir: str,
+    fact_changes_dir: str,
+    dim_changes_dir: str,
+    name: str = "denorm",
+) -> dict:
+    """Materialize ``fact LEFT JOIN dim ON fact.fk = dim.key`` as a new lake
+    co-partitioned with the fact lake, and record everything a later
+    :func:`refresh_denorm` needs (feed dirs, FK index, selected columns).
+
+    ``dim_select`` maps OUTPUT column name → dim column name. ``index_dir``
+    must hold a secondary index on ``fact.fk`` (:func:`cdc.create_index`) —
+    it is how dim-side changes reverse-resolve to affected fact keys.
+
+    Both feeds' current heads become the initial cursors: a feed file only
+    exists because its producing replay already committed, so the lakes'
+    current state reflects every file present now."""
+    import ray
+
+    fact_meta = cdc.lake_meta(fact_dir)
+    dim_meta = cdc.lake_meta(dim_dir)
+    if len(dim_meta["key"]) != 1:
+        raise ValueError(
+            f"dim lake key {dim_meta['key']!r} is composite — a denorm FK "
+            "references a single-column dim key"
+        )
+    dim_key = dim_meta["key"][0]
+
+    # schema validation against real partition files
+    fact_schema = None
+    for pid in range(fact_meta["num_partitions"]):
+        p = partition_path(fact_dir, pid)
+        if os.path.exists(p):
+            fact_schema = pq.read_schema(p)
+            break
+    if fact_schema is None:
+        raise FileNotFoundError(f"fact lake {fact_dir} has no data files")
+    if fk not in fact_schema.names:
+        raise ValueError(f"fk {fk!r} is not a fact column ({fact_schema.names})")
+    dim_schema = None
+    for pid in range(dim_meta["num_partitions"]):
+        p = partition_path(dim_dir, pid)
+        if os.path.exists(p):
+            dim_schema = pq.read_schema(p)
+            break
+    if dim_schema is None:
+        raise FileNotFoundError(f"dim lake {dim_dir} has no data files")
+    for out, src in dim_select.items():
+        if src not in dim_schema.names:
+            raise ValueError(f"dim_select {out!r}: {src!r} is not a dim column")
+        if out in fact_schema.names:
+            raise ValueError(
+                f"dim_select output {out!r} collides with a fact column"
+            )
+    im = view_mod.view_meta(index_dir)
+    if list(im["group_by"]) != [fk, *fact_meta["key"]]:
+        raise ValueError(
+            f"index at {index_dir} (group_by={im['group_by']}) is not a "
+            f"secondary index on fact.{fk} — create it with "
+            f"cdc.create_index(index_dir, fact_dir, {fk!r})"
+        )
+
+    meta = {
+        "name": name,
+        "fact_dir": os.path.abspath(fact_dir),
+        "dim_dir": os.path.abspath(dim_dir),
+        "fk": fk,
+        "dim_key": dim_key,
+        "dim_select": {k: dim_select[k] for k in dim_select},
+        "dim_out_types": [
+            (out, str(dim_schema.field(src).type)) for out, src in dim_select.items()
+        ],
+        "index_dir": os.path.abspath(index_dir),
+        "fact_changes_dir": os.path.abspath(fact_changes_dir),
+        "dim_changes_dir": os.path.abspath(dim_changes_dir),
+        "key": list(fact_meta["key"]),
+        "num_partitions": int(fact_meta["num_partitions"]),
+    }
+    os.makedirs(denorm_dir, exist_ok=True)
+    spec = _denorm_spec(meta, fact_schema)
+
+    # initial build: stream the fact lake, attach the (dimension-sized,
+    # broadcast-once) selected dim columns, bootstrap through the same
+    # distributed shuffle+writer machinery as any lake load
+    dim_sub = (
+        cdc.read_lake_table(dim_dir)
+        .select([dim_key] + list(dim_select.values()))
+        .rename_columns([dim_key] + list(dim_select))
+    )
+    dim_ref = ray.put(dim_sub) if ray.is_initialized() else dim_sub
+    fk_col, dk_col, sel = fk, dim_key, dict(dim_select)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        d = _ray.get(dim_ref) if not isinstance(dim_ref, pa.Table) else dim_ref
+        return _attach_dim(b, d, fk_col, dk_col, sel)
+
+    ds = cdc.read_lake(fact_dir).map_batches(attach, batch_format="pyarrow")
+    rep = cdc.bootstrap_lake(
+        ds, denorm_dir, spec, num_partitions=meta["num_partitions"]
+    )
+
+    with open(_meta_path(denorm_dir) + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(_meta_path(denorm_dir) + ".tmp", _meta_path(denorm_dir))
+    _commit_state(
+        denorm_dir,
+        {"fact": _feed_head(fact_changes_dir), "dim": _feed_head(dim_changes_dir)},
+    )
+    return {"rows": rep["rows"], "partitions": meta["num_partitions"], **{
+        k: rep[k] for k in ("adds", "events")
+    }}
+
+
+def _affected_from_feeds(
+    meta: dict, fact_picked: list, dim_picked: list
+) -> set:
+    """Distinct affected fact partition-key values: keys named by the fact
+    feed, plus keys reverse-resolved from changed dim values through the FK
+    index (one pruned index read, never a fact scan)."""
+    key0 = meta["key"][0]
+    affected: set = set()
+    if fact_picked:
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            [p for p, _, _ in fact_picked],
+            columns=[key0],
+            override_num_blocks=cdc._scan_blocks([p for p, _, _ in fact_picked]),
+        )
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            affected.update(pc.unique(b.column(key0)).to_pylist())
+
+    if dim_picked:
+        dk = meta["dim_key"]
+        dvals: set = set()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            [p for p, _, _ in dim_picked],
+            columns=[dk],
+            override_num_blocks=cdc._scan_blocks([p for p, _, _ in dim_picked]),
+        )
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            dvals.update(v for v in pc.unique(b.column(dk)).to_pylist() if v is not None)
+        if dvals:
+            affected.update(_index_lookup_many(meta, sorted(dvals)))
+    affected.discard(None)
+    return affected
+
+
+def _index_lookup_many(meta: dict, values: list) -> set:
+    """Batch reverse lookup: changed dim values → referencing fact partition
+    keys, reading each TOUCHED index partition file exactly once (the
+    many-value generalization of ``view.lookup``)."""
+    index_dir = meta["index_dir"]
+    m = view_mod.view_meta(index_dir)
+    fk = m["group_by"][0]
+    key0 = meta["key"][0]
+    col_type = view_mod._type_from_str(dict(m["group_types"])[fk])
+    vals = pa.array(values).cast(col_type)
+    P = int(m["num_partitions"])
+    pids = sorted(
+        set(partition_ids(pa.table({fk: vals}), [fk], P).tolist())
+    )
+    paths = [
+        view_mod._view_path(index_dir, pid)
+        for pid in pids
+        if os.path.exists(view_mod._view_path(index_dir, pid))
+    ]
+    out: set = set()
+    if not paths:
+        return out
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        paths, columns=[fk, key0],
+        override_num_blocks=cdc._scan_blocks(paths),
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column(fk), value_set=vals))
+        return pa.table({key0: pc.unique(b.column(key0))})
+
+    for b in ds.map_batches(probe, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        out.update(b.column(key0).to_pylist())
+    return out
+
+
+def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
+    """Fold both feeds into the joined lake. Cost is change-proportional:
+    affected keys = fact-feed keys ∪ index-resolved dim-feed fanout; those
+    keys are recomputed FROM BASE STATE (k-file pruned reads on fact, dim
+    and denorm partitions — fact/denorm are co-partitioned, so each task
+    reads two co-located files) and replayed as one upsert/delete event
+    batch through the ordinary exactly-once merge. Reruns after any crash
+    recompute the same keys into content-hash NOOPs; the feed cursors
+    commit only after the replay does. ``replay_kwargs`` pass through to
+    the replay (e.g. ``changes_dir=`` to give the joined lake its OWN
+    change feed for further chaining)."""
+    import ray
+
+    meta = denorm_meta(denorm_dir)
+    state = _load_state(denorm_dir)
+
+    # the FK index must cover every fact feed file this refresh consumes —
+    # and every one any PREVIOUS refresh consumed (a stale index misses
+    # reverse lookups for rows whose FK was assigned long ago); bringing it
+    # to feed head first guarantees both, exactly-once on its own cursor
+    if os.path.isdir(meta["fact_changes_dir"]):
+        view_mod.refresh_view(meta["index_dir"], meta["fact_changes_dir"])
+
+    fact_picked = _pick_fresh(meta["fact_changes_dir"], state["fact"])
+    dim_picked = _pick_fresh(meta["dim_changes_dir"], state["dim"])
+    if not fact_picked and not dim_picked:
+        return {"files": 0, "affected_keys": 0, "events": 0}
+
+    affected = _affected_from_feeds(meta, fact_picked, dim_picked)
+    key = list(meta["key"])
+    key0 = key[0]
+    P = int(meta["num_partitions"])
+    fact_dir, dim_dir = meta["fact_dir"], meta["dim_dir"]
+    fk, dim_key, dim_select = meta["fk"], meta["dim_key"], meta["dim_select"]
+
+    def _commit_cursors():
+        for _, sp, hi in fact_picked:
+            if hi > state["fact"].get(sp, -1):
+                state["fact"][sp] = hi
+        for _, sp, hi in dim_picked:
+            if hi > state["dim"].get(sp, -1):
+                state["dim"][sp] = hi
+        _commit_state(denorm_dir, state)
+
+    if not affected:
+        _commit_cursors()
+        return {
+            "files": len(fact_picked) + len(dim_picked),
+            "affected_keys": 0, "events": 0,
+        }
+
+    # dim rows the recompute needs: FKs referenced by affected fact rows
+    # (change-proportional, broadcast once)
+    aff_arr = pa.array(sorted(affected))
+    fk_vals: set = set()
+    for b in cdc.read_lake(fact_dir, columns=[fk], keys=sorted(affected)).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        fk_vals.update(v for v in pc.unique(b.column(fk)).to_pylist() if v is not None)
+    batches = []
+    if fk_vals:
+        batches = [
+            b
+            for b in cdc.read_lake(
+                dim_dir,
+                columns=[dim_key] + list(dim_select.values()),
+                keys=sorted(fk_vals),
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+    if batches:
+        dim_sub = pa.concat_tables(batches).rename_columns(
+            [dim_key] + list(dim_select)
+        )
+    else:
+        # no referenced dims (or every FK dangles): empty typed dim side
+        dim_schema = pq.read_schema(
+            next(
+                partition_path(dim_dir, p)
+                for p in range(cdc.lake_meta(dim_dir)["num_partitions"])
+                if os.path.exists(partition_path(dim_dir, p))
+            )
+        )
+        dim_sub = pa.schema(
+            [(dim_key, dim_schema.field(dim_key).type)]
+            + [(o, dim_schema.field(s).type) for o, s in dim_select.items()]
+        ).empty_table()
+
+    # epoch strictly above every committed denorm watermark: a rerun that
+    # picked up EXTRA feed files after a crash-after-replay must not get
+    # its events watermark-skipped
+    from ..state.manifest import ManifestStore
+
+    epoch = max(
+        list(ManifestStore(denorm_dir).watermarks().values()) or [0]
+    ) + 1
+
+    pid_np = partition_ids(pa.table({key0: aff_arr}), [key0], P)
+    by_pid: dict[int, list] = {}
+    for v, p in zip(aff_arr.to_pylist(), pid_np.tolist()):
+        by_pid.setdefault(int(p), []).append(v)
+
+    tmp_wal = os.path.join(denorm_dir, "_refresh_wal")
+    os.makedirs(tmp_wal, exist_ok=True)
+    for fn in os.listdir(tmp_wal):  # leftovers from a crashed refresh
+        os.unlink(os.path.join(tmp_wal, fn))
+
+    dim_ref = ray.put(dim_sub) if ray.is_initialized() else dim_sub
+
+    def recompute_one(pid: int) -> None:
+        import ray as _ray
+
+        keys_here = pa.array(by_pid[pid], type=aff_arr.type)
+        d = _ray.get(dim_ref) if not isinstance(dim_ref, pa.Table) else dim_ref
+        fp = partition_path(fact_dir, pid)
+        if os.path.exists(fp):
+            ft = pq.read_table(fp)
+            ft = ft.filter(pc.is_in(ft.column(key0), value_set=keys_here))
+        else:
+            ft = None
+        joined = (
+            _attach_dim(ft, d, fk, dim_key, dim_select) if ft is not None else None
+        )
+        dp = partition_path(denorm_dir, pid)
+        gone = None
+        if os.path.exists(dp):
+            cur = pq.read_table(dp, columns=key)
+            cur = cur.filter(pc.is_in(cur.column(key0), value_set=keys_here))
+            if joined is not None and joined.num_rows:
+                gone = cur.join(
+                    joined.select(key), keys=key, join_type="left anti"
+                )
+            else:
+                gone = cur
+        parts = []
+        if joined is not None and joined.num_rows:
+            n = joined.num_rows
+            ev = joined.add_column(0, "lsn", pa.array([epoch] * n, pa.int64()))
+            ev = ev.add_column(1, "op", pa.array(["upsert"] * n, pa.string()))
+            parts.append(ev.replace_schema_metadata(None))
+        if gone is not None and gone.num_rows:
+            n = gone.num_rows
+            base = joined if joined is not None else None
+            ev = gone.add_column(0, "lsn", pa.array([epoch] * n, pa.int64()))
+            ev = ev.add_column(1, "op", pa.array(["delete"] * n, pa.string()))
+            # null payload columns (delete events are key-routed)
+            if base is not None:
+                for f in base.schema:
+                    if f.name not in key:
+                        ev = ev.append_column(f.name, pa.nulls(n, f.type))
+            parts.append(ev.replace_schema_metadata(None))
+        if not parts:
+            return
+        from ..stages import evolve as _evolve
+
+        out = (
+            parts[0]
+            if len(parts) == 1
+            else pa.concat_tables(_evolve.unify_tables(parts))
+        )
+        tmp = os.path.join(tmp_wal, f"ev-{pid:05d}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(tmp_wal, f"ev-{pid:05d}.parquet"))
+
+    cdc._foreach_partition(sorted(by_pid), recompute_one)
+
+    chunk_paths = sorted(
+        os.path.join(tmp_wal, fn)
+        for fn in os.listdir(tmp_wal)
+        if fn.endswith(".parquet")
+    )
+    fact_schema = pq.read_schema(
+        next(
+            partition_path(fact_dir, p)
+            for p in range(cdc.lake_meta(fact_dir)["num_partitions"])
+            if os.path.exists(partition_path(fact_dir, p))
+        )
+    )
+    spec = _denorm_spec(meta, fact_schema)
+    events = 0
+    if chunk_paths:
+        rep = cdc.replay(denorm_dir, chunk_paths, spec, **replay_kwargs)
+        events = rep["events"]
+    _commit_cursors()
+    for fn in os.listdir(tmp_wal):
+        os.unlink(os.path.join(tmp_wal, fn))
+    return {
+        "files": len(fact_picked) + len(dim_picked),
+        "affected_keys": len(affected),
+        "events": int(events),
+        "epoch": epoch,
+    }
+
+
+def read_denorm(denorm_dir: str) -> pa.Table:
+    """Driver-side full read of the joined lake (fixture/test path)."""
+    return cdc.read_lake_table(denorm_dir)

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "delete_where_retention",
     "update_where_quarantine",
     "index_lookup_tool",
+    "denorm_join_view",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -121,9 +122,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_pricing",
     "group_quantiles_events",
     "heavy_hitters_events",
-    # sampling
+    # sampling (group_sample_docs displaced by denorm_join_view — same
+    # splitmix64 hash-range family as the hash_sample_docs slot that stays,
+    # green in r1/r2 and still covered by tests/check_oracles.py)
     "hash_sample_docs",
-    "group_sample_docs",
 )
 
 
@@ -3797,6 +3799,73 @@ def index_lookup_tool(sf_dir: str):
         cdc.replay(lake_dir, paths, spec, changes_dir=feed, changes_before=True)
         view_mod.refresh_view(idx_dir, feed)
         return cdc.lookup_by(lake_dir, idx_dir, "search")
+
+
+@q(
+    "denorm_join_view",
+    f"""
+    WITH fact AS ({_replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL)}),
+    dimf AS (
+        SELECT coalesce(e.tool_id, l.tool_id) AS tool_id,
+               coalesce(e.dest_name, l.dest_name) AS dest_name
+        FROM read_parquet('{_TOOLS_LAKE}') l
+        FULL OUTER JOIN (
+            SELECT tool_id, dest_name FROM read_parquet('{_TOOLS_WAL}')
+            QUALIFY row_number() OVER (PARTITION BY tool_id
+                                       ORDER BY lsn DESC) = 1
+        ) e ON l.tool_id = e.tool_id
+    )
+    SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts,
+           d.dest_name AS tool_dest
+    FROM fact f LEFT JOIN dimf d ON f.tool = d.tool_id
+    """,
+)
+def denorm_join_view(sf_dir: str):
+    """Incrementally-maintained DENORMALIZED JOIN VIEW
+    (``pipelines/denorm.py``): materialize ``transcripts LEFT JOIN tools``
+    as its own co-partitioned lake, then keep it fresh from BOTH change
+    feeds — fact-side keys straight from the fact feed, dim-side fanout
+    reverse-resolved through the feed-maintained FK secondary index (never
+    a fact scan), affected keys recomputed from base state and replayed
+    exactly-once. Re-expresses the reference's cross-record field pulls
+    (``DataCache.py:384-437`` LUT joins, recomputed from scratch every run
+    there) as an O(change volume) maintained table. The oracle recomputes
+    the joined state relationally from BOTH tables' replay semantics —
+    any missed fanout, double-apply or wrong delete hash-mismatches."""
+    from .. import changegen as cg
+    from ..spec import TableSpec, transcripts_spec
+    from . import cdc, denorm
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    dim_spec = TableSpec(
+        name="tools", schema=cg.TOOLS_SCHEMA, key=("tool_id",),
+        compare_columns=("dest_name", "ts"),
+    )
+    with tempfile.TemporaryDirectory(prefix="txdn_") as tmp:
+        fact_dir = os.path.join(tmp, "fact")
+        dim_dir = os.path.join(tmp, "dim")
+        idx_dir = os.path.join(tmp, "idx")
+        dn_dir = os.path.join(tmp, "dn")
+        fch = os.path.join(tmp, "fch")
+        dch = os.path.join(tmp, "dch")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), fact_dir, spec, num_partitions=16)
+        cdc.init_lake(pq.read_table(_TOOLS_LAKE), dim_dir, dim_spec, num_partitions=4)
+        cdc.create_index(idx_dir, fact_dir, "tool")
+        denorm.create_denorm(
+            dn_dir, fact_dir, dim_dir, "tool", {"tool_dest": "dest_name"},
+            index_dir=idx_dir, fact_changes_dir=fch, dim_changes_dir=dch,
+        )
+        fpaths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "fwal"), num_chunks=8
+        )
+        cdc.replay(fact_dir, fpaths, spec, changes_dir=fch, changes_before=True)
+        dpaths = cg.write_wal_chunks(
+            pq.read_table(_TOOLS_WAL), os.path.join(tmp, "dwal"), num_chunks=2
+        )
+        cdc.replay(dim_dir, dpaths, dim_spec, changes_dir=dch)
+        denorm.refresh_denorm(dn_dir)
+        return denorm.read_denorm(dn_dir)
 
 
 def _change_feed_oracle_sql(lake_path: str, wal_path: str) -> str:

@@ -100,6 +100,7 @@ def classify_delta(
     # evolution invalidates it → recompute once, persist the new hashes).
     stored_hashes = None
     stored_cols = None
+    falsy_ok = True
     if HASH_COL in current.column_names:
         meta = current.schema.metadata or {}
         hc = meta.get(b"hash_cols")
@@ -107,6 +108,13 @@ def classify_delta(
             import json as _json
 
             stored_cols = _json.loads(hc)
+            fc = meta.get(b"falsy_cols")
+            # the stored hash is only reusable under the SAME falsy
+            # canonicalization it was computed with (files written before
+            # falsy_cols was persisted carry no marker — assume the spec's,
+            # today's behavior)
+            if fc is not None:
+                falsy_ok = _json.loads(fc) == list(spec.falsy_null_columns)
         stored_hashes = current.column(HASH_COL)
         current = current.drop_columns([HASH_COL])
     # incoming-side fast path: AssignPartition precomputes the content hash
@@ -135,7 +143,7 @@ def classify_delta(
 
     cur = evolve.conform(current, data_schema)
     cmp_cols = _compare_columns(data_schema, spec)
-    if stored_hashes is not None and stored_cols == list(cmp_cols):
+    if stored_hashes is not None and stored_cols == list(cmp_cols) and falsy_ok:
         cur = cur.append_column("__h_cur", stored_hashes)
     else:
         cur = add_content_hash(cur, cmp_cols, spec.falsy_null_columns, "__h_cur")
@@ -365,8 +373,16 @@ def apply_delta_with_hash(
         {k: joined.column(k) for k in spec.key} | {HASH_COL: row_hash}
     ).filter(keep_row).sort_by([(k, "ascending") for k in spec.key])
     out = out.append_column(HASH_COL, hsel.column(HASH_COL))
+    # the hash's FULL context travels with it: column list AND falsy rule.
+    # A later reader (classify fast path, fsck) recomputing with a
+    # different falsy canonicalization would flag or phantom-update rows
+    # whose raw text is '' / 'None' — context-independence is a hard
+    # invariant of stored hashes (see canonical.py null-fill note).
     return out.replace_schema_metadata(
-        {b"hash_cols": _json.dumps(list(cmp_cols)).encode()}
+        {
+            b"hash_cols": _json.dumps(list(cmp_cols)).encode(),
+            b"falsy_cols": _json.dumps(list(spec.falsy_null_columns)).encode(),
+        }
     )
 
 

@@ -415,3 +415,62 @@ def test_cli_index_lifecycle(capsys, workdir):
     assert rep["rows"] == want > 0
     rep = _run(capsys, "view-lookup", idx, "--value", probe)
     assert rep["rows"] == want  # one index group per (tool, conv, turn) row
+
+
+def test_cli_denorm_lifecycle(capsys, workdir):
+    """create-denorm → fact replay with feed → refresh-denorm tracks the
+    LEFT JOIN of current lake states (the CLI face of pipelines/denorm.py)."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import denorm
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    dim_dir = str(workdir["tmp"] / "dim")
+    dim_spec = TableSpec(
+        name="tools", schema=cg.gen_tool_dim().schema, key=("tool_id",)
+    )
+    cdc.init_lake(cg.gen_tool_dim(), dim_dir, dim_spec, num_partitions=4)
+
+    idx = str(workdir["tmp"] / "idx")
+    _run(capsys, "create-index", idx, "--lake", workdir["lake"], "--col", "tool")
+
+    dn = str(workdir["tmp"] / "dn")
+    fch = str(workdir["tmp"] / "fch")
+    dch = str(workdir["tmp"] / "dch")
+    rep = _run(
+        capsys, "create-denorm", dn,
+        "--fact", workdir["lake"], "--dim", dim_dir, "--fk", "tool",
+        "--select", "tool_dest=dest_name", "--index", idx,
+        "--fact-changes", fch, "--dim-changes", dch,
+    )
+    assert rep["cmd"] == "create-denorm" and rep["rows"] > 0
+
+    _run(
+        capsys, "replay", "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"], "--changes-dir", fch, "--changes-before",
+    )
+    rep = _run(capsys, "refresh-denorm", dn)
+    assert rep["cmd"] == "refresh-denorm" and rep["events"] > 0
+
+    got = denorm.read_denorm(dn).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    fact = cdc.read_lake_table(workdir["lake"])
+    dim = (
+        cdc.read_lake_table(dim_dir)
+        .select(["tool_id", "dest_name"])
+        .rename_columns(["tool_id", "tool_dest"])
+    )
+    want = fact.join(
+        dim, keys=["tool"], right_keys=["tool_id"], join_type="left outer"
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.select(want.column_names).equals(want)
+
+    # idle refresh is a no-op through the CLI too
+    rep = _run(capsys, "refresh-denorm", dn)
+    assert rep["files"] == 0

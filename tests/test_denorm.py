@@ -1,0 +1,215 @@
+"""Incrementally-maintained denormalized join view (pipelines/denorm.py):
+fact ⋈ dim kept fresh from both change feeds, FK index reverse lookups,
+exactly-once refresh, dim deletes nulling (never deleting) joined rows."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bcdc2bcdc_ray import changegen as cg
+from bcdc2bcdc_ray.pipelines import cdc, denorm
+from bcdc2bcdc_ray.spec import TableSpec, transcripts_spec
+
+
+def _tool_spec() -> TableSpec:
+    return TableSpec(
+        name="tools",
+        schema=cg.gen_tool_dim().schema,
+        key=("tool_id",),
+        compare_columns=None,
+    )
+
+
+def _expected_join(fact_dir: str, dim_dir: str) -> pa.Table:
+    """Oracle: LEFT JOIN of the CURRENT lake states, denorm column order."""
+    fact = cdc.read_lake_table(fact_dir)
+    dim = (
+        cdc.read_lake_table(dim_dir)
+        .select(["tool_id", "dest_name"])
+        .rename_columns(["tool_id", "tool_dest"])
+    )
+    out = fact.join(dim, keys=["tool"], right_keys=["tool_id"], join_type="left outer")
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _read_sorted(denorm_dir: str) -> pa.Table:
+    t = denorm.read_denorm(denorm_dir)
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _setup(tmp_path, n_convs=120, n_events=3000):
+    """fact lake + dim lake + FK index + denorm, with both feeds wired."""
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    idx_dir = str(tmp_path / "idx")
+    dn_dir = str(tmp_path / "dn")
+    fch = str(tmp_path / "fact_changes")
+    dch = str(tmp_path / "dim_changes")
+
+    spec = transcripts_spec()
+    cdc.init_lake(cg.gen_transcripts(n_convs, seed=42), fact_dir, spec, num_partitions=8)
+    cdc.init_lake(cg.gen_tool_dim(), dim_dir, _tool_spec(), num_partitions=4)
+    cdc.create_index(idx_dir, fact_dir, "tool")
+    rep = denorm.create_denorm(
+        dn_dir, fact_dir, dim_dir, "tool", {"tool_dest": "dest_name"},
+        index_dir=idx_dir, fact_changes_dir=fch, dim_changes_dir=dch,
+    )
+    assert rep["rows"] > 0
+    return spec, fact_dir, dim_dir, idx_dir, dn_dir, fch, dch
+
+
+def test_create_denorm_matches_left_join(ray_session, tmp_path):
+    _, fact_dir, dim_dir, _, dn_dir, _, _ = _setup(tmp_path)
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+    # transcripts carry null tools — those rows must survive with null dim cols
+    assert pc.sum(pc.is_null(got.column("tool"))).as_py() > 0
+
+
+def test_refresh_folds_fact_and_dim_changes(ray_session, tmp_path):
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+
+    # fact-side churn (adds/updates/deletes incl. fk reassignments)
+    ev = cg.gen_change_events(3000, 120, seed=51)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=6)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+
+    # dim-side churn (every tool's dest_name rewritten repeatedly, LWW)
+    dev = cg.gen_tool_events(40, lsn_start=1)
+    dpaths = cg.write_wal_chunks(dev, str(tmp_path / "dwal"), num_chunks=3)
+    cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+    rep = denorm.refresh_denorm(dn_dir)
+    assert rep["affected_keys"] > 0 and rep["events"] > 0
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+
+    # idle refresh is a no-op
+    rep2 = denorm.refresh_denorm(dn_dir)
+    assert rep2 == {"files": 0, "affected_keys": 0, "events": 0}
+
+    # the joined lake is a REAL lake and audits clean under ITS OWN spec:
+    # its hashes were written with falsy=() while fsck's default spec says
+    # falsy=(text, tool) — the persisted falsy_cols metadata must win
+    # (regression: fsck once recomputed with the caller spec's falsy rule
+    # and flagged every ''/'None' row as bad_hash)
+    audit = cdc.fsck(dn_dir)
+    assert audit["clean"] is True, audit
+
+
+def test_dim_only_change_via_index_fanout(ray_session, tmp_path):
+    """A dim update with NO fact churn must still reach every joined row —
+    that path exists only through the FK secondary index."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+
+    dev = cg.gen_tool_events(8, lsn_start=1)
+    dpaths = cg.write_wal_chunks(dev, str(tmp_path / "dwal"), num_chunks=2)
+    cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+    rep = denorm.refresh_denorm(dn_dir)
+    assert rep["affected_keys"] > 0
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+    # the new dest names actually landed
+    new_dests = set(
+        d for d in got.column("tool_dest").to_pylist() if d and d.startswith("dst-")
+    )
+    assert new_dests
+
+
+def test_dim_delete_nulls_joined_columns(ray_session, tmp_path):
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+    victim = cg.gen_tool_dim().column("tool_id")[0].as_py()
+
+    del_ev = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["delete"], pa.string()),
+            "tool_id": pa.array([victim], pa.string()),
+            "dest_name": pa.array([None], pa.string()),
+            "ts": pa.array([None], pa.timestamp("us")),
+        }
+    )
+    dpaths = cg.write_wal_chunks(del_ev, str(tmp_path / "dwal"), num_chunks=1)
+    cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+    before = _read_sorted(dn_dir)
+    n_ref = pc.sum(pc.equal(before.column("tool"), victim)).as_py()
+    assert n_ref > 0, "fixture must reference the victim tool"
+
+    denorm.refresh_denorm(dn_dir)
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+    # LEFT JOIN semantics: rows survive, dim attribute nulls out
+    mask = pc.equal(got.column("tool"), victim)
+    assert pc.sum(mask).as_py() == n_ref
+    assert pc.all(pc.is_null(got.filter(mask).column("tool_dest"))).as_py()
+
+
+def test_refresh_idempotent_after_cursor_loss(ray_session, tmp_path):
+    """Crash-consistency: losing the cursor file (crash after replay, before
+    the cursor commit — or a full reset) re-picks EVERY feed file; the
+    recompute-from-base design must converge to the identical state through
+    content-hash NOOPs, never double-apply."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+
+    ev = cg.gen_change_events(1500, 120, seed=52)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=4)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+    settled = _read_sorted(dn_dir)
+
+    os.unlink(os.path.join(dn_dir, "_denorm_state.json"))
+    rep = denorm.refresh_denorm(dn_dir)
+    assert rep["affected_keys"] > 0  # everything re-picked...
+    got = _read_sorted(dn_dir)
+    assert got.equals(settled)  # ...but the state is byte-identical
+
+    rep2 = denorm.refresh_denorm(dn_dir)
+    assert rep2["files"] == 0
+
+
+def test_multi_round_interleaved_refresh(ray_session, tmp_path):
+    """Several alternating fact/dim batches with a refresh after each —
+    the joined lake tracks the bases at every step."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+
+    lsn = 1
+    for i in range(3):
+        ev = cg.gen_change_events(800, 60, seed=60 + i, lsn_start=lsn)
+        lsn += 2000
+        paths = cg.write_wal_chunks(ev, str(tmp_path / f"fw{i}"), num_chunks=3)
+        cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+
+        dev = cg.gen_tool_events(12, lsn_start=100 * (i + 1))
+        dpaths = cg.write_wal_chunks(dev, str(tmp_path / f"dw{i}"), num_chunks=2)
+        cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+        denorm.refresh_denorm(dn_dir)
+        got = _read_sorted(dn_dir)
+        want = _expected_join(fact_dir, dim_dir)
+        assert got.select(want.column_names).equals(want), f"diverged at round {i}"
+
+
+def test_denorm_emits_its_own_feed_for_chaining(ray_session, tmp_path):
+    """The joined lake is a first-class lake: refresh can emit ITS own
+    change feed (CDC fan-out continues downstream)."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+    out_feed = str(tmp_path / "dn_changes")
+
+    ev = cg.gen_change_events(600, 60, seed=71)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=2)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+
+    rep = denorm.refresh_denorm(dn_dir, changes_dir=out_feed)
+    assert rep["events"] > 0
+    feed = cdc.read_changes(out_feed)
+    assert feed.num_rows > 0
+    assert {"lsn", "op", "conv_id", "turn_idx", "tool_dest"} <= set(feed.column_names)
