@@ -729,6 +729,29 @@ def snapshot(lake_dir: str, tag: str) -> dict:
     return {"tag": tag, "files": files}
 
 
+def snapshot_path(lake_dir: str, tag: str) -> str:
+    """Validated filesystem path of a named snapshot (a snapshot directory
+    IS a complete read-only lake: partitions + _meta.json + _manifests)."""
+    sdir = _snapshot_dir(lake_dir, tag)
+    if not os.path.isdir(sdir):
+        raise FileNotFoundError(
+            f"no snapshot {tag!r} under {lake_dir} "
+            f"(have: {list_snapshots(lake_dir)})"
+        )
+    return sdir
+
+
+def read_snapshot(lake_dir: str, tag: str, **read_lake_kwargs):
+    """TIME-TRAVEL READ: stream a named snapshot as a Ray Dataset WITHOUT
+    restoring it — zero data movement (the snapshot's hardlinked inodes are
+    immutable; writers only ever os.replace new inodes in). Accepts every
+    ``read_lake`` pruning knob (``columns`` / ``keys`` / ``predicate``),
+    so a historical point read costs the same k files as a live one.
+    ``lookup`` and ``lake_stats`` also accept :func:`snapshot_path`
+    directly — a snapshot is a lake."""
+    return read_lake(snapshot_path(lake_dir, tag), **read_lake_kwargs)
+
+
 def list_snapshots(lake_dir: str) -> list[str]:
     d = os.path.join(lake_dir, "_snapshots")
     if not os.path.isdir(d):

@@ -479,6 +479,15 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
             cur = pq.read_table(dp, columns=key)
             cur = cur.filter(pc.is_in(cur.column(key0), value_set=keys_here))
             if joined is not None and joined.num_rows:
+                # schema evolution may have WIDENED a fact key type since
+                # the denorm last wrote (turn_idx int32 → int64) — align
+                # before the anti join or arrow refuses the key match
+                for k in key:
+                    jt = joined.schema.field(k).type
+                    if cur.schema.field(k).type != jt:
+                        cur = cur.set_column(
+                            cur.column_names.index(k), k, cur.column(k).cast(jt)
+                        )
                 gone = cur.join(
                     joined.select(key), keys=key, join_type="left anti"
                 )
@@ -541,6 +550,50 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
         "affected_keys": len(affected),
         "events": int(events),
         "epoch": epoch,
+    }
+
+
+def follow(
+    denorm_dir: str,
+    *,
+    max_rounds: int = 100,
+    idle_rounds_to_stop: int = 1,
+    poll_sleep_s: float = 0.0,
+    **refresh_kwargs,
+) -> dict:
+    """Continuous tail-consumption of BOTH feeds — the denorm analog of
+    ``cdc.follow`` / ``view.follow``: poll the stored feed dirs and fold
+    whatever the cursors haven't covered, until ``idle_rounds_to_stop``
+    consecutive idle polls (or ``max_rounds``). An idle poll costs two
+    directory listings against the cursors plus one index-cursor listing,
+    no data reads."""
+    import time as _time
+
+    rounds = 0
+    idle = 0
+    totals = {"files": 0, "affected_keys": 0, "events": 0}
+    while rounds < max_rounds and idle < idle_rounds_to_stop:
+        rep = refresh_denorm(denorm_dir, **refresh_kwargs)
+        rounds += 1
+        if rep["files"] == 0:
+            idle += 1
+        else:
+            idle = 0
+            for k in totals:
+                totals[k] += rep[k]
+        if poll_sleep_s and idle < idle_rounds_to_stop:
+            _time.sleep(poll_sleep_s)
+    return {"rounds": rounds, **totals}
+
+
+def lag(denorm_dir: str) -> dict:
+    """Feed files not yet folded into the joined lake, per side — the
+    operational freshness probe (mirrors ``view.lag``). Listing-only."""
+    meta = denorm_meta(denorm_dir)
+    state = _load_state(denorm_dir)
+    return {
+        "fact_files": len(_pick_fresh(meta["fact_changes_dir"], state["fact"])),
+        "dim_files": len(_pick_fresh(meta["dim_changes_dir"], state["dim"])),
     }
 
 

@@ -522,6 +522,18 @@ class ViewWriter:
         candidate, then go NULL (= dirty, awaiting repair) when a
         retraction threat reaches the tentative bound — a removed value
         strictly above (below, for max) the bound cannot have held it."""
+        # a feed produced AFTER source-schema widening carries wider group
+        # key types than the view declared at create time (turn_idx int32 →
+        # int64 in an index view over an evolved lake); conform the deltas
+        # to the view's own types — the partition hash is width-stable, so
+        # routing already agreed, and a value that genuinely overflows the
+        # declared type raises loudly (the view then needs a re-create)
+        for g in self.group_by:
+            want = self.schema.field(g).type
+            if deltas.schema.field(g).type != want:
+                deltas = deltas.set_column(
+                    deltas.column_names.index(g), g, deltas.column(g).cast(want)
+                )
         d = _fold(deltas, self.group_by, self.fold_specs)
         dnames = [c for c, _ in self.fold_specs]
         d = d.rename_columns(self.group_by + [f"__d_{c}" for c in dnames])

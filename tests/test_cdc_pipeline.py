@@ -1266,6 +1266,63 @@ def test_snapshot_restore_time_travel(ray_session, dirs):
         cdc.snapshot(lake_dir, "../evil")
 
 
+def test_read_snapshot_time_travel_without_restore(ray_session, dirs):
+    """A snapshot directory IS a complete read-only lake: read_snapshot
+    streams the historical state (with all read_lake pruning knobs) while
+    the LIVE lake keeps moving — no restore, no data copied."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths[:3], spec)
+    mid_state = cdc.read_lake_table(lake_dir).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    cdc.snapshot(lake_dir, "mid")
+    cdc.replay(lake_dir, paths, spec)  # live lake moves past the snapshot
+    live = cdc.read_lake_table(lake_dir)
+    assert not live.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).equals(mid_state)
+
+    # full historical read equals the pre-mutation state
+    got = pa.concat_tables(
+        [
+            b
+            for b in cdc.read_snapshot(lake_dir, "mid").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_rows
+        ]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(mid_state)
+
+    # pruned historical point read: keys= touches only that conv's file
+    conv = mid_state.column("conv_id")[0].as_py()
+    want = mid_state.filter(pc.equal(mid_state.column("conv_id"), conv))
+    got = pa.concat_tables(
+        [
+            b
+            for b in cdc.read_snapshot(
+                lake_dir, "mid", keys=[conv]
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(want)
+
+    # lookup and lake_stats accept the snapshot path directly
+    lk = cdc.lookup(cdc.snapshot_path(lake_dir, "mid"), conv)
+    assert lk.num_rows == want.num_rows
+    assert cdc.lake_stats(cdc.snapshot_path(lake_dir, "mid"))["rows"] == (
+        mid_state.num_rows
+    )
+    with pytest.raises(FileNotFoundError):
+        cdc.read_snapshot(lake_dir, "nope")
+
+
 def test_feed_cursor_exactly_once_consumption(ray_session, dirs, tmp_path):
     """Generic consumer cursor: fresh_files drains once, commit is
     durable+atomic, an uncommitted consumer re-reads (at-least-once), and

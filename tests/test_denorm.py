@@ -213,3 +213,88 @@ def test_denorm_emits_its_own_feed_for_chaining(ray_session, tmp_path):
     feed = cdc.read_changes(out_feed)
     assert feed.num_rows > 0
     assert {"lsn", "op", "conv_id", "turn_idx", "tool_dest"} <= set(feed.column_names)
+
+
+def test_follow_and_lag(ray_session, tmp_path):
+    """denorm.follow drains both feeds like cdc.follow drains a WAL; lag
+    reports pending feed files per side and zeroes after the drain."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+
+    ev = cg.gen_change_events(800, 60, seed=81)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    dev = cg.gen_tool_events(10)
+    dpaths = cg.write_wal_chunks(dev, str(tmp_path / "dwal"), num_chunks=2)
+    cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+    before = denorm.lag(dn_dir)
+    assert before["fact_files"] > 0 and before["dim_files"] > 0
+
+    rep = denorm.follow(dn_dir, max_rounds=10)
+    assert rep["events"] > 0 and rep["rounds"] >= 2  # work round(s) + idle
+
+    assert denorm.lag(dn_dir) == {"fact_files": 0, "dim_files": 0}
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+
+
+def test_view_over_denorm_feed_chains(ray_session, tmp_path):
+    """Full relay: fact WAL → fact lake → fact feed → denorm lake → DENORM
+    feed → incremental view grouped on the JOINED attribute (tool_dest) —
+    three exactly-once hops, each maintained at change volume."""
+    from bcdc2bcdc_ray.pipelines import view as view_mod
+    from bcdc2bcdc_ray.pipelines.view import AggSpec
+
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+    dn_feed = str(tmp_path / "dn_feed")
+    vdir = str(tmp_path / "v")
+
+    view_mod.create_view(
+        vdir, dn_dir, ["tool_dest"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+    )
+
+    ev = cg.gen_change_events(1200, 60, seed=91)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir, changes_dir=dn_feed, changes_before=True)
+    view_mod.refresh_view(vdir, dn_feed)
+
+    got = view_mod.read_view(vdir).sort_by([("tool_dest", "ascending")])
+    dn = denorm.read_denorm(dn_dir)
+    df = dn.select(["tool_dest", "text"]).to_pandas()
+    df["n_chars"] = df["text"].str.len().fillna(0).astype("int64")
+    want = (
+        df.groupby("tool_dest", dropna=False)
+        .agg(n_rows=("tool_dest", "size"), n_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    import pandas as pd
+
+    gdf = got.to_pandas()
+    want = want.sort_values("tool_dest", na_position="first").reset_index(drop=True)
+    gdf = gdf.sort_values("tool_dest", na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gdf[["tool_dest", "n_rows", "n_chars"]],
+        want[["tool_dest", "n_rows", "n_chars"]],
+        check_dtype=False,
+    )
+
+
+def test_schema_evolution_flows_through_denorm(ray_session, tmp_path):
+    """Evolved fact events (new `lang` column, widened turn_idx) must widen
+    the denorm lake on the next refresh — the recompute re-reads the fact
+    partition schema fresh and replay's unify does the rest."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+
+    ev = cg.gen_change_events(800, 60, seed=93, evolved=True)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=2)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+
+    got = _read_sorted(dn_dir)
+    assert "lang" in got.column_names
+    assert got.schema.field("turn_idx").type == pa.int64()
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
