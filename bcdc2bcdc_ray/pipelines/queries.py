@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "update_where_quarantine",
     "index_lookup_tool",
     "denorm_join_view",
+    "snapshot_time_travel",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -113,9 +114,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_token_count",
     "quality_score",
     "lang_id",
-    # windows / pivots / rollups
+    # windows / pivots / rollups (unpivot_event_counts displaced by
+    # snapshot_time_travel — exact inverse of the pivot_event_counts slot
+    # that stays, green in r1/r2, still covered by check_oracles)
     "pivot_event_counts",
-    "unpivot_event_counts",
     "events_lag",
     "rank_orders",
     "pack_sequences",
@@ -3866,6 +3868,46 @@ def denorm_join_view(sf_dir: str):
         cdc.replay(dim_dir, dpaths, dim_spec, changes_dir=dch)
         denorm.refresh_denorm(dn_dir)
         return denorm.read_denorm(dn_dir)
+
+
+@q(
+    "snapshot_time_travel",
+    f"""
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM read_parquet('{_FLAGSHIP_LAKE}')
+    """,
+)
+def snapshot_time_travel(sf_dir: str):
+    """Zero-copy TIME-TRAVEL READ (``cdc.read_snapshot``): snapshot the
+    seeded lake, replay the full flagship WAL so the live lake moves past
+    it, then stream the SNAPSHOT — no restore, no data copied (hardlinked
+    immutable inodes; writers only ever os.replace new inodes in). The
+    oracle is simply the original seed table: any write-through into the
+    snapshot, or a read of live state, hash-mismatches."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txtt_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        cdc.snapshot(lake_dir, "t0")
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
+        cdc.replay(lake_dir, paths, spec)
+        parts = [
+            b
+            for b in cdc.read_snapshot(lake_dir, "t0").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_rows
+        ]
+        import pyarrow as _pa
+
+        return _pa.concat_tables(parts)
 
 
 def _change_feed_oracle_sql(lake_path: str, wal_path: str) -> str:
