@@ -145,24 +145,46 @@ def run_bench() -> dict:
     # ---- untimed warmup: spin up Ray worker processes + a writer actor
     # pool on a scratch lake so the timed headline measures SUSTAINED
     # throughput (the target metric), not first-execution process spawn
+    # the warm lake must match the HEADLINE's partition count: the writer
+    # pool is sized from P, so an 8-partition warmup leaves the headline's
+    # own pool cold — measured 2026-08-18: first full-size replay in a
+    # session reads 6.6-9.3 s, the second onward 2.0-2.4 s on the same
+    # inputs (same commit; the ramp is worker/actor spin-up + first-touch,
+    # not engine throughput, and it grew with host steal). The metric is
+    # SUSTAINED throughput, so warm at full shape.
     warm_dir = os.path.join(work, "warm_lake")
-    warm_lake = cg.gen_transcripts(500, seed=7)
-    cdc.init_lake(warm_lake, warm_dir, spec, num_partitions=8)
+    warm_lake = cg.gen_transcripts(2000, seed=7)
+    cdc.init_lake(warm_lake, warm_dir, spec, num_partitions=N_PARTITIONS)
+    # 32 chunks → 32 read tasks → the FULL Ray worker pool spawns (and
+    # imports) during warmup, not inside the timed window
     warm_paths = cg.gen_wal_chunks(
-        50_000, 500, os.path.join(work, "warm_wal"), num_chunks=8, seed=8
+        200_000, 2000, os.path.join(work, "warm_wal"), num_chunks=32, seed=8
     )
     cdc.replay(warm_dir, warm_paths, spec)
     del warm_lake
 
-    # ---- timed headline: the replay pipeline
-    t0 = time.perf_counter()
+    # ---- timed headline: the replay pipeline, MEDIAN OF 3 reps (fresh
+    # lake each rep, identical WAL). Motivated 2026-08-18: the host showed
+    # 3-6x wall swings between back-to-back identical runs (abs probe
+    # 304-400 ms in minutes); a single draw measures host weather, the
+    # median measures the engine. All reps are reported.
     # writer-pool size left to replay()'s default: min(16, P//4, cpus-1) —
     # always at least one CPU short of the cluster so upstream stages run.
     # Skew handling in the headline is the shuffle-free per-block LWW
     # combiner (replay default); the salted-shuffle variant is timed
     # separately below.
-    rep = cdc.replay(lake_dir, paths, spec)
-    headline = time.perf_counter() - t0
+    abs_pre = _host_abs_ms()
+    reps = []
+    for r in range(3):
+        if r > 0:
+            shutil.rmtree(lake_dir, ignore_errors=True)
+            relake = cg.gen_transcripts(N_CONVS, seed=42)
+            cdc.init_lake(relake, lake_dir, spec, num_partitions=N_PARTITIONS)
+            del relake
+        t0 = time.perf_counter()
+        rep = cdc.replay(lake_dir, paths, spec)
+        reps.append(round(time.perf_counter() - t0, 3))
+    headline = sorted(reps)[1]
 
     # salted-shuffle skew variant (fresh lake, same WAL) — the extra
     # pre-reduce shuffle costs ~20-40%; kept measured so the trade-off is
@@ -186,6 +208,9 @@ def run_bench() -> dict:
         "events_per_sec_salted": round(n_events / salted),
         "partitions": N_PARTITIONS,
         "applied": rep["adds"] + rep["updates"] + rep["deletes"],
+        "host_abs_ms_pre": abs_pre,
+        "host_abs_ms": _host_abs_ms(),
+        "headline_reps": reps,
         "queries": {},
     }
 
@@ -209,6 +234,18 @@ def _probe_burn(_):
     for _ in range(40):
         a @ a
     return time.perf_counter() - t0
+
+
+def _host_abs_ms() -> float:
+    """ABSOLUTE single-core host speed: wall of one fixed numpy workload in
+    this process, in ms. Complements the per-core RATIO probe, which can
+    read ~0.8 while the whole host is absolutely degraded — measured
+    2026-08-18: the identical replay protocol on the SAME commit read
+    5.8–18.9 s across one hour (A/B-interleaved, medians tied), i.e. a
+    3–6× absolute host swing invisible to the ratio probe. Every bench
+    line now carries this so cross-day readings are interpretable; compare
+    against the nominal recorded in BASELINE.md before trusting any wall."""
+    return round(_probe_burn(None) * 1000, 1)
 
 
 def _host_percore_ratio() -> float:

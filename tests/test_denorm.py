@@ -298,3 +298,68 @@ def test_schema_evolution_flows_through_denorm(ray_session, tmp_path):
     assert got.schema.field("turn_idx").type == pa.int64()
     want = _expected_join(fact_dir, dim_dir)
     assert got.select(want.column_names).equals(want)
+
+
+def test_two_dim_chain_composes(ray_session, tmp_path):
+    """Multi-dim denormalization needs NO new machinery: chain two
+    single-dim denorms — fact ⋈ tools, then (that lake) ⋈ roles, the
+    second maintained from the FIRST denorm's own change feed. Both hops
+    stay exactly-once and change-proportional."""
+    spec, fact_dir, dim_dir, _, dn1, fch, dch = _setup(tmp_path, n_convs=60)
+    dn1_feed = str(tmp_path / "dn1_feed")
+
+    roles_dir = str(tmp_path / "roles")
+    roles = pa.table(
+        {
+            "role_id": pa.array(["user", "assistant", "system", "tool"]),
+            "display": pa.array(["User", "Assistant", "System", "Tool"]),
+        }
+    )
+    roles_spec = TableSpec(name="roles", schema=roles.schema, key=("role_id",))
+    cdc.init_lake(roles, roles_dir, roles_spec, num_partitions=2)
+    rch = str(tmp_path / "roles_changes")
+
+    idx2 = str(tmp_path / "idx2")
+    cdc.create_index(idx2, dn1, "role")
+    dn2 = str(tmp_path / "dn2")
+    denorm.create_denorm(
+        dn2, dn1, roles_dir, "role", {"role_display": "display"},
+        index_dir=idx2, fact_changes_dir=dn1_feed, dim_changes_dir=rch,
+    )
+
+    # fact churn ripples through both hops
+    ev = cg.gen_change_events(1000, 60, seed=95)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn1, changes_dir=dn1_feed, changes_before=True)
+    denorm.refresh_denorm(dn2)
+
+    # dimB churn reaches dn2 through its own index fanout
+    rev = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["upsert"], pa.string()),
+            "role_id": pa.array(["assistant"], pa.string()),
+            "display": pa.array(["AI Assistant"], pa.string()),
+        }
+    )
+    rpaths = cg.write_wal_chunks(rev, str(tmp_path / "rwal"), num_chunks=1)
+    cdc.replay(roles_dir, rpaths, roles_spec, changes_dir=rch)
+    denorm.refresh_denorm(dn2)
+
+    got = denorm.read_denorm(dn2).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    base = _expected_join(fact_dir, dim_dir)  # fact ⋈ tools
+    roles_now = (
+        cdc.read_lake_table(roles_dir)
+        .select(["role_id", "display"])
+        .rename_columns(["role_id", "role_display"])
+    )
+    want = base.join(
+        roles_now, keys=["role"], right_keys=["role_id"], join_type="left outer"
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.select(want.column_names).equals(want)
+    assert "AI Assistant" in set(
+        d for d in got.column("role_display").to_pylist() if d
+    )
