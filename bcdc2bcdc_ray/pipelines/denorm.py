@@ -366,6 +366,19 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
     meta = denorm_meta(denorm_dir)
     state = _load_state(denorm_dir)
 
+    # the refresh's per-partition recompute pairs fact partition pid with
+    # denorm partition pid — valid ONLY while the fact lake keeps the
+    # layout recorded at create time. A later split/merge_partitions on
+    # the fact side would silently read the wrong files; refuse loudly.
+    fact_p = int(cdc.lake_meta(meta["fact_dir"])["num_partitions"])
+    if fact_p != int(meta["num_partitions"]):
+        raise ValueError(
+            f"fact lake was re-partitioned ({meta['num_partitions']} → "
+            f"{fact_p}) after this denorm was created — the co-partitioning "
+            "the refresh relies on no longer holds; re-create the denorm "
+            "(create_denorm rebuilds from current base state)"
+        )
+
     # the FK index must cover every fact feed file this refresh consumes —
     # and every one any PREVIOUS refresh consumed (a stale index misses
     # reverse lookups for rows whose FK was assigned long ago); bringing it

@@ -288,11 +288,14 @@ def run_scaling() -> dict:
         return json.loads(r.stdout.strip().splitlines()[-1])
 
     ratio = _host_percore_ratio()
+    abs_pre = _host_abs_ms()
     lo, hi = one(8), one(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32",
         "host_percore_ratio_32v8": ratio,
+        "host_abs_ms_pre": abs_pre,
+        "host_abs_ms_after": _host_abs_ms(),
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "events": lo["events"],

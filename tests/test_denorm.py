@@ -363,3 +363,18 @@ def test_two_dim_chain_composes(ray_session, tmp_path):
     assert "AI Assistant" in set(
         d for d in got.column("role_display").to_pylist() if d
     )
+
+
+def test_refresh_refuses_repartitioned_fact(ray_session, tmp_path):
+    """split_partitions on the fact lake breaks the fact↔denorm
+    co-partitioning the per-partition recompute pairs on — refresh must
+    refuse loudly, not read wrong files."""
+    import pytest
+
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=40)
+    cdc.split_partitions(fact_dir)
+    ev = cg.gen_change_events(200, 40, seed=97)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=1)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    with pytest.raises(ValueError, match="re-partitioned"):
+        denorm.refresh_denorm(dn_dir)
