@@ -299,6 +299,25 @@ def cmd_refresh_denorm(args) -> dict:
     return {"cmd": "refresh-denorm", **denorm.refresh_denorm(args.denorm, **kw)}
 
 
+def cmd_denorm_lag(args) -> dict:
+    from .pipelines import denorm
+
+    return {"cmd": "denorm-lag", **denorm.lag(args.denorm)}
+
+
+def cmd_read_snapshot(args) -> dict:
+    from .pipelines import cdc
+
+    if args.key is not None:
+        t = cdc.lookup(cdc.snapshot_path(args.lake, args.tag), args.key)
+        return {
+            "cmd": "read-snapshot", "tag": args.tag, "rows": t.num_rows,
+            "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
+        }
+    st = cdc.lake_stats(cdc.snapshot_path(args.lake, args.tag))
+    return {"cmd": "read-snapshot", "tag": args.tag, "stats": st}
+
+
 def cmd_view_lookup(args) -> dict:
     from .pipelines import view
 
@@ -612,6 +631,22 @@ def build_parser() -> argparse.ArgumentParser:
     rdn.add_argument("denorm")
     rdn.add_argument("--changes", default=None, help="denorm's own outbound feed dir")
     rdn.set_defaults(fn=cmd_refresh_denorm)
+
+    dlg = sub.add_parser(
+        "denorm-lag", help="pending feed files per side of a denorm lake"
+    )
+    dlg.add_argument("denorm")
+    dlg.set_defaults(fn=cmd_denorm_lag)
+
+    rsn = sub.add_parser(
+        "read-snapshot",
+        help="time-travel read of a named snapshot (no restore): "
+        "stats, or a point read with --key",
+    )
+    rsn.add_argument("--lake", required=True)
+    rsn.add_argument("--tag", required=True)
+    rsn.add_argument("--key", default=None, help="partition-key point read")
+    rsn.set_defaults(fn=cmd_read_snapshot)
 
     vlk = sub.add_parser(
         "view-lookup", help="O(1)-file point probe on a view's first group column"

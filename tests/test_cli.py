@@ -474,3 +474,46 @@ def test_cli_denorm_lifecycle(capsys, workdir):
     # idle refresh is a no-op through the CLI too
     rep = _run(capsys, "refresh-denorm", dn)
     assert rep["files"] == 0
+
+
+def test_cli_snapshot_time_travel_and_denorm_lag(capsys, workdir):
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    _run(capsys, "snapshot", "--lake", workdir["lake"], "--tag", "t0")
+    _run(
+        capsys, "replay", "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    pre_rows = workdir["lake_table"].num_rows
+    rep = _run(capsys, "read-snapshot", "--lake", workdir["lake"], "--tag", "t0")
+    assert rep["stats"]["rows"] == pre_rows  # historical, not live
+    conv = workdir["lake_table"].column("conv_id")[0].as_py()
+    rep = _run(
+        capsys, "read-snapshot", "--lake", workdir["lake"], "--tag", "t0",
+        "--key", conv,
+    )
+    assert rep["rows"] > 0
+
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import denorm
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    dim_dir = str(workdir["tmp"] / "dim")
+    dim_spec = TableSpec(name="tools", schema=cg.gen_tool_dim().schema, key=("tool_id",))
+    cdc.init_lake(cg.gen_tool_dim(), dim_dir, dim_spec, num_partitions=2)
+    idx = str(workdir["tmp"] / "idx")
+    _run(capsys, "create-index", idx, "--lake", workdir["lake"], "--col", "tool")
+    dn = str(workdir["tmp"] / "dn")
+    fch2 = str(workdir["tmp"] / "fch2")
+    _run(
+        capsys, "create-denorm", dn,
+        "--fact", workdir["lake"], "--dim", dim_dir, "--fk", "tool",
+        "--select", "tool_dest=dest_name", "--index", idx,
+        "--fact-changes", fch2, "--dim-changes", str(workdir["tmp"] / "dch2"),
+    )
+    rep = _run(capsys, "denorm-lag", dn)
+    assert rep == {"cmd": "denorm-lag", "fact_files": 0, "dim_files": 0}

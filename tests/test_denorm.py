@@ -378,3 +378,31 @@ def test_refresh_refuses_repartitioned_fact(ray_session, tmp_path):
     cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
     with pytest.raises(ValueError, match="re-partitioned"):
         denorm.refresh_denorm(dn_dir)
+
+
+def test_refresh_survives_writer_crash(ray_session, tmp_path):
+    """Fault injection on the DENORM lake during the refresh's replay: a
+    writer actor hard-exits between partition rename and manifest commit,
+    Ray retries, and the joined state still lands exactly on the LEFT JOIN
+    oracle; the rerun is idle."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+
+    ev = cg.gen_change_events(1200, 60, seed=99)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+
+    with open(os.path.join(dn_dir, "_fault_once"), "w") as f:
+        f.write("0")
+    try:
+        rep = denorm.refresh_denorm(dn_dir)
+    finally:
+        if os.path.exists(os.path.join(dn_dir, "_fault_once")):
+            os.remove(os.path.join(dn_dir, "_fault_once"))
+    assert rep["events"] > 0
+    assert os.path.exists(os.path.join(dn_dir, "_crashed-0"))  # crash fired
+
+    got = _read_sorted(dn_dir)
+    want = _expected_join(fact_dir, dim_dir)
+    assert got.select(want.column_names).equals(want)
+    assert denorm.refresh_denorm(dn_dir)["files"] == 0
+    assert cdc.fsck(dn_dir)["clean"] is True
