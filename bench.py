@@ -607,6 +607,99 @@ def run_soak_once() -> dict:
     return out
 
 
+def run_denorm() -> dict:
+    """--denorm: maintenance cost of the incrementally-maintained join view
+    (pipelines/denorm.py) at NUM_CPUS — create (index + initial build),
+    fact-side backlog refresh, a steady-state increment, a one-dim-row
+    fanout refresh through the FK index, and the idle poll. Sizes via
+    DENORM_CONVS / DENORM_EVENTS (defaults: 120k convs, 8.16M events —
+    the BASELINE.md table's shape)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc, denorm
+    from bcdc2bcdc_ray.spec import TableSpec, transcripts_spec
+
+    n_convs = int(os.environ.get("DENORM_CONVS", 120_000))
+    n_events = int(os.environ.get("DENORM_EVENTS", 8_160_000))
+    work = f"/tmp/bench_denorm_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    p = lambda *a: os.path.join(work, *a)  # noqa: E731
+    spec = transcripts_spec()
+    dim_spec = TableSpec(name="tools", schema=cg.TOOLS_SCHEMA, key=("tool_id",))
+
+    out: dict = {
+        "metric": "denorm_maintenance_sec", "num_cpus": NUM_CPUS,
+        "convs": n_convs, "events": n_events,
+        "host_abs_ms_pre": _host_abs_ms(),
+    }
+    _pq.write_table(cg.gen_transcripts(n_convs, seed=42), p("seed.parquet"))
+    cdc.bootstrap_lake(p("seed.parquet"), p("fact"), spec, num_partitions=64)
+    cdc.init_lake(cg.gen_tool_dim(), p("dim"), dim_spec, num_partitions=4)
+
+    t0 = time.perf_counter()
+    cdc.create_index(p("idx"), p("fact"), "tool")
+    denorm.create_denorm(
+        p("dn"), p("fact"), p("dim"), "tool", {"tool_dest": "dest_name"},
+        index_dir=p("idx"), fact_changes_dir=p("fch"), dim_changes_dir=p("dch"),
+    )
+    out["create_sec"] = round(time.perf_counter() - t0, 2)
+
+    paths = cg.gen_wal_chunks(n_events, n_convs, p("fwal"), num_chunks=64, seed=47)
+    cdc.replay(p("fact"), paths, spec, changes_dir=p("fch"), changes_before=True)
+    t0 = time.perf_counter()
+    r = denorm.refresh_denorm(p("dn"))
+    out["backlog_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    out["backlog_affected"] = r["affected_keys"]
+
+    inc = cg.gen_wal_chunks(
+        max(n_events // 40, 10_000), n_convs, p("fwal2"), num_chunks=4,
+        seed=53, lsn_offset=n_events + 10,
+    )
+    cdc.replay(p("fact"), inc, spec, changes_dir=p("fch"), changes_before=True)
+    t0 = time.perf_counter()
+    r = denorm.refresh_denorm(p("dn"))
+    out["increment_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    out["increment_affected"] = r["affected_keys"]
+
+    dev = pa.table({
+        "lsn": pa.array([1], pa.int64()),
+        "op": pa.array(["upsert"], pa.string()),
+        "tool_id": pa.array(["search"], pa.string()),
+        "dest_name": pa.array(["renamed-search"], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    })
+    cdc.replay(p("dim"), cg.write_wal_chunks(dev, p("dwal"), num_chunks=1),
+               dim_spec, changes_dir=p("dch"))
+    t0 = time.perf_counter()
+    r = denorm.refresh_denorm(p("dn"))
+    out["dim_fanout_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    out["dim_fanout_affected"] = r["affected_keys"]
+
+    t0 = time.perf_counter()
+    denorm.refresh_denorm(p("dn"))
+    out["idle_refresh_sec"] = round(time.perf_counter() - t0, 3)
+    out["denorm_rows"] = cdc.lake_stats(p("dn"))["rows"]
+    out["host_abs_ms"] = _host_abs_ms()
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 def run_soak() -> dict:
     """--soak: the lifecycle at 8 and 32 CPUs in fresh processes (same
     inputs), with the Ray-free host probe bracketing the measurement."""
@@ -651,6 +744,8 @@ if __name__ == "__main__":
         print(json.dumps(run_maintenance_scaling()))
     elif "--view" in sys.argv:
         print(json.dumps(run_view_bench()))
+    elif "--denorm" in sys.argv:
+        print(json.dumps(run_denorm()))
     elif MODE == "maintenance":
         print(json.dumps(run_maintenance_once()))
     elif MODE == "soak":
