@@ -839,6 +839,16 @@ def restore(lake_dir: str, tag: str) -> dict:
     (snapshot → experiment → restore → replay) costs O(partitions)
     metadata, never a data copy.
 
+    Downstream-consumer contract: a restore does NOT touch any
+    ``changes_dir`` this lake has emitted, so views/denorms that consumed
+    feed files past the snapshot point stay consistent ONLY if the
+    forward re-replay uses the SAME WAL chunk files (the feed's
+    deterministic naming + byte-identical content then re-emits exactly
+    the files consumers already folded, and their cursors skip them). A
+    re-replay with DIFFERENT chunk boundaries emits overlapping feed
+    files with new lsn_hi names — re-create downstream consumers in that
+    case.
+
     Downstream-consumer caveat: a restore rewinds the LAKE only. Change
     feeds already emitted for the undone span, and consumers that folded
     them (views, FeedCursors), are NOT rewound. Re-replaying the SAME WAL

@@ -360,7 +360,15 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
     recompute the same keys into content-hash NOOPs; the feed cursors
     commit only after the replay does. ``replay_kwargs`` pass through to
     the replay (e.g. ``changes_dir=`` to give the joined lake its OWN
-    change feed for further chaining)."""
+    change feed for further chaining).
+
+    Driver memory bound (same class as the accepted candidate-ID collects
+    elsewhere in this repo): the refresh holds the affected partition-KEY
+    list and the referenced-dim subset on the driver — tens of bytes per
+    affected conversation / referenced dim row, never payload. A refresh
+    whose affected set approaches the whole key space (only possible
+    after an unbounded backlog) costs the same as re-creating the denorm;
+    refresh often instead."""
     import ray
 
     meta = denorm_meta(denorm_dir)
