@@ -305,6 +305,15 @@ def cmd_denorm_lag(args) -> dict:
     return {"cmd": "denorm-lag", **denorm.lag(args.denorm)}
 
 
+def cmd_denorm_fsck(args) -> dict:
+    from .pipelines import denorm
+
+    return {
+        "cmd": "denorm-fsck",
+        **denorm.fsck(args.denorm, sample_frac=args.sample),
+    }
+
+
 def cmd_read_snapshot(args) -> dict:
     from .pipelines import cdc
 
@@ -637,6 +646,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dlg.add_argument("denorm")
     dlg.set_defaults(fn=cmd_denorm_lag)
+
+    dfs = sub.add_parser(
+        "denorm-fsck",
+        help="join-consistency audit: recompute sampled convs from the bases",
+    )
+    dfs.add_argument("denorm")
+    dfs.add_argument("--sample", type=float, default=0.05)
+    dfs.set_defaults(fn=cmd_denorm_fsck)
 
     rsn = sub.add_parser(
         "read-snapshot",

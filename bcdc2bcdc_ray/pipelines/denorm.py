@@ -618,6 +618,123 @@ def lag(denorm_dir: str) -> dict:
     }
 
 
+def fsck(denorm_dir: str, sample_frac: float = 0.05) -> dict:
+    """Join-consistency audit: recompute a DETERMINISTIC sample of
+    conversations from the CURRENT base lakes (same attach code path the
+    refresh uses) and compare against the stored joined rows, on top of
+    the structural lake audit ``cdc.fsck`` already provides. Catches the
+    failure class structure checks can't: a missed dim fanout / dropped
+    feed file leaves a perfectly well-formed lake whose rows are silently
+    STALE. Sampling is by the engine's own key hash (``partition_ids``
+    over a large modulus), so the same convs are re-checked every run and
+    cost is ∝ ``sample_frac`` × lake, never a full recompute.
+
+    Returns {rows_checked, convs_checked, stale_rows, missing_rows,
+    extra_rows, clean}. Precondition: refresh is caught up (run after
+    ``refresh_denorm``/``follow``; a lagging denorm is reported stale —
+    that is the correct answer to "does this table match its bases")."""
+    meta = denorm_meta(denorm_dir)
+    key = list(meta["key"])
+    key0 = key[0]
+    fk, dim_key, dim_select = meta["fk"], meta["dim_key"], meta["dim_select"]
+    mod = 10_000
+    keep = max(1, int(sample_frac * mod))
+
+    # sampled conv ids straight from the denorm lake's key column
+    sampled: set = set()
+    for b in cdc.read_lake(denorm_dir, columns=[key0]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if b.num_rows == 0:
+            continue
+        u = pc.unique(b.column(key0))
+        h = partition_ids(pa.table({key0: u}), [key0], mod)
+        sampled.update(
+            v for v, hh in zip(u.to_pylist(), h.tolist()) if hh < keep
+        )
+    rep = {
+        "convs_checked": len(sampled), "rows_checked": 0,
+        "stale_rows": 0, "missing_rows": 0, "extra_rows": 0,
+    }
+    if not sampled:
+        rep["clean"] = True
+        return rep
+
+    def _collect(ds) -> pa.Table:
+        parts = [
+            b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        from ..stages import evolve as _evolve
+
+        if not parts:
+            return None
+        return pa.concat_tables(_evolve.unify_tables(parts))
+
+    stored = _collect(cdc.read_lake(denorm_dir, keys=sorted(sampled)))
+    fact = _collect(cdc.read_lake(meta["fact_dir"], keys=sorted(sampled)))
+    if fact is None:
+        rep["rows_checked"] = 0 if stored is None else stored.num_rows
+        rep["extra_rows"] = rep["rows_checked"]
+        rep["clean"] = rep["extra_rows"] == 0
+        return rep
+    fks = sorted(
+        v for v in pc.unique(fact.column(fk)).to_pylist() if v is not None
+    )
+    dim_sub = _collect(
+        cdc.read_lake(
+            meta["dim_dir"], columns=[dim_key] + list(dim_select.values()),
+            keys=fks,
+        )
+    ) if fks else None
+    if dim_sub is None:
+        dim_schema = pq.read_schema(
+            next(
+                partition_path(meta["dim_dir"], p)
+                for p in range(cdc.lake_meta(meta["dim_dir"])["num_partitions"])
+                if os.path.exists(partition_path(meta["dim_dir"], p))
+            )
+        )
+        dim_sub = pa.schema(
+            [(dim_key, dim_schema.field(dim_key).type)]
+            + [(o, dim_schema.field(s).type) for o, s in dim_select.items()]
+        ).empty_table()
+    else:
+        dim_sub = dim_sub.rename_columns([dim_key] + list(dim_select))
+    want = _attach_dim(fact, dim_sub, fk, dim_key, dim_select)
+
+    sort = [(k, "ascending") for k in key]
+    want = want.sort_by(sort)
+    got = (stored if stored is not None else want.schema.empty_table())
+    got = got.select(want.column_names).sort_by(sort)
+    rep["rows_checked"] = want.num_rows
+
+    # align on composite key, then value-compare whole rows
+    import pandas as pd
+
+    gk = got.select(key).to_pandas()
+    wk = want.select(key).to_pandas()
+    gidx = pd.MultiIndex.from_frame(gk)
+    widx = pd.MultiIndex.from_frame(wk)
+    rep["missing_rows"] = int((~widx.isin(gidx)).sum())
+    rep["extra_rows"] = int((~gidx.isin(widx)).sum())
+    both_g = got.filter(pa.array(gidx.isin(widx)))
+    both_w = want.filter(pa.array(widx.isin(gidx)))
+    stale = 0
+    if both_g.num_rows:
+        gdf = both_g.to_pandas()
+        wdf = both_w.to_pandas()
+        neq = (gdf != wdf) & ~(gdf.isna() & wdf.isna())
+        stale = int(neq.any(axis=1).sum())
+    rep["stale_rows"] = stale
+    rep["clean"] = (
+        rep["stale_rows"] == 0
+        and rep["missing_rows"] == 0
+        and rep["extra_rows"] == 0
+    )
+    return rep
+
+
 def read_denorm(denorm_dir: str) -> pa.Table:
     """Driver-side full read of the joined lake (fixture/test path)."""
     return cdc.read_lake_table(denorm_dir)

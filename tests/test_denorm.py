@@ -406,3 +406,29 @@ def test_refresh_survives_writer_crash(ray_session, tmp_path):
     assert got.select(want.column_names).equals(want)
     assert denorm.refresh_denorm(dn_dir)["files"] == 0
     assert cdc.fsck(dn_dir)["clean"] is True
+
+
+def test_denorm_fsck_flags_staleness(ray_session, tmp_path):
+    """denorm.fsck recomputes sampled convs from the bases: clean right
+    after a refresh; a dim change that was replayed but NOT yet folded
+    reads as stale (the correct answer), and clean again after refresh."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+
+    rep = denorm.fsck(dn_dir, sample_frac=1.0)
+    assert rep["clean"] is True and rep["rows_checked"] > 0
+
+    dev = cg.gen_tool_events(6, lsn_start=1)
+    dpaths = cg.write_wal_chunks(dev, str(tmp_path / "dwal"), num_chunks=1)
+    cdc.replay(dim_dir, dpaths, _tool_spec(), changes_dir=dch)
+
+    rep = denorm.fsck(dn_dir, sample_frac=1.0)
+    assert rep["clean"] is False and rep["stale_rows"] > 0
+
+    denorm.refresh_denorm(dn_dir)
+    rep = denorm.fsck(dn_dir, sample_frac=1.0)
+    assert rep["clean"] is True
+
+    # sampled audit is a strict subset and still clean
+    rep = denorm.fsck(dn_dir, sample_frac=0.2)
+    assert rep["clean"] is True
+    assert 0 < rep["convs_checked"] < 60
