@@ -299,6 +299,39 @@ def cmd_refresh_denorm(args) -> dict:
     return {"cmd": "refresh-denorm", **denorm.refresh_denorm(args.denorm, **kw)}
 
 
+def cmd_scan(args) -> dict:
+    """Pruned streaming read of a lake (or snapshot via --tag): columns=
+    prunes at the parquet reader, --key prunes to k files by partition
+    hash, --where prunes partitions by footer zone maps then filters rows
+    exactly. Rows stream; only min(--limit) rows reach the driver."""
+    from .pipelines import cdc
+
+    lake = args.lake
+    if args.tag:
+        lake = cdc.snapshot_path(args.lake, args.tag)
+    kw: dict = {}
+    if args.columns:
+        kw["columns"] = args.columns.split(",")
+    if args.key:
+        kw["keys"] = args.key
+    if args.where:
+        kw["predicate"] = _parse_where(args.where)
+    ds = cdc.read_lake(lake, **kw)
+    rows = []
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        n += b.num_rows
+        if len(rows) < args.limit:
+            rows.extend(b.slice(0, args.limit - len(rows)).to_pylist())
+        if args.limit and n >= args.limit and not args.count:
+            break
+    out: dict = {"cmd": "scan", "rows_returned": len(rows)}
+    if args.count:
+        out["rows_total"] = n
+    out["records"] = rows
+    return out
+
+
 def cmd_denorm_lag(args) -> dict:
     from .pipelines import denorm
 
@@ -640,6 +673,22 @@ def build_parser() -> argparse.ArgumentParser:
     rdn.add_argument("denorm")
     rdn.add_argument("--changes", default=None, help="denorm's own outbound feed dir")
     rdn.set_defaults(fn=cmd_refresh_denorm)
+
+    sc = sub.add_parser(
+        "scan",
+        help="pruned streaming read: --columns/--key/--where, snapshot via --tag",
+    )
+    sc.add_argument("lake")
+    sc.add_argument("--tag", default=None, help="read a named snapshot instead")
+    sc.add_argument("--columns", default=None, help="comma-separated")
+    sc.add_argument("--key", action="append", default=None,
+                    help="partition-key value (repeatable)")
+    sc.add_argument("--where", action="append", default=None,
+                    help="col:op:value conjunct (repeatable; op: <,<=,>,>=,==,between lo..hi)")
+    sc.add_argument("--limit", type=int, default=20)
+    sc.add_argument("--count", action="store_true",
+                    help="also stream to the end and report rows_total")
+    sc.set_defaults(fn=cmd_scan)
 
     dlg = sub.add_parser(
         "denorm-lag", help="pending feed files per side of a denorm lake"

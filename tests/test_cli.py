@@ -517,3 +517,45 @@ def test_cli_snapshot_time_travel_and_denorm_lag(capsys, workdir):
     )
     rep = _run(capsys, "denorm-lag", dn)
     assert rep == {"cmd": "denorm-lag", "fact_files": 0, "dim_files": 0}
+
+
+def test_cli_scan_pruned_reads(capsys, workdir):
+    """scan: column-pruned, key-pruned, predicate-pruned streaming reads,
+    live and through a snapshot tag."""
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    lake_tbl = workdir["lake_table"]
+    conv = lake_tbl.column("conv_id")[0].as_py()
+
+    rep = _run(
+        capsys, "scan", workdir["lake"],
+        "--key", conv, "--columns", "conv_id,turn_idx", "--limit", "1000",
+        "--count",
+    )
+    import pyarrow.compute as pc
+
+    want = lake_tbl.filter(pc.equal(lake_tbl.column("conv_id"), conv)).num_rows
+    assert rep["rows_total"] == want
+    assert set(rep["records"][0]) == {"conv_id", "turn_idx"}
+
+    rep = _run(
+        capsys, "scan", workdir["lake"],
+        "--where", "turn_idx:==:0", "--limit", "5", "--count",
+    )
+    want = lake_tbl.filter(pc.equal(lake_tbl.column("turn_idx"), 0)).num_rows
+    assert rep["rows_total"] == want and rep["rows_returned"] == 5
+
+    # snapshot scan answers from history after the live lake moved
+    _run(capsys, "snapshot", "--lake", workdir["lake"], "--tag", "s0")
+    _run(
+        capsys, "replay", "--lake", workdir["lake"], "--wal", *workdir["wal"],
+        "--spec", workdir["spec"],
+    )
+    rep = _run(
+        capsys, "scan", workdir["lake"], "--tag", "s0", "--limit", "1",
+        "--count",
+    )
+    assert rep["rows_total"] == lake_tbl.num_rows
