@@ -1538,6 +1538,39 @@ def _replay_execute(
             total_bytes += os.path.getsize(p)
         except OSError:
             pass
+
+    # Micro-batch fast path: a steady-state CDC increment (a follow poll's
+    # tail chunk, a view/denorm refresh's recompute WAL) is a few KB–MB, and
+    # the distributed plan charges it the full pipeline launch — read stage +
+    # sort shuffle + writer actor-pool spawn, seconds of fixed overhead for
+    # milliseconds of merge work (the latency-bound regime BASELINE.md
+    # documents for small increments). Below REPLAY_LOCAL_BYTES of live
+    # chunk bytes, run the IDENTICAL logical plan driver-side — the same
+    # AssignPartition → per-block LWW combiner → MergeWriter calls, so
+    # manifests, watermarks, change-feed files and exactly-once semantics
+    # are the same code path, just without a cluster round-trip. Same
+    # plan-picker pattern as the Jaccard verify's JACC_GATHER_BYTES.
+    # Distributed is forced for: salting (a salted micro-batch is a
+    # contradiction), stats=True (a probe OF the distributed pipeline), and
+    # the _fault_once crash hook (it hard-exits the worker; the retry
+    # machinery under test is Ray's).
+    local_cap = int(os.environ.get("REPLAY_LOCAL_BYTES", str(1 << 20)))
+    if (
+        total_bytes <= local_cap
+        and not (salt and salt > 1)
+        and not stats
+        and not os.path.exists(os.path.join(lake_dir, "_fault_once"))
+    ):
+        lineage = _replay_local(
+            lake_dir, spec, P, watermarks, live_paths,
+            combine=combine, dry_run=dry_run, changes_dir=changes_dir,
+            changes_before=changes_before,
+        ).to_pandas()
+        return _replay_report(
+            lineage, wal_paths, store, dry_run=dry_run, audit_dir=audit_dir,
+            auto_compact_bytes=auto_compact_bytes, lake_dir=lake_dir,
+            spec=spec, stats_text=None, exec_mode="local",
+        )
     # cap the CPU term at 16: on one node >16 concurrent sort/merge tasks
     # saturate memory bandwidth (measured: 16 blocks beat 32 at 32 CPUs);
     # at real scale the bytes term dominates anyway.
@@ -1602,6 +1635,21 @@ def _replay_execute(
         # feedback loop for block sizing / writer-pool tuning at scale.
         _stats_text = lineage_ds.stats()
 
+    return _replay_report(
+        lineage, wal_paths, store, dry_run=dry_run, audit_dir=audit_dir,
+        auto_compact_bytes=auto_compact_bytes, lake_dir=lake_dir, spec=spec,
+        stats_text=_stats_text if stats else None, exec_mode="ray",
+    )
+
+
+def _replay_report(
+    lineage, wal_paths, store, *, dry_run, audit_dir, auto_compact_bytes,
+    lake_dir, spec, stats_text, exec_mode,
+):
+    """Assemble the run report and commit the global watermark — shared by
+    the distributed and the micro-batch (local) replay executors."""
+    from ..sources import wal as wal_src
+
     report = {
         k: int(lineage[k].sum())
         for k in ("events", "adds", "updates", "deletes", "noops", "skipped")
@@ -1633,9 +1681,46 @@ def _replay_execute(
         report["partitions_after_compact"] = compact(
             lake_dir, target_bytes=auto_compact_bytes
         )
-    if stats:
-        report["ray_stats"] = _stats_text
+    if stats_text is not None:
+        report["ray_stats"] = stats_text
+    report["exec"] = exec_mode  # "local" (micro-batch) or "ray" (distributed)
     return report
+
+
+def _replay_local(
+    lake_dir, spec, P, watermarks, live_paths, *,
+    combine, dry_run, changes_dir, changes_before,
+) -> pa.Table:
+    """Driver-side executor for micro-batch replays: the same logical plan
+    as the distributed pipeline (AssignPartition → per-block LWW combiner →
+    one MergeWriter call per touched partition), run in-process on the
+    already-tiny live chunk set. Identical final state, manifests, feed
+    files and counters by construction — the stages are the same callables
+    the distributed plan ships to workers; equivalence is pytest-pinned
+    (test_replay_local_matches_distributed). Returns the lineage table."""
+    from ..stages import evolve as evolve_mod
+    from ..stages.merge import LINEAGE_SCHEMA, PART_COL as _PART, bound_writer
+    from ..stages.skew import make_block_combiner
+
+    tabs = [pq.read_table(p) for p in live_paths]
+    tbl = (
+        tabs[0]
+        if len(tabs) == 1
+        else pa.concat_tables(evolve_mod.unify_tables(tabs))
+    )
+    batch = AssignPartition(spec, P, watermarks)(tbl)
+    if combine and batch.num_rows:
+        batch = make_block_combiner(spec)(batch)
+    writer = bound_writer(lake_dir, spec, dry_run, changes_dir, changes_before)()
+    rows = []
+    if batch.num_rows:
+        pid_col = batch.column(_PART)
+        for pid in sorted(pc.unique(pid_col).to_pylist()):
+            g = batch.filter(pc.equal(pid_col, pid))
+            out = writer(g)
+            if out.num_rows:
+                rows.append(out)
+    return pa.concat_tables(rows) if rows else LINEAGE_SCHEMA.empty_table()
 
 def replay(
     lake_dir: str,
@@ -1733,7 +1818,7 @@ def replay(
             "noops": 0, "skipped": total_wal, "partitions_touched": 0,
             "rows": ManifestStore(lake_dir).total_counts()["rows"],
             "lsn_hi": max(watermarks.values(), default=-1),
-            "lineage": [],
+            "lineage": [], "exec": "pruned",
         }
     if dry_run or _locked:
         # dry_run: read-only, no lock needed, safe beside a live writer.

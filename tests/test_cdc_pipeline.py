@@ -424,6 +424,104 @@ def test_audit_sink_written(ray_session, dirs, tmp_path):
     assert len(saved["lineage"]) == rep["partitions_touched"]
 
 
+def test_replay_local_matches_distributed(ray_session, tmp_path, monkeypatch):
+    """Micro-batch fast path: a small live WAL executes driver-side (the same
+    AssignPartition → combiner → MergeWriter callables, zero Ray Data
+    launches). Forced-local and forced-distributed replays of the same WAL
+    must produce byte-identical lakes, identical feed files, identical
+    manifests and identical counters."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    events = cg.gen_change_events(3000, 120, seed=43)
+    out = {}
+    for mode, cap in (("local", str(64 << 20)), ("ray", "0")):
+        ld = str(tmp_path / f"lake_{mode}")
+        wd = str(tmp_path / f"wal_{mode}")
+        fd = str(tmp_path / f"feed_{mode}")
+        cdc.init_lake(lake, ld, spec, num_partitions=8)
+        paths = cg.write_wal_chunks(events, wd, num_chunks=6)
+        monkeypatch.setenv("REPLAY_LOCAL_BYTES", cap)
+        rep = cdc.replay(ld, paths, spec, changes_dir=fd, changes_before=True)
+        assert rep["exec"] == mode
+        out[mode] = (rep, ld, fd)
+    rl, ldl, fdl = out["local"]
+    rr, ldr, fdr = out["ray"]
+    for k in ("adds", "updates", "deletes", "noops", "rows", "lsn_hi"):
+        assert rl[k] == rr[k], k
+    assert cdc.read_lake_table(ldl).equals(cdc.read_lake_table(ldr))
+    # same partition files byte-for-byte (the at-rest state is plan-blind)
+    P = cdc.lake_meta(ldl)["num_partitions"]
+    from bcdc2bcdc_ray.stages.merge import partition_path
+
+    for pid in range(P):
+        pl, pr = partition_path(ldl, pid), partition_path(ldr, pid)
+        assert os.path.exists(pl) == os.path.exists(pr)
+        if os.path.exists(pl):
+            with open(pl, "rb") as a, open(pr, "rb") as b:
+                assert a.read() == b.read(), f"partition {pid} bytes differ"
+    # change-feed files: same names, same bytes (downstream exactly-once
+    # leans on deterministic feed content)
+    assert sorted(os.listdir(fdl)) == sorted(os.listdir(fdr))
+    for fn in sorted(os.listdir(fdl)):
+        with open(os.path.join(fdl, fn), "rb") as a, open(
+            os.path.join(fdr, fn), "rb"
+        ) as b:
+            assert a.read() == b.read(), f"feed {fn} bytes differ"
+    assert ManifestStore(ldl).watermarks() == ManifestStore(ldr).watermarks()
+
+
+def test_replay_local_probes(ray_session, dirs, monkeypatch):
+    """The local executor honors the full replay contract: resume from a
+    partial apply, exactly-once rerun, oracle equality, dry-run, and the
+    global-watermark prune on rerun."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    monkeypatch.setenv("REPLAY_LOCAL_BYTES", str(64 << 20))
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    dry = cdc.replay(lake_dir, paths, spec, dry_run=True)
+    assert dry["exec"] == "local" and dry["adds"] > 0
+    assert set(ManifestStore(lake_dir).watermarks().values()) <= {-1}
+    r1 = cdc.replay(lake_dir, paths[:3], spec)
+    assert r1["exec"] == "local"
+    r2 = cdc.replay(lake_dir, paths, spec)
+    assert r2["exec"] == "local"
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+    r3 = cdc.replay(lake_dir, paths, spec)
+    assert r3["exec"] == "pruned"  # global watermark prunes the whole rerun
+    assert r3["adds"] == r3["updates"] == r3["deletes"] == 0
+
+
+def test_replay_local_schema_evolution(ray_session, dirs, monkeypatch):
+    """Evolved chunks (new column, widened turn_idx) through the local
+    executor: per-file schemas unify before the merge, matching the
+    distributed read's behavior."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    monkeypatch.setenv("REPLAY_LOCAL_BYTES", str(64 << 20))
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["exec"] == "local"
+    ev2 = cg.gen_change_events(
+        800, 120, seed=47, lsn_start=100_000, evolved=True
+    )
+    paths2 = cg.write_wal_chunks(ev2, wal_dir + "_evolved", num_chunks=3)
+    rep2 = cdc.replay(lake_dir, paths2, spec)
+    assert rep2["exec"] == "local"
+    final = cdc.read_lake_table(lake_dir)
+    assert final.schema.field("turn_idx").type == pa.int64()
+    assert "lang" in final.column_names
+    evolved_schema = evolve.unify(
+        lake.schema, pa.schema([("turn_idx", pa.int64()), ("lang", pa.string())])
+    )
+    lake_e = evolve.conform(lake, evolved_schema)
+    all_ev = pa.concat_tables(evolve.unify_tables([events, ev2]))
+    assert final.equals(cg.oracle_replay(lake_e, all_ev))
+
+
 def test_add_conflict_retry_rename():
     """ADD-conflict policy (reference CKANUpdate.py:153-189 username
     retry-rename): an ADD colliding on the alt-unique column gets the
