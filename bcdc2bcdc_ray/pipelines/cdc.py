@@ -1130,6 +1130,20 @@ def read_lake(lake_dir: str, columns=None, keys=None, predicate=None):
     exactly."""
     import ray.data as rd
 
+    paths, columns, strip = _lake_scan_plan(lake_dir, columns, keys, predicate)
+    if not paths:
+        return rd.from_arrow(strip(_lake_empty_table(lake_dir, columns)))
+    return rd.read_parquet(
+        paths, columns=columns, override_num_blocks=_scan_blocks(paths)
+    ).map_batches(strip, batch_format="pyarrow")
+
+
+def _lake_scan_plan(lake_dir: str, columns, keys, predicate):
+    """Shared pruning plan for lake scans: partition-level key/zone-map
+    pruning + the per-batch strip (exact key/predicate filter, internal-
+    column drop). Returns ``(paths, read_columns, strip)`` — consumed by
+    :func:`read_lake` (Ray Dataset) and :func:`iter_lake_batches` (local
+    short-circuit for tiny pruned reads)."""
     from ..canonical import HASH_COL
 
     meta = lake_meta(lake_dir)
@@ -1157,31 +1171,6 @@ def read_lake(lake_dir: str, columns=None, keys=None, predicate=None):
     ]
     if predicate is not None and paths:
         paths = _prune_paths_by_predicate(paths, predicate)
-    if not paths:
-        # keys pruned to partitions that hold no file yet → empty dataset
-        # with the real lake schema (from any existing partition)
-        import ray.data as _rd
-
-        any_file = next(
-            (
-                partition_path(lake_dir, p)
-                for p in range(meta["num_partitions"])
-                if os.path.exists(partition_path(lake_dir, p))
-            ),
-            None,
-        )
-        if any_file is None:
-            raise FileNotFoundError(f"empty lake {lake_dir}")
-        schema = pq.read_schema(any_file)
-        if columns is not None:
-            schema = pa.schema(
-                [schema.field(c) for c in columns if c not in pred_extra_cols]
-            )
-        from ..canonical import HASH_COL as _HC
-
-        if _HC in schema.names:
-            schema = pa.schema([f for f in schema if f.name != _HC])
-        return _rd.from_arrow(schema.empty_table())
 
     def strip(b: pa.Table) -> pa.Table:
         if key_set is not None:
@@ -1194,12 +1183,88 @@ def read_lake(lake_dir: str, columns=None, keys=None, predicate=None):
             b = b.drop_columns([HASH_COL])
         return b.replace_schema_metadata(None) if b.schema.metadata else b
 
-    return rd.read_parquet(
+    return paths, columns, strip
+
+
+def _lake_empty_table(lake_dir: str, columns) -> pa.Table:
+    """Typed empty result for a scan whose pruning eliminated every file —
+    schema from any existing partition (keys pruned to partitions that hold
+    no file yet must still return the real lake schema)."""
+    from ..canonical import HASH_COL
+
+    meta = lake_meta(lake_dir)
+    any_file = next(
+        (
+            partition_path(lake_dir, p)
+            for p in range(meta["num_partitions"])
+            if os.path.exists(partition_path(lake_dir, p))
+        ),
+        None,
+    )
+    if any_file is None:
+        raise FileNotFoundError(f"empty lake {lake_dir}")
+    schema = pq.read_schema(any_file)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns if c in schema.names])
+    if HASH_COL in schema.names:
+        schema = pa.schema([f for f in schema if f.name != HASH_COL])
+    return schema.empty_table()
+
+
+def iter_parquet_batches(paths, columns=None):
+    """Yield pyarrow Tables from an explicit parquet file list — in-process
+    when the set is tiny (≤ ``SCAN_LOCAL_BYTES``), else through a pruned,
+    block-sized Ray Data read. The generic-file sibling of
+    :func:`iter_lake_batches` for feed/index scans in the refresh paths."""
+    paths = list(paths)
+    if not paths:
+        return
+    cap = int(os.environ.get("SCAN_LOCAL_BYTES", str(8 << 20)))
+    if sum(os.path.getsize(p) for p in paths) <= cap:
+        for p in paths:
+            t = pq.read_table(p, columns=columns)
+            if t.num_rows:
+                yield t
+        return
+    import ray.data as rd
+
+    ds = rd.read_parquet(
         paths, columns=columns, override_num_blocks=_scan_blocks(paths)
+    )
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            yield b
+
+
+def iter_lake_batches(lake_dir: str, columns=None, keys=None, predicate=None):
+    """Yield the same batches as ``read_lake(...).iter_batches()`` — but
+    when the pruned file set is tiny (≤ ``SCAN_LOCAL_BYTES``, default 8 MB),
+    read it in-process instead of paying a Ray Data launch. The refresh
+    paths (view/denorm) do several k-file pruned reads per increment; at
+    steady state each is a handful of partition files, where the cluster
+    round-trip costs ~100× the read itself. Large pruned sets stream
+    through :func:`read_lake` unchanged."""
+    paths, read_cols, strip = _lake_scan_plan(lake_dir, columns, keys, predicate)
+    if not paths:
+        return
+    cap = int(os.environ.get("SCAN_LOCAL_BYTES", str(8 << 20)))
+    if sum(os.path.getsize(p) for p in paths) <= cap:
+        for p in paths:
+            b = strip(pq.read_table(p, columns=read_cols))
+            if b.num_rows:
+                yield b
+        return
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        paths, columns=read_cols, override_num_blocks=_scan_blocks(paths)
     ).map_batches(strip, batch_format="pyarrow")
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            yield b
 
 
-def _foreach_partition(pids, work_one) -> None:
+def _foreach_partition(pids, work_one, force_local: bool = False) -> None:
     """Run ``work_one(pid)`` for every partition id — as a Ray Data stage
     (one block per id) when Ray is up, serial driver loop otherwise.
 
@@ -1208,10 +1273,16 @@ def _foreach_partition(pids, work_one) -> None:
     read→repartition→rewrite passes are thousands of independent file
     rewrites, so routing them through the driver process would make
     maintenance a driver-bound multi-hour pass (VERDICT r2 wrong #3). Only
-    the metadata commit phase (meta swap + renames) stays serial."""
+    the metadata commit phase (meta swap + renames) stays serial.
+
+    ``force_local=True`` is the micro-increment escape hatch: when the
+    caller KNOWS the total work is tiny (e.g. a denorm refresh touching a
+    few small partition files), a serial driver loop beats the Ray stage
+    launch by ~10×. Callers must gate it on measured bytes, never on pid
+    count alone."""
     pids = [int(p) for p in pids]
     use_ray = False
-    if len(pids) > 1:
+    if len(pids) > 1 and not force_local:
         try:
             import ray
 

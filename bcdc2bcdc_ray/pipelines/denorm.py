@@ -282,27 +282,17 @@ def _affected_from_feeds(
     key0 = meta["key"][0]
     affected: set = set()
     if fact_picked:
-        import ray.data as rd
-
-        ds = rd.read_parquet(
-            [p for p, _, _ in fact_picked],
-            columns=[key0],
-            override_num_blocks=cdc._scan_blocks([p for p, _, _ in fact_picked]),
-        )
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for b in cdc.iter_parquet_batches(
+            [p for p, _, _ in fact_picked], columns=[key0]
+        ):
             affected.update(pc.unique(b.column(key0)).to_pylist())
 
     if dim_picked:
         dk = meta["dim_key"]
         dvals: set = set()
-        import ray.data as rd
-
-        ds = rd.read_parquet(
-            [p for p, _, _ in dim_picked],
-            columns=[dk],
-            override_num_blocks=cdc._scan_blocks([p for p, _, _ in dim_picked]),
-        )
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for b in cdc.iter_parquet_batches(
+            [p for p, _, _ in dim_picked], columns=[dk]
+        ):
             dvals.update(v for v in pc.unique(b.column(dk)).to_pylist() if v is not None)
         if dvals:
             affected.update(_index_lookup_many(meta, sorted(dvals)))
@@ -332,21 +322,9 @@ def _index_lookup_many(meta: dict, values: list) -> set:
     out: set = set()
     if not paths:
         return out
-    import ray.data as rd
-
-    ds = rd.read_parquet(
-        paths, columns=[fk, key0],
-        override_num_blocks=cdc._scan_blocks(paths),
-    )
-
-    def probe(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(b.column(fk), value_set=vals))
-        return pa.table({key0: pc.unique(b.column(key0))})
-
-    for b in ds.map_batches(probe, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        out.update(b.column(key0).to_pylist())
+    for b in cdc.iter_parquet_batches(paths, columns=[fk, key0]):
+        hit = b.filter(pc.is_in(b.column(fk), value_set=vals))
+        out.update(pc.unique(hit.column(key0)).to_pylist())
     return out
 
 
@@ -426,19 +404,17 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
     # (change-proportional, broadcast once)
     aff_arr = pa.array(sorted(affected))
     fk_vals: set = set()
-    for b in cdc.read_lake(fact_dir, columns=[fk], keys=sorted(affected)).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
+    for b in cdc.iter_lake_batches(fact_dir, columns=[fk], keys=sorted(affected)):
         fk_vals.update(v for v in pc.unique(b.column(fk)).to_pylist() if v is not None)
     batches = []
     if fk_vals:
         batches = [
             b
-            for b in cdc.read_lake(
+            for b in cdc.iter_lake_batches(
                 dim_dir,
                 columns=[dim_key] + list(dim_select.values()),
                 keys=sorted(fk_vals),
-            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            )
             if b.num_rows
         ]
     if batches:
@@ -544,7 +520,19 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
         pq.write_table(out, tmp)
         os.replace(tmp, os.path.join(tmp_wal, f"ev-{pid:05d}.parquet"))
 
-    cdc._foreach_partition(sorted(by_pid), recompute_one)
+    # micro-increment: when the touched fact+denorm partition files are
+    # tiny, the per-pid recompute is milliseconds of in-process arrow work
+    # and the Ray stage launch would dominate — run the loop serially
+    touched_bytes = sum(
+        os.path.getsize(p)
+        for pid in by_pid
+        for p in (partition_path(fact_dir, pid), partition_path(denorm_dir, pid))
+        if os.path.exists(p)
+    )
+    cap = int(os.environ.get("SCAN_LOCAL_BYTES", str(8 << 20)))
+    cdc._foreach_partition(
+        sorted(by_pid), recompute_one, force_local=touched_bytes <= cap
+    )
 
     chunk_paths = sorted(
         os.path.join(tmp_wal, fn)

@@ -879,10 +879,6 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         + sorted(f"before_{c}" for c in need_before)
     )
     by_file = {p: (sp, lh) for p, sp, lh in picked}
-    ds = rd.read_parquet(
-        list(by_file), columns=cols, include_paths=True,
-        override_num_blocks=_read_blocks(list(by_file)),
-    )
 
     def partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -915,14 +911,52 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         vp = partition_ids(t, [group_by[0]], P)
         return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
 
-    lineage = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(VIEW_PART)
-        .map_groups(
-            bound_view_writer(view_dir), batch_format="pyarrow"
+    # Micro-feed fast path (mirror of cdc._replay_local): a steady-state
+    # refresh consumes a few small feed files; the distributed plan charges
+    # them a read launch + a sort-groupby exchange + a writer pool. Under
+    # the byte cap, run the SAME partials → per-partition ViewWriter
+    # callables in-process — identical folds, applied-vectors and repair
+    # sentinels by construction. The crash hook forces distributed (it
+    # hard-exits the worker; Ray's retry is the machinery under test).
+    local_cap = int(
+        os.environ.get(
+            "VIEW_LOCAL_BYTES", os.environ.get("REPLAY_LOCAL_BYTES", str(1 << 20))
         )
-        .take_all()
     )
+    feed_bytes = sum(os.path.getsize(p) for p in by_file)
+    if feed_bytes <= local_cap and not os.path.exists(
+        os.path.join(view_dir, "_fault_once")
+    ):
+        from ..stages import evolve as evolve_mod
+
+        parts = []
+        for p in by_file:
+            t = pq.read_table(p, columns=cols)
+            if t.num_rows == 0:
+                continue
+            t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
+            parts.append(partials(t))
+        writer = bound_view_writer(view_dir)  # plain task fn — call directly
+        lineage = []
+        if parts:
+            folded = pa.concat_tables(evolve_mod.unify_tables(parts))
+            pid_col = folded.column(VIEW_PART)
+            for vpid in sorted(pc.unique(pid_col).to_pylist()):
+                out = writer(folded.filter(pc.equal(pid_col, vpid)))
+                lineage.extend(out.to_pylist())
+    else:
+        ds = rd.read_parquet(
+            list(by_file), columns=cols, include_paths=True,
+            override_num_blocks=_read_blocks(list(by_file)),
+        )
+        lineage = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(VIEW_PART)
+            .map_groups(
+                bound_view_writer(view_dir), batch_format="pyarrow"
+            )
+            .take_all()
+        )
     dirty = int(sum(r["dirty"] for r in lineage))
     if dirty:
         # sentinel BEFORE the cursor commit: whatever crashes from here on,

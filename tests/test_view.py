@@ -771,3 +771,43 @@ def test_view_fsck_clean_and_detects_dirty_bounds(ray_session, vdirs):
     # and repair_view heals what fsck reported
     view.repair_view(vdirs["view"])
     assert view.fsck(vdirs["view"])["dirty_bounds"] == 0
+
+
+def test_view_refresh_local_matches_distributed(ray_session, tmp_path, monkeypatch):
+    """Micro-feed fast path: a small feed refresh folds driver-side through
+    the same partials/ViewWriter callables. Forced-local and forced-
+    distributed refreshes of the same feed must produce byte-identical view
+    partition files (data + in-file applied-watermark vector)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(150, seed=42)
+    out = {}
+    for mode, cap in (("local", str(64 << 20)), ("ray", "0")):
+        d = {k: str(tmp_path / f"{k}_{mode}") for k in ("lake", "wal", "changes", "view")}
+        cdc.init_lake(lake, d["lake"], spec, num_partitions=8)
+        view.create_view(d["view"], d["lake"], ["conv_id"], AGGS)
+        ev = cg.gen_change_events(2500, 150, seed=43)
+        paths = cg.write_wal_chunks(ev, d["wal"], num_chunks=4)
+        cdc.replay(d["lake"], paths, spec, changes_dir=d["changes"], changes_before=True)
+        monkeypatch.setenv("VIEW_LOCAL_BYTES", cap)
+        rep = view.refresh_view(d["view"], d["changes"])
+        assert rep["files"] > 0
+        out[mode] = (rep, d)
+    monkeypatch.delenv("VIEW_LOCAL_BYTES")
+    rl, dl = out["local"]
+    rr, dr = out["ray"]
+    for k in ("files", "applied_rows", "view_rows", "partitions_touched"):
+        assert rl[k] == rr[k], k
+    fl = sorted(f for f in os.listdir(dl["view"]) if f.endswith(".parquet"))
+    fr = sorted(f for f in os.listdir(dr["view"]) if f.endswith(".parquet"))
+    assert fl == fr
+    for fn in fl:
+        with open(os.path.join(dl["view"], fn), "rb") as a, open(
+            os.path.join(dr["view"], fn), "rb"
+        ) as b:
+            assert a.read() == b.read(), f"view partition {fn} bytes differ"
+    assert view.read_view(dl["view"]).equals(view.read_view(dr["view"]))
+    # both equal the full recompute, and a rerun is a no-op on both
+    assert view.read_view(dl["view"]).equals(_recompute(dl["lake"]))
+    assert view.refresh_view(dl["view"], dl["changes"])["files"] == 0
