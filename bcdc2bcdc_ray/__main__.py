@@ -189,6 +189,22 @@ def cmd_diff(args) -> dict:
     }
 
 
+def cmd_sync_from(args) -> dict:
+    """Full-state sync: make the lake equal a source parquet table/dir
+    (stage → fingerprint-skipped diff → exactly-once replay)."""
+    from .pipelines import cdc
+
+    rep = cdc.sync_from(
+        args.lake,
+        args.source,
+        _load_spec(args.spec),
+        changes_dir=args.changes_dir,
+        changes_before=args.changes_before,
+    )
+    rep.pop("lineage", None)
+    return {"cmd": "sync-from", **rep}
+
+
 def _parse_pred_value(v: str):
     """CLI predicate/set literal → typed value: int, float, ISO timestamp,
     else string (matches the lake column's arrow comparison semantics)."""
@@ -605,6 +621,18 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--out", required=True)
     df.add_argument("--spec")
     df.set_defaults(fn=cmd_diff)
+
+    sf = sub.add_parser(
+        "sync-from",
+        help="make the lake equal a full-state source parquet "
+        "(stage, diff, exactly-once apply)",
+    )
+    sf.add_argument("--lake", required=True)
+    sf.add_argument("--source", required=True, help="parquet file or directory")
+    sf.add_argument("--spec")
+    sf.add_argument("--changes-dir")
+    sf.add_argument("--changes-before", action="store_true")
+    sf.set_defaults(fn=cmd_sync_from)
 
     for nm, fn, hlp in (
         ("delete-where", cmd_delete_where,

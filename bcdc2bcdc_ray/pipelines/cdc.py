@@ -2120,6 +2120,84 @@ def diff_lakes(
     }
 
 
+def sync_from(
+    lake_dir: str,
+    source,
+    spec: Optional[TableSpec] = None,
+    *,
+    stage_dir: Optional[str] = None,
+    keep_stage: bool = False,
+    **replay_kwargs,
+) -> dict:
+    """The reference's END-TO-END job as one call: make the lake equal an
+    arbitrary full-state SOURCE — a Ray Dataset, pyarrow Table, or parquet
+    path(s) — by reading full source + full destination, classifying every
+    record ADD / UPDATE / DELETE / no-op and applying the delta (the whole
+    of ``/root/reference/bin/runBCDC2BCDC.py:40-201`` ``updateX``; classify
+    = ``CKANData.py:1468`` ``getDelta``). Three engine stages, each
+    already exactly-once:
+
+    1. the source STAGES as a temporary co-partitioned lake
+       (:func:`bootstrap_lake` — the one shuffle; resumable, lsn=0 adds);
+    2. :func:`diff_lakes` compares per co-located partition pair, skipping
+       unchanged partitions by manifest content fingerprint WITHOUT
+       reading them;
+    3. :func:`replay` applies the emitted WAL (micro-batch local path when
+       the delta is small). ``replay_kwargs`` flow to the apply — pass
+       ``changes_dir=`` to propagate the sync's deltas into feeds / views
+       / denorms downstream.
+
+    Scale shape: cost = write(source) + read(changed partitions) +
+    apply(delta). The staging write is the honest price of FULL-STATE
+    sync (the reference re-reads the entire source every run too); for
+    change-stream ingest use :func:`replay` directly. Crash anywhere →
+    rerun: the stage bootstrap resumes, the diff re-emits
+    deterministically, the replay no-ops applied events.
+
+    Convergence is exact up to FALSY canonicalization (the M6
+    both-falsy-equal rule, ``Diff.py:55-67``): a falsy source value
+    (``""``) and a stored null are one record state, so the classify
+    suppresses the no-op and the stored shape keeps its history — oracle
+    comparisons should go through ``canonical.canonicalize`` on both
+    sides.
+    """
+    import shutil as _shutil
+
+    spec = spec or transcripts_spec()
+    meta = lake_meta(lake_dir)
+    if isinstance(source, pa.Table):
+        import ray.data as rd
+
+        source = rd.from_arrow(source)
+    if stage_dir is None:
+        stage_dir = os.path.join(
+            "/tmp", f"sync_stage_{spec.name}_{uuid.uuid4().hex[:10]}"
+        )
+    out_dir = stage_dir + "_wal"
+    try:
+        bootstrap_lake(
+            source, stage_dir, spec, num_partitions=meta["num_partitions"]
+        )
+        d = diff_lakes(lake_dir, stage_dir, out_dir, spec)
+        chunks = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.startswith("diff-") and f.endswith(".parquet")
+        )
+        rep = replay(lake_dir, chunks, spec, **replay_kwargs)
+        rep["diff"] = {
+            k: d[k]
+            for k in (
+                "events", "chunks", "partitions_skipped", "partitions_compared",
+            )
+        }
+        return rep
+    finally:
+        if not keep_stage:
+            _shutil.rmtree(stage_dir, ignore_errors=True)
+            _shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _emit_where(
     lake_dir: str,
     predicate,

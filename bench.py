@@ -214,6 +214,24 @@ def run_bench() -> dict:
         "queries": {},
     }
 
+    # steady-state micro-increment: a 300-event tail chunk replayed against
+    # the FULL-SIZE lake, median of 3 — the per-poll latency a follow loop
+    # pays; under REPLAY_LOCAL_BYTES it takes the in-process fast path
+    # ("local" in increment_exec), identical semantics pytest-pinned.
+    inc = []
+    for i in range(3):
+        iev = cg.gen_change_events(
+            300, N_CONVS, seed=900 + i, lsn_start=10**9 + i * 10**6
+        )
+        ip = cg.write_wal_chunks(
+            iev, os.path.join(work, f"inc{i}"), num_chunks=1
+        )
+        t0 = time.perf_counter()
+        irep = cdc.replay(lake_dir, ip, spec)
+        inc.append(round(time.perf_counter() - t0, 4))
+    out["increment_sec"] = sorted(inc)[1]
+    out["increment_exec"] = irep["exec"]
+
     if MODE == "full":
         qs = q.queries()
         for name in QUERY_NAMES:

@@ -522,6 +522,55 @@ def test_replay_local_schema_evolution(ray_session, dirs, monkeypatch):
     assert final.equals(cg.oracle_replay(lake_e, all_ev))
 
 
+def test_sync_from_full_state(ray_session, dirs, tmp_path):
+    """The reference's end-to-end job as one call (runBCDC2BCDC.py:40-201):
+    make the lake equal an arbitrary full-state source — stage, diff,
+    exactly-once apply. Deletes (conversations absent from the source),
+    updates (changed text) and adds all flow; a re-sync is a no-op with
+    every partition fingerprint-skipped (never read)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec)  # move the lake off its seed state
+
+    # desired state: fewer conversations (deletes), regenerated content
+    # (updates), same schema
+    target = cg.gen_transcripts(100, seed=99)
+    feed = str(tmp_path / "feed")
+    rep = cdc.sync_from(lake_dir, target, spec, changes_dir=feed)
+    assert rep["diff"]["events"] > 0
+    assert rep["deletes"] > 0 and (rep["adds"] + rep["updates"]) > 0
+    # convergence is exact up to FALSY canonicalization (M6 both-falsy-equal:
+    # "" and null are one record state — a falsy source value never disturbs
+    # a stored null, and vice versa), so the oracle compares through
+    # canonicalize() on both sides
+    from bcdc2bcdc_ray.canonical import canonicalize
+
+    got = canonicalize(cdc.read_lake_table(lake_dir), spec.falsy_null_columns)
+    want = canonicalize(target, spec.falsy_null_columns).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.equals(want)
+    # the sync's deltas propagated into the change feed
+    assert cdc.read_changes(feed).num_rows == (
+        rep["adds"] + rep["updates"] + rep["deletes"]
+    )
+    # re-sync against the same source: every partition fingerprint-skipped,
+    # zero events, state untouched
+    rep2 = cdc.sync_from(lake_dir, target, spec)
+    assert rep2["diff"]["events"] == 0
+    assert rep2["diff"]["partitions_skipped"] == cdc.lake_meta(lake_dir)[
+        "num_partitions"
+    ]
+    assert rep2["adds"] == rep2["updates"] == rep2["deletes"] == 0
+    assert canonicalize(
+        cdc.read_lake_table(lake_dir), spec.falsy_null_columns
+    ).equals(want)
+    # stage dirs cleaned up
+    assert not [d for d in os.listdir("/tmp") if d.startswith("sync_stage_transcripts")]
+
+
 def test_add_conflict_retry_rename():
     """ADD-conflict policy (reference CKANUpdate.py:153-189 username
     retry-rename): an ADD colliding on the alt-unique column gets the

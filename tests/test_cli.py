@@ -559,3 +559,34 @@ def test_cli_scan_pruned_reads(capsys, workdir):
         "--count",
     )
     assert rep["rows_total"] == lake_tbl.num_rows
+
+
+def test_cli_sync_from(capsys, workdir, tmp_path):
+    """One-command full-state sync: lake converges to the source parquet
+    (the reference's whole main-binary job), rerun is a no-op."""
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "4",
+    )
+    target = cg.oracle_replay(workdir["lake_table"], workdir["events"])
+    src = str(tmp_path / "target.parquet")
+    pq.write_table(target, src)
+    rep = _run(
+        capsys, "sync-from", "--lake", workdir["lake"], "--source", src,
+        "--spec", workdir["spec"],
+    )
+    assert rep["diff"]["events"] > 0
+    # compare through falsy canonicalization (M6): "" and null are one state
+    from bcdc2bcdc_ray.canonical import canonicalize
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    falsy = transcripts_spec().falsy_null_columns
+    assert canonicalize(cdc.read_lake_table(workdir["lake"]), falsy).equals(
+        canonicalize(target, falsy)
+    )
+    rep2 = _run(
+        capsys, "sync-from", "--lake", workdir["lake"], "--source", src,
+        "--spec", workdir["spec"],
+    )
+    assert rep2["diff"]["events"] == 0 and rep2["adds"] == 0
