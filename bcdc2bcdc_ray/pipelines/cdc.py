@@ -1632,16 +1632,22 @@ def _replay_execute(
         and not stats
         and not os.path.exists(os.path.join(lake_dir, "_fault_once"))
     ):
-        lineage = _replay_local(
+        lineage_tbl = _replay_local(
             lake_dir, spec, P, watermarks, live_paths,
             combine=combine, dry_run=dry_run, changes_dir=changes_dir,
             changes_before=changes_before,
-        ).to_pandas()
-        return _replay_report(
-            lineage, wal_paths, store, dry_run=dry_run, audit_dir=audit_dir,
-            auto_compact_bytes=auto_compact_bytes, lake_dir=lake_dir,
-            spec=spec, stats_text=None, exec_mode="local",
         )
+        # None = the tiny WAL touches too many PARTITION bytes (the merge
+        # is copy-on-write per touched file, so its cost tracks partition
+        # size, not WAL size) — those merges want the writer pool's
+        # parallelism; fall through to the distributed plan.
+        if lineage_tbl is not None:
+            return _replay_report(
+                lineage_tbl.to_pandas(), wal_paths, store, dry_run=dry_run,
+                audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
+                lake_dir=lake_dir, spec=spec, stats_text=None,
+                exec_mode="local",
+            )
     # cap the CPU term at 16: on one node >16 concurrent sort/merge tasks
     # saturate memory bandwidth (measured: 16 blocks beat 32 at 32 CPUs);
     # at real scale the bytes term dominates anyway.
@@ -1761,14 +1767,20 @@ def _replay_report(
 def _replay_local(
     lake_dir, spec, P, watermarks, live_paths, *,
     combine, dry_run, changes_dir, changes_before,
-) -> pa.Table:
+) -> Optional[pa.Table]:
     """Driver-side executor for micro-batch replays: the same logical plan
     as the distributed pipeline (AssignPartition → per-block LWW combiner →
     one MergeWriter call per touched partition), run in-process on the
     already-tiny live chunk set. Identical final state, manifests, feed
     files and counters by construction — the stages are the same callables
     the distributed plan ships to workers; equivalence is pytest-pinned
-    (test_replay_local_matches_distributed). Returns the lineage table."""
+    (test_replay_local_matches_distributed). Returns the lineage table —
+    or None when the touched PARTITION files exceed
+    ``REPLAY_LOCAL_TOUCH_BYTES`` (default 32 MB): each merge is a
+    copy-on-write rewrite of its partition file, so a 300-event WAL
+    spread over 16 large partitions costs 16 partition rewrites that the
+    distributed writer pool does in parallel — the caller then falls back
+    to the distributed plan (the wasted work is one tiny capped read)."""
     from ..stages import evolve as evolve_mod
     from ..stages.merge import LINEAGE_SCHEMA, PART_COL as _PART, bound_writer
     from ..stages.skew import make_block_combiner
@@ -1782,11 +1794,24 @@ def _replay_local(
     batch = AssignPartition(spec, P, watermarks)(tbl)
     if combine and batch.num_rows:
         batch = make_block_combiner(spec)(batch)
-    writer = bound_writer(lake_dir, spec, dry_run, changes_dir, changes_before)()
     rows = []
     if batch.num_rows:
         pid_col = batch.column(_PART)
-        for pid in sorted(pc.unique(pid_col).to_pylist()):
+        pids = sorted(pc.unique(pid_col).to_pylist())
+        touch_cap = int(
+            os.environ.get("REPLAY_LOCAL_TOUCH_BYTES", str(32 << 20))
+        )
+        touched = 0
+        for pid in pids:
+            p = partition_path(lake_dir, pid)
+            if os.path.exists(p):
+                touched += os.path.getsize(p)
+        if touched > touch_cap:
+            return None
+        writer = bound_writer(
+            lake_dir, spec, dry_run, changes_dir, changes_before
+        )()
+        for pid in pids:
             g = batch.filter(pc.equal(pid_col, pid))
             out = writer(g)
             if out.num_rows:

@@ -924,6 +924,7 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         )
     )
     feed_bytes = sum(os.path.getsize(p) for p in by_file)
+    lineage = None
     if feed_bytes <= local_cap and not os.path.exists(
         os.path.join(view_dir, "_fault_once")
     ):
@@ -936,15 +937,31 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
                 continue
             t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
             parts.append(partials(t))
-        writer = bound_view_writer(view_dir)  # plain task fn — call directly
         lineage = []
         if parts:
             folded = pa.concat_tables(evolve_mod.unify_tables(parts))
             pid_col = folded.column(VIEW_PART)
-            for vpid in sorted(pc.unique(pid_col).to_pylist()):
-                out = writer(folded.filter(pc.equal(pid_col, vpid)))
-                lineage.extend(out.to_pylist())
-    else:
+            vpids = sorted(pc.unique(pid_col).to_pylist())
+            # each fold is a copy-on-write rewrite of its view partition
+            # file — when the TOUCHED files are big, those rewrites want
+            # the distributed pool's parallelism (same touch-bytes rule as
+            # cdc._replay_local); the wasted work is one capped feed read
+            touch_cap = int(
+                os.environ.get("REPLAY_LOCAL_TOUCH_BYTES", str(32 << 20))
+            )
+            touched = sum(
+                os.path.getsize(_view_path(view_dir, v))
+                for v in vpids
+                if os.path.exists(_view_path(view_dir, v))
+            )
+            if touched > touch_cap:
+                lineage = None
+            else:
+                writer = bound_view_writer(view_dir)  # plain task fn
+                for vpid in vpids:
+                    out = writer(folded.filter(pc.equal(pid_col, vpid)))
+                    lineage.extend(out.to_pylist())
+    if lineage is None:
         ds = rd.read_parquet(
             list(by_file), columns=cols, include_paths=True,
             override_num_blocks=_read_blocks(list(by_file)),

@@ -494,6 +494,22 @@ def test_replay_local_probes(ray_session, dirs, monkeypatch):
     assert r3["adds"] == r3["updates"] == r3["deletes"] == 0
 
 
+def test_replay_local_touch_bytes_fallback(ray_session, dirs, monkeypatch):
+    """The local gate's second rule: merge cost tracks TOUCHED partition
+    bytes (copy-on-write per file), not WAL bytes — a tiny WAL over big
+    partitions must fall back to the distributed writer pool, same final
+    state."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    monkeypatch.setenv("REPLAY_LOCAL_BYTES", str(64 << 20))
+    monkeypatch.setenv("REPLAY_LOCAL_TOUCH_BYTES", "1024")  # any real file
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    rep = cdc.replay(lake_dir, paths, spec)
+    assert rep["exec"] == "ray"
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+
+
 def test_replay_local_schema_evolution(ray_session, dirs, monkeypatch):
     """Evolved chunks (new column, widened turn_idx) through the local
     executor: per-file schemas unify before the merge, matching the
@@ -538,7 +554,8 @@ def test_sync_from_full_state(ray_session, dirs, tmp_path):
     # (updates), same schema
     target = cg.gen_transcripts(100, seed=99)
     feed = str(tmp_path / "feed")
-    rep = cdc.sync_from(lake_dir, target, spec, changes_dir=feed)
+    stage = str(tmp_path / "stage")
+    rep = cdc.sync_from(lake_dir, target, spec, changes_dir=feed, stage_dir=stage)
     assert rep["diff"]["events"] > 0
     assert rep["deletes"] > 0 and (rep["adds"] + rep["updates"]) > 0
     # convergence is exact up to FALSY canonicalization (M6 both-falsy-equal:
@@ -568,7 +585,7 @@ def test_sync_from_full_state(ray_session, dirs, tmp_path):
         cdc.read_lake_table(lake_dir), spec.falsy_null_columns
     ).equals(want)
     # stage dirs cleaned up
-    assert not [d for d in os.listdir("/tmp") if d.startswith("sync_stage_transcripts")]
+    assert not os.path.exists(stage) and not os.path.exists(stage + "_wal")
 
 
 def test_add_conflict_retry_rename():
