@@ -74,10 +74,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "index_lookup_tool",
     "denorm_join_view",
     "snapshot_time_travel",
+    # sync_from (round-4 API: stage → fingerprint-skipped diff → replay)
+    # displaces cdc_merge_apply — subsumed end-to-end by this row (the sync
+    # IS classify+merge-apply) and by its two family siblings below; green
+    # in r1/r2+r4 and still covered by tests/check_oracles.py every session
+    "sync_from_full_state",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
-    "cdc_merge_apply",
     # joins
     "pricing_summary",
     "order_customer_join",
@@ -3727,6 +3731,53 @@ def delete_where_retention(sf_dir: str):
             lake_dir, [("ts", "<", dt.datetime(2026, 1, 5))], spec
         )
         return cdc.read_lake_table(lake_dir)
+
+
+@q(
+    "sync_from_full_state",
+    f"""
+    SELECT conv_id, turn_idx, role,
+           NULLIF(NULLIF(text, ''), 'None') AS text,
+           NULLIF(NULLIF(tool, ''), 'None') AS tool,
+           ts
+    FROM read_parquet('{_FLAGSHIP_LAKE}')
+    ORDER BY conv_id, turn_idx
+    """,
+)
+def sync_from_full_state(sf_dir: str):
+    """The reference's END-TO-END job as one call (``cdc.sync_from``): move
+    the lake away from its seed state by replaying the flagship WAL, then
+    hand the ORIGINAL full source state back as the desired state — stage
+    (bootstrap), fingerprint-skipped diff, exactly-once apply
+    (runBCDC2BCDC.py:40-201; classify CKANData.py:1468). The lake must
+    converge back to the source exactly, up to the M6 falsy rule (''/
+    'None' ≡ null — Diff.py:55-67), so both sides of the oracle compare
+    canonicalized."""
+    from .. import changegen as cg
+    from ..canonical import canonicalize
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txsf_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16
+        )
+        paths = cg.write_wal_chunks(
+            pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+        )
+        cdc.replay(lake_dir, paths, spec)
+        cdc.sync_from(
+            lake_dir,
+            pq.read_table(_FLAGSHIP_LAKE),
+            spec,
+            stage_dir=os.path.join(tmp, "stage"),
+        )
+        return canonicalize(
+            cdc.read_lake_table(lake_dir), spec.falsy_null_columns
+        )
 
 
 @q(
