@@ -200,6 +200,7 @@ def cmd_sync_from(args) -> dict:
         _load_spec(args.spec),
         changes_dir=args.changes_dir,
         changes_before=args.changes_before,
+        dry_run=args.dry_run,
     )
     rep.pop("lineage", None)
     return {"cmd": "sync-from", **rep}
@@ -632,6 +633,10 @@ def build_parser() -> argparse.ArgumentParser:
     sf.add_argument("--spec")
     sf.add_argument("--changes-dir")
     sf.add_argument("--changes-before", action="store_true")
+    sf.add_argument(
+        "--dry-run", action="store_true",
+        help="classify + count the what-would-change report, write nothing",
+    )
     sf.set_defaults(fn=cmd_sync_from)
 
     for nm, fn, hlp in (

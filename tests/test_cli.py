@@ -590,3 +590,14 @@ def test_cli_sync_from(capsys, workdir, tmp_path):
         "--spec", workdir["spec"],
     )
     assert rep2["diff"]["events"] == 0 and rep2["adds"] == 0
+    # dry-run: full what-would-change classify, zero writes
+    pq.write_table(workdir["lake_table"], str(workdir["tmp"] / "back.parquet"))
+    rep3 = _run(
+        capsys, "sync-from", "--lake", workdir["lake"],
+        "--source", str(workdir["tmp"] / "back.parquet"),
+        "--spec", workdir["spec"], "--dry-run",
+    )
+    assert rep3["adds"] + rep3["updates"] + rep3["deletes"] > 0
+    assert canonicalize(cdc.read_lake_table(workdir["lake"]), falsy).equals(
+        canonicalize(target, falsy)
+    )  # lake untouched by the dry run
