@@ -538,6 +538,56 @@ def test_replay_local_schema_evolution(ray_session, dirs, monkeypatch):
     assert final.equals(cg.oracle_replay(lake_e, all_ev))
 
 
+def test_iter_lake_batches_matches_read_lake(ray_session, dirs, monkeypatch):
+    """iter_lake_batches = read_lake().iter_batches() with a local
+    short-circuit for tiny pruned reads; both sides of the SCAN_LOCAL_BYTES
+    cap must yield the same rows for plain, key-pruned and predicate scans."""
+    import pyarrow as pa
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir)
+    cdc.replay(lake_dir, paths, spec)
+    keys = sorted(set(lake.column("conv_id").to_pylist()))[:7]
+    pred = [("turn_idx", "<", 5)]
+
+    def collect(cap):
+        monkeypatch.setenv("SCAN_LOCAL_BYTES", cap)
+        out = {}
+        for name, kw in (
+            ("plain", {}),
+            ("keys", {"keys": keys, "columns": ["turn_idx", "text"]}),
+            ("pred", {"predicate": pred, "columns": ["conv_id", "role"]}),
+        ):
+            tabs = list(cdc.iter_lake_batches(lake_dir, **kw))
+            t = pa.concat_tables(tabs) if tabs else None
+            out[name] = (
+                t.sort_by([(c, "ascending") for c in t.column_names])
+                if t is not None
+                else None
+            )
+        return out
+
+    local = collect(str(1 << 30))
+    dist = collect("0")
+    for name in local:
+        assert local[name].equals(dist[name]), name
+    # and both agree with read_lake itself
+    monkeypatch.setenv("SCAN_LOCAL_BYTES", "0")
+    rl = (
+        pa.concat_tables(
+            list(
+                cdc.read_lake(lake_dir, columns=["turn_idx", "text"], keys=keys)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+    )
+    assert rl.sort_by(
+        [(c, "ascending") for c in rl.column_names]
+    ).equals(local["keys"])
+
+
 def test_sync_from_full_state(ray_session, dirs, tmp_path):
     """The reference's end-to-end job as one call (runBCDC2BCDC.py:40-201):
     make the lake equal an arbitrary full-state source — stage, diff,
