@@ -273,19 +273,21 @@ def cmd_update_where(args) -> dict:
 def cmd_create_index(args) -> dict:
     from .pipelines import cdc
 
+    col = args.col[0] if len(args.col) == 1 else list(args.col)
     return {
         "cmd": "create-index",
-        **cdc.create_index(args.index, args.lake, args.col),
+        **cdc.create_index(args.index, args.lake, col),
     }
 
 
 def cmd_lookup_by(args) -> dict:
     from .pipelines import cdc
 
-    t = cdc.lookup_by(args.lake, args.index, args.value)
+    value = args.value[0] if len(args.value) == 1 else tuple(args.value)
+    t = cdc.lookup_by(args.lake, args.index, value)
     return {
         "cmd": "lookup-by",
-        "value": args.value,
+        "value": list(args.value),
         "rows": t.num_rows,
         "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
     }
@@ -668,11 +670,15 @@ def build_parser() -> argparse.ArgumentParser:
         mw.set_defaults(fn=fn)
 
     ci = sub.add_parser(
-        "create-index", help="feed-maintained secondary index on a column"
+        "create-index",
+        help="feed-maintained secondary index on one or more columns",
     )
     ci.add_argument("index")
     ci.add_argument("--lake", required=True)
-    ci.add_argument("--col", required=True)
+    ci.add_argument(
+        "--col", required=True, nargs="+",
+        help="indexed column(s); first routes the probe (composite index)",
+    )
     ci.set_defaults(fn=cmd_create_index)
 
     lb = sub.add_parser(
@@ -680,7 +686,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lb.add_argument("lake")
     lb.add_argument("--index", required=True)
-    lb.add_argument("--value", required=True)
+    lb.add_argument(
+        "--value", required=True, nargs="+",
+        help="probe value(s), one per indexed column in index order",
+    )
     lb.set_defaults(fn=cmd_lookup_by)
 
     cdn = sub.add_parser(

@@ -567,17 +567,27 @@ def create_index(
     Re-expresses the reference's alternate-key LUTs (email↔name,
     ``DataCache.py:98-141`` + ``calcEmailLut`` ``CKANData.py:1689-1700``) —
     an in-driver dict rebuilt per run there; a co-maintained, partitioned,
-    crash-consistent aggregate here. Point read: :func:`lookup_by`."""
+    crash-consistent aggregate here. Point read: :func:`lookup_by`.
+
+    ``col`` may be a LIST of columns — a COMPOSITE index grouped by
+    ``[c1, c2, ..., *lake_key]``, partitioned by hash(c1): a probe on the
+    full tuple still reads ONE index file (the leading column routes; the
+    rest filter inside it), so order the most selective / most probed
+    column first."""
     from . import view as view_mod
 
     meta = lake_meta(lake_dir)
-    if col in meta["key"]:
-        raise ValueError(
-            f"{col!r} is a partition key column — point reads on it are "
-            "already O(1)-file via lookup(); an index would be redundant"
-        )
+    cols = [col] if isinstance(col, str) else list(col)
+    if not cols:
+        raise ValueError("index needs at least one column")
+    for c in cols:
+        if c in meta["key"]:
+            raise ValueError(
+                f"{c!r} is a partition key column — point reads on it are "
+                "already O(1)-file via lookup(); an index would be redundant"
+            )
     return view_mod.create_view(
-        index_dir, lake_dir, [col, *meta["key"]], [],
+        index_dir, lake_dir, [*cols, *meta["key"]], [],
         num_partitions=num_partitions,
     )
 
@@ -589,21 +599,44 @@ def lookup_by(lake_dir: str, index_dir: str, value) -> pa.Table:
     a value probe costs 1 + (distinct key partitions) file reads at any
     lake size. Returns the exact matching lake rows (composite-key
     semi-join against the index pairs, so two conversations sharing a
-    partition never cross-contaminate)."""
+    partition never cross-contaminate).
+
+    For a COMPOSITE index (``create_index(..., ["c1", "c2"])``) pass the
+    probe as a tuple/list in the indexed column order: the leading value
+    routes to the one index file, the rest exact-match inside it."""
     from ..canonical import HASH_COL
     from . import view as view_mod
 
     meta = lake_meta(lake_dir)
     m = view_mod.view_meta(index_dir)
-    if list(m["group_by"][1:]) != list(meta["key"]):
+    key = list(meta["key"])
+    gb = list(m["group_by"])
+    if len(gb) <= len(key) or gb[-len(key):] != key:
         raise ValueError(
             f"view at {index_dir} (group_by={m['group_by']}) is not a "
             f"secondary index of this lake: expected group_by = "
-            f"[<col>, {', '.join(meta['key'])}]"
+            f"[<col>..., {', '.join(meta['key'])}]"
         )
-    key = list(meta["key"])
+    idx_cols = gb[: -len(key)]
+    vals = tuple(value) if isinstance(value, (tuple, list)) else (value,)
+    if len(vals) != len(idx_cols):
+        raise ValueError(
+            f"index covers columns {idx_cols} — probe with "
+            f"{len(idx_cols)} value(s), got {len(vals)}"
+        )
     key0 = key[0]
-    pairs = view_mod.lookup(index_dir, value).select(key)
+    pairs = view_mod.lookup(index_dir, vals[0])
+    gt = dict(m["group_types"])
+    for c, v in zip(idx_cols[1:], vals[1:]):
+        ct = view_mod._type_from_str(gt[c])
+        try:
+            sv = pa.scalar(v, ct)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError) as e:
+            raise ValueError(
+                f"probe value {v!r} is not castable to {c!r}'s type {ct}: {e}"
+            ) from None
+        pairs = pairs.filter(pc.equal(pairs.column(c), sv))
+    pairs = pairs.select(key)
 
     lake_schema = None
     for pid in range(meta["num_partitions"]):

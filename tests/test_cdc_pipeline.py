@@ -1868,6 +1868,51 @@ def test_secondary_index_lifecycle(ray_session, tmp_path):
     assert index_state().equals(recompute())
 
 
+def test_composite_secondary_index(ray_session, tmp_path):
+    """Composite index (create_index(..., ["role", "tool"])): one index
+    file still answers a (role, tool) tuple probe — the leading column
+    routes, the rest exact-match inside the file — and the index stays
+    feed-maintained like any view. Wrong-arity probes fail loudly."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc, view as view_mod
+
+    lake_dir = str(tmp_path / "lake")
+    idx_dir = str(tmp_path / "idx")
+    feed = str(tmp_path / "feed")
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=8)
+    cdc.create_index(idx_dir, lake_dir, ["role", "tool"])
+
+    ev = cg.gen_change_events(3000, 120, seed=43)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "wal"), num_chunks=4)
+    cdc.replay(lake_dir, paths, spec, changes_dir=feed, changes_before=True)
+    view_mod.refresh_view(idx_dir, feed)
+
+    final = cdc.read_lake_table(lake_dir)
+    both = final.filter(
+        pc.and_(pc.is_valid(final.column("role")), pc.is_valid(final.column("tool")))
+    )
+    role = both.column("role")[0].as_py()
+    tool = both.filter(pc.equal(both.column("role"), role)).column("tool")[0].as_py()
+    got = cdc.lookup_by(lake_dir, idx_dir, (role, tool))
+    want = final.filter(
+        pc.and_(
+            pc.equal(final.column("role"), role),
+            pc.equal(final.column("tool"), tool),
+        )
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.num_rows > 0 and got.equals(want)
+    # absent combination → empty; wrong arity → loud
+    assert cdc.lookup_by(lake_dir, idx_dir, (role, "no_such_tool")).num_rows == 0
+    with pytest.raises(ValueError, match="probe with 2"):
+        cdc.lookup_by(lake_dir, idx_dir, role)
+    # composite of a key column still refused
+    with pytest.raises(ValueError, match="partition key"):
+        cdc.create_index(str(tmp_path / "bad"), lake_dir, ["role", "turn_idx"])
+
+
 def test_diff_lakes_skips_unchanged_partitions_by_fingerprint(
     ray_session, tmp_path
 ):
