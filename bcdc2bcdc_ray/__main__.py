@@ -247,7 +247,8 @@ def cmd_delete_where(args) -> dict:
         kw["changes_before"] = args.changes_before
     rep = cdc.delete_where(
         args.lake, _parse_where(args.where), _load_spec(args.spec),
-        out_dir=args.out, apply=not args.no_apply, **kw,
+        out_dir=args.out, apply=not args.no_apply,
+        index_dir=args.index, index_changes_dir=args.index_changes, **kw,
     )
     return {"cmd": "delete-where", **rep}
 
@@ -265,7 +266,8 @@ def cmd_update_where(args) -> dict:
         kw["changes_before"] = args.changes_before
     rep = cdc.update_where(
         args.lake, _parse_where(args.where), set_values, _load_spec(args.spec),
-        out_dir=args.out, apply=not args.no_apply, **kw,
+        out_dir=args.out, apply=not args.no_apply,
+        index_dir=args.index, index_changes_dir=args.index_changes, **kw,
     )
     return {"cmd": "update-where", **rep}
 
@@ -667,6 +669,15 @@ def build_parser() -> argparse.ArgumentParser:
         )
         mw.add_argument("--changes", default=None, help="outbound feed dir")
         mw.add_argument("--changes-before", action="store_true")
+        mw.add_argument(
+            "--index", default=None,
+            help="secondary index dir: resolve an == conjunct's keys "
+                 "through one index file and scan only their partitions",
+        )
+        mw.add_argument(
+            "--index-changes", default=None,
+            help="refresh the index from this feed dir before probing",
+        )
         mw.set_defaults(fn=fn)
 
     ci = sub.add_parser(

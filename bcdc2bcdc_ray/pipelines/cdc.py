@@ -2265,6 +2265,8 @@ def _emit_where(
     op: str,
     set_values: Optional[dict] = None,
     prefix: str,
+    index_dir: Optional[str] = None,
+    index_changes_dir: Optional[str] = None,
 ) -> dict:
     """Shared emitter for :func:`delete_where` / :func:`update_where`:
     scan only the partitions whose footer zone maps can satisfy the
@@ -2305,6 +2307,61 @@ def _emit_where(
         + 1
     )
     os.makedirs(out_dir, exist_ok=True)
+
+    # Index acceleration: with a secondary index whose LEADING column has
+    # an equality conjunct in the predicate, resolve the matching keys
+    # through ONE index file and scan only the partitions that hold them
+    # — O(matching rows) instead of O(lake) for the common "mutate by
+    # attribute value" shape (retention by tool, erasure by user). The
+    # exact predicate mask still runs on every read row, so the index only
+    # PRUNES; contract (same as lookup_by/denorm): the index must be at
+    # the lake head — pass ``index_changes_dir`` to refresh it first, and
+    # replay the lake with ``changes_dir=`` so the feed exists.
+    live_pids = range(P)
+    key_filter = None
+    if index_dir is not None:
+        from . import view as view_mod
+
+        if index_changes_dir and os.path.isdir(index_changes_dir):
+            view_mod.refresh_view(index_dir, index_changes_dir)
+        im = view_mod.view_meta(index_dir)
+        gb = list(im["group_by"])
+        if len(gb) <= len(key) or gb[-len(key):] != key:
+            raise ValueError(
+                f"view at {index_dir} (group_by={gb}) is not a secondary "
+                f"index of this lake (expected [...cols, {', '.join(key)}])"
+            )
+        idx_cols = gb[: -len(key)]
+        eq = {c: v for c, o, v in predicate if o == "=="}
+        if idx_cols[0] not in eq:
+            raise ValueError(
+                f"index at {index_dir} leads on {idx_cols[0]!r} — the "
+                "predicate needs an equality conjunct on it to be "
+                "index-accelerated (drop index_dir= for a zone-map scan)"
+            )
+        pairs = view_mod.lookup(index_dir, eq[idx_cols[0]])
+        gt = dict(im["group_types"])
+        for c in idx_cols[1:]:
+            if c in eq:
+                pairs = pairs.filter(
+                    pc.equal(
+                        pairs.column(c),
+                        pa.scalar(eq[c], view_mod._type_from_str(gt[c])),
+                    )
+                )
+        key_filter = pc.unique(pairs.column(key[0]).combine_chunks())
+        live_pids = (
+            sorted(
+                set(
+                    partition_ids(
+                        pa.table({key[0]: key_filter}), [key[0]], P
+                    ).tolist()
+                )
+            )
+            if len(key_filter)
+            else []
+        )
+
     # delete needs only key + predicate columns off storage; update needs
     # the full payload (an upsert replaces the row)
     if op == "delete":
@@ -2319,6 +2376,8 @@ def _emit_where(
         if not _prune_paths_by_predicate([p], predicate):
             return  # zone-map skip: this partition cannot hold a match
         t = pq.read_table(p, columns=read_cols)
+        if key_filter is not None:
+            t = t.filter(pc.is_in(t.column(key[0]), value_set=key_filter))
         t = t.filter(_predicate_mask(t, predicate))
         if t.num_rows == 0:
             return
@@ -2344,7 +2403,7 @@ def _emit_where(
             pa.table(cols), os.path.join(out_dir, f"{prefix}-{pid:05d}.parquet")
         )
 
-    _foreach_partition(range(P), emit_one)
+    _foreach_partition(list(live_pids), emit_one)
     files = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
@@ -2354,6 +2413,7 @@ def _emit_where(
         "chunks": len(files),
         "events": sum(pq.read_metadata(f).num_rows for f in files),
         "base_lsn": base_lsn,
+        "partitions_scanned": len(list(live_pids)),
         "files": files,
     }
 
@@ -2365,6 +2425,8 @@ def delete_where(
     *,
     out_dir: Optional[str] = None,
     apply: bool = True,
+    index_dir: Optional[str] = None,
+    index_changes_dir: Optional[str] = None,
     **replay_kw,
 ) -> dict:
     """Predicate-driven bulk delete (retention / right-to-erasure): emit
@@ -2383,7 +2445,13 @@ def delete_where(
     payload never leaves storage. ``apply=False`` emits the WAL into
     ``out_dir`` without applying (the what-would-change dry run; replay it
     later or inspect it). Rerunning the same delete is a no-op (matching
-    rows are gone; nothing is emitted)."""
+    rows are gone; nothing is emitted).
+
+    ``index_dir=`` (a :func:`create_index` on a predicate column with an
+    equality conjunct) resolves the matching keys through ONE index file
+    and scans only the partitions that hold them — O(matching) instead of
+    O(lake); ``index_changes_dir=`` refreshes the index to the feed head
+    first. The exact predicate still filters every read row."""
     import shutil
     import tempfile
 
@@ -2403,6 +2471,7 @@ def delete_where(
                 rep = _emit_where(
                     lake_dir, predicate, out_dir, spec,
                     op="delete", prefix="del",
+                    index_dir=index_dir, index_changes_dir=index_changes_dir,
                 )
                 rep = {"matched": rep["events"], **rep}
                 if rep["files"]:
@@ -2411,7 +2480,8 @@ def delete_where(
                     )
         else:
             rep = _emit_where(
-                lake_dir, predicate, out_dir, spec, op="delete", prefix="del"
+                lake_dir, predicate, out_dir, spec, op="delete", prefix="del",
+                index_dir=index_dir, index_changes_dir=index_changes_dir,
             )
             rep = {"matched": rep["events"], **rep}
         rep.pop("files", None)
@@ -2429,6 +2499,8 @@ def update_where(
     *,
     out_dir: Optional[str] = None,
     apply: bool = True,
+    index_dir: Optional[str] = None,
+    index_changes_dir: Optional[str] = None,
     **replay_kw,
 ) -> dict:
     """Predicate-driven bulk update: for every lake row matching
@@ -2457,6 +2529,7 @@ def update_where(
                 rep = _emit_where(
                     lake_dir, predicate, out_dir, spec,
                     op="upsert", set_values=set_values, prefix="upd",
+                    index_dir=index_dir, index_changes_dir=index_changes_dir,
                 )
                 rep = {"matched": rep["events"], **rep}
                 if rep["files"]:
@@ -2467,6 +2540,7 @@ def update_where(
             rep = _emit_where(
                 lake_dir, predicate, out_dir, spec,
                 op="upsert", set_values=set_values, prefix="upd",
+                index_dir=index_dir, index_changes_dir=index_changes_dir,
             )
             rep = {"matched": rep["events"], **rep}
         rep.pop("files", None)

@@ -1868,6 +1868,55 @@ def test_secondary_index_lifecycle(ray_session, tmp_path):
     assert index_state().equals(recompute())
 
 
+def test_index_accelerated_delete_where(ray_session, tmp_path):
+    """delete_where(index_dir=): an equality predicate on an indexed column
+    resolves matching keys through ONE index file and scans only the
+    partitions that hold them — same final state as the full zone-map scan,
+    strictly fewer partitions read."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(120, seed=42)
+    ev = cg.gen_change_events(3000, 120, seed=43)
+    P = 16
+    states = {}
+    for mode in ("plain", "indexed"):
+        d = str(tmp_path / mode)
+        cdc.init_lake(lake, f"{d}/lake", spec, num_partitions=P)
+        idx = None
+        if mode == "indexed":
+            idx = f"{d}/idx"
+            cdc.create_index(idx, f"{d}/lake", "tool")
+        paths = cg.write_wal_chunks(ev, f"{d}/wal", num_chunks=4)
+        cdc.replay(
+            f"{d}/lake", paths, spec,
+            changes_dir=f"{d}/feed", changes_before=True,
+        )
+        t = cdc.read_lake_table(f"{d}/lake")
+        probe = pc.unique(t.filter(pc.is_valid(t.column("tool"))).column("tool"))[
+            0
+        ].as_py()
+        rep = cdc.delete_where(
+            f"{d}/lake", [("tool", "==", probe)], spec,
+            index_dir=idx, index_changes_dir=f"{d}/feed" if idx else None,
+        )
+        states[mode] = (rep, cdc.read_lake_table(f"{d}/lake"), probe)
+    (rp, tp, pp), (ri, ti, pi) = states["plain"], states["indexed"]
+    assert pp == pi and rp["matched"] == ri["matched"] > 0
+    assert tp.equals(ti)
+    # the indexed path scanned a strict subset of partitions
+    assert ri["partitions_scanned"] < P
+    assert rp["partitions_scanned"] == P
+    # non-equality predicate on the indexed column refuses acceleration
+    with pytest.raises(ValueError, match="equality conjunct"):
+        cdc.delete_where(
+            str(tmp_path / "indexed/lake"), [("turn_idx", "<", 2)], spec,
+            index_dir=str(tmp_path / "indexed/idx"),
+        )
+
+
 def test_composite_secondary_index(ray_session, tmp_path):
     """Composite index (create_index(..., ["role", "tool"])): one index
     file still answers a (role, tool) tuple probe — the leading column
