@@ -423,9 +423,13 @@ def cmd_create_view(args) -> dict:
     from .pipelines import view
 
     aggs = [view.AggSpec(*a.split(":")) for a in args.agg]
+    derive = []
+    for s in args.derive:
+        out, kind, col, arg = s.split(":")
+        derive.append(view.DeriveSpec(out, kind, col, int(arg)))
     rep = view.create_view(
         args.view, args.lake, args.group_by.split(","), aggs,
-        num_partitions=args.partitions,
+        num_partitions=args.partitions, derive=derive or None,
     )
     rep.pop("consumed", None)
     return {"cmd": "create-view", **rep}
@@ -806,6 +810,11 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument(
         "--agg", action="append", default=[],
         help="out:kind[:col], kind in count|sum|sum_len (repeatable)",
+    )
+    cv.add_argument(
+        "--derive", action="append", default=[],
+        help="out:kind:col:width — derived group column (time_bucket width"
+        " in seconds | int_bucket), use out in --group-by (repeatable)",
     )
     cv.add_argument("--partitions", type=int)
     cv.set_defaults(fn=cmd_create_view)

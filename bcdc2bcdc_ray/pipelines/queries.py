@@ -79,12 +79,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # IS classify+merge-apply) and by its two family siblings below; green
     # in r1/r2+r4 and still covered by tests/check_oracles.py every session
     "sync_from_full_state",
+    # view_time_bucket (round-4 API: derived group columns / tumbling
+    # windows) displaces order_customer_join — the broadcast variant of the
+    # shuffle sibling that STAYS in the window, same oracle family, green
+    # in r1/r2 and spot-checked in tests/test_queries.py every CI run (the
+    # asof_join_orders_broadcast precedent)
+    "view_time_bucket",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
     # joins
     "pricing_summary",
-    "order_customer_join",
     "order_customer_join_shuffle",
     "customers_without_orders",
     "semi_join_orders",
@@ -4158,6 +4163,69 @@ def incremental_view_distinct(sf_dir: str):
                 # a plain bound alongside: both repair families in one pass
                 view.AggSpec("max_turn", "max", "turn_idx"),
             ],
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+        view.refresh_view(os.path.join(tmp, "view"), changes)
+        return view.read_view(os.path.join(tmp, "view"))
+
+
+def _view_time_bucket_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """Hourly tumbling-window rollup over the replay oracle's final state.
+    ``//`` is safe as the bucket floor: every fixture ts is post-epoch, so
+    DuckDB's truncating integer division equals the engine's true floor."""
+    w = 3600 * 1_000_000
+    return f"""
+    SELECT make_timestamp((epoch_us(ts) // {w}) * {w}) AS hour,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+           max(turn_idx) AS max_turn,
+           min(ts) AS first_ts
+    FROM ({_replay_oracle_sql(lake_path, wal_path)})
+    GROUP BY 1
+    """
+
+
+@q(
+    "view_time_bucket",
+    _view_time_bucket_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+)
+def view_time_bucket(sf_dir: str):
+    """Tumbling-window incremental aggregate (round-4 DERIVED group
+    columns, ``view.DeriveSpec``): the view groups by ``time_bucket(ts,
+    3600)`` — a column that exists in NO table, derived vectorized wherever
+    rows enter the view machinery (initial build, feed after-images AND
+    ``before_*`` pre-images, lake repair). An update that changes ``ts``
+    moves its row between hour buckets via the ordinary retract/assert
+    split; deletes retract per-bucket min/max bounds, so the dirty-bound
+    repair runs with a derived group key (column-pruned full lake pass —
+    no key co-partitioning to prune by). The SQL oracle recomputes the
+    windowed rollup from the replayed final state; a hash match proves the
+    incrementally maintained window == a full recompute. This is the
+    streaming-window custom operator of the brief expressed as view
+    maintenance: O(change volume) per refresh, never a re-aggregation."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txtb_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        view.create_view(
+            os.path.join(tmp, "view"),
+            lake_dir,
+            ["hour"],
+            [
+                view.AggSpec("n_rows", "count"),
+                view.AggSpec("n_chars", "sum_len", "text"),
+                view.AggSpec("max_turn", "max", "turn_idx"),
+                view.AggSpec("first_ts", "min", "ts"),
+            ],
+            derive=[view.DeriveSpec("hour", "time_bucket", "ts", 3600)],
         )
         events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)

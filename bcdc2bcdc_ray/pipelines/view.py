@@ -96,6 +96,109 @@ class AggSpec:
         return {"out": self.out, "kind": self.kind, "col": self.col}
 
 
+@dataclass(frozen=True)
+class DeriveSpec:
+    """One DERIVED group column — a deterministic vectorized function of a
+    source column, computed on the fly wherever rows enter the view
+    machinery (initial build, feed deltas — both the after image and the
+    ``before_*`` pre-image — lake repair, widen). This is what turns the
+    incremental view into a TUMBLING-WINDOW aggregate: group by
+    ``time_bucket(ts, 3600)`` and the feed's retract/assert split moves a
+    row between hour buckets exactly like any other group-key change.
+
+    ``kind`` ∈ ``time_bucket`` (timestamp col → bucket start, ``arg`` =
+    width in seconds, true floor) | ``int_bucket`` (integer col →
+    ``floor(v / arg) * arg`` as int64). Nulls derive to null (one legal
+    null group, handled by the null-safe join)."""
+
+    out: str
+    kind: str
+    col: str
+    arg: int
+
+    def to_json(self) -> dict:
+        return {"out": self.out, "kind": self.kind, "col": self.col,
+                "arg": self.arg}
+
+
+_DERIVE_KINDS = ("time_bucket", "int_bucket")
+
+
+def _derive_out_type(d: DeriveSpec) -> pa.DataType:
+    return pa.timestamp("us") if d.kind == "time_bucket" else pa.int64()
+
+
+def _derive_array(col, d: DeriveSpec) -> pa.Array:
+    """Vectorized bucket derivation. True floor (numpy floor_divide), so
+    pre-epoch timestamps bucket downward like DuckDB's time_bucket — NOT
+    C truncation. Nulls are filled before to_numpy (a null-bearing int64
+    to_numpy converts to float64 — the hash-poisoning lesson) and restored
+    via mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = int(d.arg) * (1_000_000 if d.kind == "time_bucket" else 1)
+    as_i = pc.cast(
+        pc.cast(col, pa.timestamp("us")) if d.kind == "time_bucket" else col,
+        pa.int64(),
+    )
+    mask = None
+    if as_i.null_count:
+        mask = pc.invert(pc.is_valid(as_i)).to_numpy(zero_copy_only=False)
+        as_i = pc.fill_null(as_i, 0)
+    out = np.floor_divide(as_i.to_numpy(), width) * width
+    arr = pa.array(out, pa.int64(), mask=mask)
+    return pc.cast(arr, _derive_out_type(d))
+
+
+def _apply_derived(
+    batch: pa.Table,
+    derived: list[DeriveSpec],
+    *,
+    key_cols: frozenset = frozenset(),
+    with_before: bool = False,
+) -> pa.Table:
+    """Append each derived group column to ``batch``; with
+    ``with_before=True`` (the feed path) also its ``before_*`` pre-image,
+    derived from ``before_{src}`` — or from the plain source when the
+    source is a lake KEY column (keys are immutable per row, so pre-image
+    == after image and the feed carries only the plain column)."""
+    for d in derived:
+        batch = batch.append_column(d.out, _derive_array(batch.column(d.col), d))
+        if with_before:
+            src = d.col if d.col in key_cols else f"before_{d.col}"
+            batch = batch.append_column(
+                f"before_{d.out}", _derive_array(batch.column(src), d)
+            )
+    return batch
+
+
+def _validate_derive(
+    derived: list[DeriveSpec], schema: pa.Schema, group_by: list[str]
+) -> None:
+    seen: set[str] = set()
+    for d in derived:
+        if d.kind not in _DERIVE_KINDS:
+            raise ValueError(
+                f"unknown derive kind {d.kind!r} (have {_DERIVE_KINDS})"
+            )
+        if d.out in schema.names or d.out in seen:
+            raise ValueError(f"derived column {d.out!r} collides")
+        seen.add(d.out)
+        if d.col not in schema.names:
+            raise ValueError(f"derive source column {d.col!r} not in lake")
+        t = schema.field(d.col).type
+        if d.kind == "time_bucket" and not pa.types.is_timestamp(t):
+            raise ValueError(f"time_bucket needs a timestamp column, got {t}")
+        if d.kind == "int_bucket" and not pa.types.is_integer(t):
+            raise ValueError(f"int_bucket needs an integer column, got {t}")
+        if int(d.arg) <= 0:
+            raise ValueError(f"derive width must be positive, got {d.arg}")
+        if d.out not in group_by:
+            raise ValueError(
+                f"derived column {d.out!r} must be used in group_by"
+            )
+
+
 def _view_path(view_dir: str, pid: int) -> str:
     return os.path.join(view_dir, f"part-{pid:05d}.parquet")
 
@@ -710,6 +813,7 @@ def create_view(
     group_by: list[str],
     aggs: list[AggSpec],
     num_partitions: int | None = None,
+    derive: list[DeriveSpec] | None = None,
 ) -> dict:
     """Build the initial aggregate from the lake (one distributed pass) and
     record the lake's per-partition feed watermarks as the view's consumed
@@ -743,10 +847,24 @@ def create_view(
             raise FileNotFoundError(f"empty lake {lake_dir}")
         schema = pq.read_schema(paths[0])
         _validate_aggs(aggs, schema)
+        derived = list(derive or [])
+        _validate_derive(derived, schema, group_by)
+        derived_by_out = {d.out: d for d in derived}
         for g in group_by:
-            if g not in schema.names:
+            if g not in schema.names and g not in derived_by_out:
                 raise ValueError(f"unknown group column {g!r}")
         out_types = [_agg_out_type(a, schema) for a in aggs]
+        gschema = pa.schema(
+            [
+                (
+                    g,
+                    _derive_out_type(derived_by_out[g])
+                    if g in derived_by_out
+                    else schema.field(g).type,
+                )
+                for g in group_by
+            ]
+        )
         P = num_partitions or meta["num_partitions"]
 
         os.makedirs(view_dir, exist_ok=True)
@@ -762,8 +880,9 @@ def create_view(
                 "source_key": list(meta["key"]),
                 "group_by": list(group_by),
                 "aggs": [a.to_json() for a in aggs],
+                "derived": [d.to_json() for d in derived],
                 "group_types": [
-                    [g, str(schema.field(g).type)] for g in group_by
+                    [g, str(gschema.field(g).type)] for g in group_by
                 ],
                 "agg_types": [
                     [a.out, str(t)] for a, t in zip(aggs, out_types)
@@ -773,14 +892,19 @@ def create_view(
             },
         )
 
-        need = set(group_by) | {a.col for a in aggs if a.col}
+        need = (
+            (set(group_by) - set(derived_by_out))
+            | {a.col for a in aggs if a.col}
+            | {d.col for d in derived}
+        )
         ds = rd.read_parquet(
             paths, columns=sorted(need), override_num_blocks=_read_blocks(paths)
         )
 
         def partials(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return _empty_delta_table(group_by, aggs, out_types, schema)
+                return _empty_delta_table(group_by, aggs, out_types, gschema)
+            batch = _apply_derived(batch, derived)
             cols: dict = {g: batch.column(g) for g in group_by}
             for agg, ot in zip(aggs, out_types):
                 cols[agg.out] = _contribution(batch, agg, "", ot)
@@ -853,11 +977,17 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         return rep0
 
     key_cols = set(m.get("source_key", []))
+    derived = [DeriveSpec(**d) for d in m.get("derived", [])]
+    derived_outs = {d.out for d in derived}
+    # derived group columns are not in the feed: read their SOURCE columns
+    # (plus pre-images) and derive both sides on the fly per batch
+    real_group = [g for g in group_by if g not in derived_outs]
+    derive_srcs = {d.col for d in derived}
     # pre-images are needed for non-key agg sources AND non-key group
     # columns (the retract side of a group-key-changing update is keyed by
     # the BEFORE group values)
     need_payload = {a.col for a in aggs if a.col}
-    need_before = (need_payload | set(group_by)) - key_cols
+    need_before = (need_payload | set(real_group) | derive_srcs) - key_cols
     want_before = {f"before_{c}" for c in need_before}
     if want_before:
         # footer-check EVERY picked file, not just the first: a mixed feed
@@ -874,8 +1004,8 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
                 )
     cols = (
         ["op"]
-        + group_by
-        + sorted(need_payload - set(group_by))
+        + real_group
+        + sorted((need_payload | derive_srcs) - set(real_group))
         + sorted(f"before_{c}" for c in need_before)
     )
     by_file = {p: (sp, lh) for p, sp, lh in picked}
@@ -899,6 +1029,9 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         idx = enc.indices.to_numpy(zero_copy_only=False)
         batch = batch.append_column(SRC_PID, pa.array(uniq[idx, 0], pa.int64()))
         batch = batch.append_column(SRC_LSN, pa.array(uniq[idx, 1], pa.int64()))
+        batch = _apply_derived(
+            batch, derived, key_cols=frozenset(key_cols), with_before=True
+        )
         t = _signed_deltas(
             batch, group_by, aggs, out_types, key_cols,
             carry=[SRC_PID, SRC_LSN],
@@ -1121,6 +1254,8 @@ def repair_view(view_dir: str) -> dict:
     m = view_meta(view_dir)
     group_by: list[str] = m["group_by"]
     aggs = [AggSpec(**a) for a in m["aggs"]]
+    derived = [DeriveSpec(**d) for d in m.get("derived", [])]
+    derived_outs = {d.out for d in derived}
     minmax = [a for a in aggs if a.kind in _REPAIRABLE]
     if not minmax:
         return {"dirty_groups": 0, "repaired": 0}
@@ -1189,9 +1324,14 @@ def repair_view(view_dir: str) -> dict:
         for pid in lake_pids
         if os.path.exists(cdc.partition_path(lake_dir, pid))
     ]
-    need = sorted(set(group_by) | {a.col for a in minmax})
+    need = sorted(
+        (set(group_by) - derived_outs)
+        | {a.col for a in minmax}
+        | {d.col for d in derived}
+    )
 
     def partial_bounds(b: pa.Table) -> pa.Table:
+        b = _apply_derived(b, derived)
         mask = pc.fill_null(
             pc.is_in(b.column(key0), value_set=dirty_key0), False
         )
@@ -1297,11 +1437,17 @@ def lookup(view_dir: str, value) -> pa.Table:
     col_type = _type_from_str(dict(m["group_types"])[col])
     try:
         v = pa.scalar(value, col_type)
-    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError) as e:
-        raise ValueError(
-            f"probe value {value!r} is not castable to {col!r}'s type "
-            f"{col_type}: {e}"
-        ) from None
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+        # a string probe against a non-string column (the CLI always sends
+        # strings; time-bucketed views have timestamp group keys): arrow's
+        # string→type cast parses ISO timestamps, ints, decimals
+        try:
+            v = pa.array([value]).cast(col_type)[0]
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+            raise ValueError(
+                f"probe value {value!r} is not castable to {col!r}'s type "
+                f"{col_type}: {e}"
+            ) from None
     P = int(m["num_partitions"])
     pid = int(
         partition_ids(pa.table({col: pa.array([v.as_py()], col_type)}), [col], P)[0]
@@ -1476,11 +1622,19 @@ def add_aggregate(
         schema = pq.read_schema(lake_files[0])
         _validate_aggs([agg], schema)
         ot = _agg_out_type(agg, schema)
-        need = sorted(set(group_by) | {agg.col})
+        derived = [DeriveSpec(**d) for d in m.get("derived", [])]
+        derived_outs = {d.out for d in derived}
+        need = sorted(
+            (set(group_by) - derived_outs)
+            | {agg.col}
+            | {d.col for d in derived}
+        )
         fold_fn = agg.kind if agg.kind in _REPAIRABLE else "sum"
+        gtypes = dict(m["group_types"])
 
         def partials(b: pa.Table) -> pa.Table:
-            fields = [(g, b.schema.field(g).type) for g in group_by]
+            b = _apply_derived(b, derived)
+            fields = [(g, _type_from_str(gtypes[g])) for g in group_by]
             fields += [(agg.out, ot), (VIEW_PART, pa.int64())]
             if b.num_rows == 0:
                 return pa.schema(fields).empty_table()

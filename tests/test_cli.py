@@ -601,3 +601,30 @@ def test_cli_sync_from(capsys, workdir, tmp_path):
     assert canonicalize(cdc.read_lake_table(workdir["lake"]), falsy).equals(
         canonicalize(target, falsy)
     )  # lake untouched by the dry run
+
+
+def test_cli_time_bucket_view_and_timestamp_probe(capsys, workdir):
+    """create-view --derive builds a tumbling-window view from the CLI and
+    view-lookup parses a STRING timestamp probe into the bucket key."""
+    _run(
+        capsys, "init-lake",
+        "--input", workdir["seed"], "--lake", workdir["lake"],
+        "--spec", workdir["spec"], "--partitions", "8",
+    )
+    view_dir = str(workdir["tmp"] / "hview")
+    rep = _run(
+        capsys, "create-view",
+        "--view", view_dir, "--lake", workdir["lake"],
+        "--group-by", "hour", "--agg", "n_chars:sum_len:text",
+        "--derive", "hour:time_bucket:ts:3600",
+    )
+    assert rep["view_rows"] > 0
+
+    from bcdc2bcdc_ray.pipelines import view as vw
+
+    first = vw.read_view(view_dir).column("hour")[0].as_py()
+    rep = _run(
+        capsys, "view-lookup", view_dir,
+        "--value", first.strftime("%Y-%m-%d %H:%M:%S"),
+    )
+    assert rep["rows"] == 1 and rep["records"][0]["n_chars"] > 0

@@ -811,3 +811,154 @@ def test_view_refresh_local_matches_distributed(ray_session, tmp_path, monkeypat
     # both equal the full recompute, and a rerun is a no-op on both
     assert view.read_view(dl["view"]).equals(_recompute(dl["lake"]))
     assert view.refresh_view(dl["view"], dl["changes"])["files"] == 0
+
+
+# --- derived group columns (tumbling-window aggregates) ----------------------
+
+def _recompute_hourly(lake_dir, width_s=3600) -> pa.Table:
+    """Independent full re-aggregation by hour bucket: int64-µs floor
+    division in numpy — NOT the engine's derive kernel."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    t = cdc.read_lake_table(lake_dir)
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    w = width_s * 1_000_000
+    hour = (us // w) * w
+    df = t.to_pandas()
+    df["hour_us"] = hour
+    df["n_chars"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("hour_us")
+        .agg(
+            n_rows=("hour_us", "size"),
+            n_chars=("n_chars", "sum"),
+            max_turn=("turn_idx", "max"),
+            first_ts=("ts", "min"),
+        )
+        .reset_index()
+        .sort_values("hour_us")
+    )
+    return pa.table(
+        {
+            "hour": pa.array(g.hour_us, pa.int64()).cast(pa.timestamp("us")),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+            "first_ts": pa.array(g.first_ts, pa.timestamp("us")),
+        }
+    )
+
+
+HOURLY_AGGS = [
+    AggSpec("n_rows", "count"),
+    AggSpec("n_chars", "sum_len", "text"),
+    AggSpec("max_turn", "max", "turn_idx"),
+    AggSpec("first_ts", "min", "ts"),
+]
+HOURLY_DERIVE = [view.DeriveSpec("hour", "time_bucket", "ts", 3600)]
+
+
+def test_view_time_bucket_create_matches_recompute(ray_session, vdirs):
+    _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["hour"], HOURLY_AGGS,
+        derive=HOURLY_DERIVE,
+    )
+    assert view.read_view(vdirs["view"]).equals(_recompute_hourly(vdirs["lake"]))
+
+
+def test_view_time_bucket_incremental_matches_recompute(ray_session, vdirs):
+    """Tumbling-window aggregate maintained from the change feed: updates
+    MOVE rows between hour buckets (event ts is a function of lsn), so the
+    retract/assert split must decrement the old bucket and increment the
+    new one; deletes retract min/max bounds inside buckets, exercising the
+    dirty-bound repair with a DERIVED group key (full column-pruned lake
+    scan — no key co-partitioning to prune by)."""
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["hour"], HOURLY_AGGS,
+        derive=HOURLY_DERIVE,
+    )
+    for rnd, seed in enumerate((7, 11, 13)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+        assert rep["applied_rows"] > 0
+        assert view.read_view(vdirs["view"]).equals(
+            _recompute_hourly(vdirs["lake"])
+        )
+        assert view.fsck(vdirs["view"])["clean"]
+    assert view.refresh_view(vdirs["view"], vdirs["changes"])["files"] == 0
+
+
+def test_view_derived_composite_group_and_lookup(ray_session, vdirs):
+    """Derived bucket FIRST in a composite group (partitioned by the
+    bucket) alongside a real payload column; view.lookup probes one bucket
+    value O(1)-file."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["hour", "role"],
+        [AggSpec("n_rows", "count")],
+        derive=HOURLY_DERIVE,
+    )
+    _replay_round(vdirs, spec, 2000, seed=19)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    t = cdc.read_lake_table(vdirs["lake"])
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    w = 3600 * 1_000_000
+    df = t.to_pandas()
+    df["hour_us"] = (us // w) * w
+    g = (
+        df.groupby(["hour_us", "role"]).size().rename("n_rows").reset_index()
+        .sort_values(["hour_us", "role"])
+    )
+    want = pa.table(
+        {
+            "hour": pa.array(g.hour_us, pa.int64()).cast(pa.timestamp("us")),
+            "role": pa.array(g.role, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+        }
+    )
+    assert view.read_view(vdirs["view"]).equals(want)
+
+    probe = want.column("hour")[0].as_py()
+    got = view.lookup(vdirs["view"], probe)
+    exp = want.filter(pc.equal(want.column("hour"), want.column("hour")[0]))
+    assert got.equals(exp)
+
+
+def test_view_derive_validation_errors(ray_session, vdirs):
+    _setup(vdirs)
+    with pytest.raises(ValueError, match="unknown derive kind"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["b"], [AggSpec("n_rows", "count")],
+            derive=[view.DeriveSpec("b", "square", "ts", 1)],
+        )
+    with pytest.raises(ValueError, match="timestamp column"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["b"], [AggSpec("n_rows", "count")],
+            derive=[view.DeriveSpec("b", "time_bucket", "role", 60)],
+        )
+    with pytest.raises(ValueError, match="integer column"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["b"], [AggSpec("n_rows", "count")],
+            derive=[view.DeriveSpec("b", "int_bucket", "ts", 60)],
+        )
+    with pytest.raises(ValueError, match="must be used in group_by"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["conv_id"],
+            [AggSpec("n_rows", "count")],
+            derive=[view.DeriveSpec("b", "int_bucket", "turn_idx", 8)],
+        )
+    with pytest.raises(ValueError, match="collides"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["ts"], [AggSpec("n_rows", "count")],
+            derive=[view.DeriveSpec("ts", "time_bucket", "ts", 60)],
+        )
