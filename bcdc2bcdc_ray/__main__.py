@@ -419,10 +419,26 @@ def cmd_restore(args) -> dict:
     return {"cmd": "restore", **cdc.restore(args.lake, args.tag)}
 
 
+def _parse_agg(s: str):
+    """``out:kind[:col[:lo,hi,bins,q]]`` — the 4th field parameterizes
+    ``hist`` (fixed-width histogram bounds + the surfaced quantile)."""
+    from .pipelines import view
+
+    parts = s.split(":")
+    if len(parts) == 4 and parts[1] == "hist":
+        lo, hi, bins, q = parts[3].split(",")
+        return view.AggSpec(
+            parts[0], "hist", parts[2],
+            arg={"lo": float(lo), "hi": float(hi), "bins": int(bins),
+                 "q": float(q)},
+        )
+    return view.AggSpec(*parts)
+
+
 def cmd_create_view(args) -> dict:
     from .pipelines import view
 
-    aggs = [view.AggSpec(*a.split(":")) for a in args.agg]
+    aggs = [_parse_agg(a) for a in args.agg]
     derive = []
     for s in args.derive:
         out, kind, col, arg = s.split(":")
@@ -444,7 +460,7 @@ def cmd_refresh_view(args) -> dict:
 def cmd_add_aggregate(args) -> dict:
     from .pipelines import view
 
-    agg = view.AggSpec(*args.agg.split(":"))
+    agg = _parse_agg(args.agg)
     return {
         "cmd": "add-aggregate",
         **view.add_aggregate(args.view, args.changes_dir, agg),
@@ -809,7 +825,8 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--group-by", required=True, help="comma-separated columns")
     cv.add_argument(
         "--agg", action="append", default=[],
-        help="out:kind[:col], kind in count|sum|sum_len (repeatable)",
+        help="out:kind[:col] (count|sum|sum_len|sum_sq|min|max|hll) or "
+        "out:hist:col:lo,hi,bins,q (repeatable)",
     )
     cv.add_argument(
         "--derive", action="append", default=[],

@@ -85,6 +85,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # in r1/r2 and spot-checked in tests/test_queries.py every CI run (the
     # asof_join_orders_broadcast precedent)
     "view_time_bucket",
+    # incremental_view_quantile (round-4 API: retractable hist aggregate)
+    # displaces word_match_domain — green in r1/r2 and spot-checked in
+    # tests/test_queries.py SPOT every CI run; its M13 transform family
+    # keeps domain_clamp_lang + value_map_lang rows in the window
+    "incremental_view_quantile",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -102,7 +107,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_map_lang",
     "domain_clamp_lang",
     "falsy_normalize",
-    "word_match_domain",
     "source_url_rewrite",
     "type_widen_nation",
     "json_extract_props",
@@ -4226,6 +4230,95 @@ def view_time_bucket(sf_dir: str):
                 view.AggSpec("first_ts", "min", "ts"),
             ],
             derive=[view.DeriveSpec("hour", "time_bucket", "ts", 3600)],
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+        view.refresh_view(os.path.join(tmp, "view"), changes)
+        return view.read_view(os.path.join(tmp, "view"))
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS, _HIST_Q = 0.0, 48.0, 16, 0.5
+
+
+def _view_hist_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """Per-conversation histogram-median rollup over the replay oracle's
+    final state — the SAME fixed-width quantization and lower-edge
+    estimator as ``hist_quantiles_events``'s mirror (IEEE-double expression
+    parity), evaluated per group."""
+    lo, hi, bins, qq = _HIST_LO, _HIST_HI, _HIST_BINS, _HIST_Q
+    return f"""
+    WITH fin AS ({_replay_oracle_sql(lake_path, wal_path)}),
+    b AS (
+        SELECT conv_id,
+               CAST(least(greatest(
+                   floor((CAST(turn_idx AS DOUBLE) - {lo}) * {bins}
+                         / ({hi} - {lo})), 0), {bins - 1}) AS BIGINT) AS bin
+        FROM fin
+    ),
+    c AS (SELECT conv_id, bin, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY conv_id, bin),
+    cum AS (
+        SELECT conv_id, bin,
+               sum(n) OVER (PARTITION BY conv_id ORDER BY bin) AS cn,
+               sum(n) OVER (PARTITION BY conv_id) AS total
+        FROM c
+    ),
+    pick AS (
+        SELECT conv_id, min(bin) AS bin
+        FROM cum
+        WHERE cn >= greatest(CAST(ceil({qq} * total) AS BIGINT), 1)
+        GROUP BY conv_id
+    ),
+    base AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows FROM fin
+        GROUP BY conv_id
+    )
+    SELECT base.conv_id, base.n_rows,
+           {lo} + pick.bin * ({hi} - {lo}) / {bins} AS p50_turn
+    FROM base JOIN pick ON base.conv_id = pick.conv_id
+    """
+
+
+@q(
+    "incremental_view_quantile",
+    _view_hist_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+)
+def incremental_view_quantile(sf_dir: str):
+    """Incremental per-group QUANTILES (round-4 ``hist`` aggregate kind):
+    each group's value distribution is maintained as a fixed-width
+    bin-count vector (fixed_size_binary[8·bins], little-endian int64).
+    Unlike min/max/hll this is EXACTLY retractable — a delete/update
+    subtracts its one-hot bin vector, the fold is an element-wise signed
+    sum — so there is no dirty state and no repair pass ever. Read time
+    surfaces the quantile-q estimate (lower edge of the first bin whose
+    cumulative count reaches ceil(q·total)) — the same IEEE expression as
+    ``sketch.histogram_quantiles``, so the incrementally maintained
+    grouped median is hash-verified against a full DuckDB recompute of the
+    replayed state. Per-refresh cost stays O(change volume); the vector
+    adds 8·bins bytes per group (128 B here)."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txhq_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        view.create_view(
+            os.path.join(tmp, "view"),
+            lake_dir,
+            ["conv_id"],
+            [
+                view.AggSpec("n_rows", "count"),
+                view.AggSpec(
+                    "p50_turn", "hist", "turn_idx",
+                    arg={"lo": _HIST_LO, "hi": _HIST_HI,
+                         "bins": _HIST_BINS, "q": _HIST_Q},
+                ),
+            ],
         )
         events = pq.read_table(_FLAGSHIP_WAL)
         paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)

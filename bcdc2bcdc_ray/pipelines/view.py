@@ -86,14 +86,20 @@ LINEAGE_SCHEMA = pa.schema(
 @dataclass(frozen=True)
 class AggSpec:
     """One view aggregate: ``kind`` ∈ count | sum | sum_len | sum_sq |
-    min | max."""
+    min | max | hll | hist. ``arg`` carries kind-specific parameters —
+    for ``hist``: ``{"lo", "hi", "bins", "q"}`` (fixed-width histogram
+    bounds, bin count, and the quantile surfaced at read time)."""
 
     out: str
     kind: str
     col: str | None = None
+    arg: dict | None = None
 
     def to_json(self) -> dict:
-        return {"out": self.out, "kind": self.kind, "col": self.col}
+        j = {"out": self.out, "kind": self.kind, "col": self.col}
+        if self.arg is not None:
+            j["arg"] = self.arg
+        return j
 
 
 @dataclass(frozen=True)
@@ -325,6 +331,101 @@ def _hll_row_registers(col) -> pa.Array:
     return _fsb_from_matrix(mat)
 
 
+# --- hist (retractable per-group histogram → incremental quantiles) ---------
+# Per-group fixed-width value histogram stored as fixed_size_binary[8*bins]
+# (little-endian int64 bin counts). Unlike min/max/hll this is EXACTLY
+# retractable — a delete/update subtracts its one-hot bin vector, fold =
+# element-wise signed sum — so there is no dirty state and no repair pass.
+# Read surface: the quantile-q estimate (lower edge of the first bin whose
+# cumulative count reaches ceil(q·total)) — the SAME IEEE-double expression
+# as functions/sketch.histogram_quantiles and its SQL mirror, so a hist view
+# column carries a hash-exact DuckDB oracle.
+
+_HIST = ("hist",)
+
+
+def _hist_params(agg: AggSpec) -> tuple[float, float, int, float]:
+    a = agg.arg or {}
+    return float(a["lo"]), float(a["hi"]), int(a["bins"]), float(a["q"])
+
+
+def _hist_fsb(mat: np.ndarray) -> pa.Array:
+    """(n, bins) int64 count matrix → fixed_size_binary[8*bins]."""
+    n, bins = mat.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(bins * 8),
+        n,
+        [None, pa.py_buffer(np.ascontiguousarray(mat, "<i8").tobytes())],
+    )
+
+
+def _hist_matrix(col, bins: int) -> np.ndarray:
+    """fixed_size_binary[8*bins] column → (n, bins) int64 matrix; null rows
+    (a group new to the merge join / never seen by a widen pass) come back
+    as ZERO counts — the additive identity."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, bins), np.int64)
+    buf = arr.buffers()[1]
+    if buf is None:
+        return np.zeros((n, bins), np.int64)
+    mat = (
+        np.frombuffer(buf, "<i8", count=(arr.offset + n) * bins)[
+            arr.offset * bins :
+        ]
+        .reshape(n, bins)
+        .copy()
+    )
+    if arr.null_count:
+        mat[pc.is_null(arr).to_numpy(zero_copy_only=False)] = 0
+    return mat
+
+
+def _hist_onehot(col, agg: AggSpec) -> pa.Array:
+    """Per-row contribution: a one-hot bin-count vector. Bin id =
+    ``floor((v - lo) * bins / (hi - lo))`` clamped — bit-identical to the
+    sketch kit's quantization and its SQL mirror. NULL values contribute a
+    zero vector (quantiles ignore nulls)."""
+    lo, hi, bins, _ = _hist_params(agg)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.binary(bins * 8))
+    nulls = (
+        pc.is_null(arr).to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    v = (
+        pc.fill_null(pc.cast(arr, pa.float64(), safe=False), 0.0)
+        .to_numpy(zero_copy_only=False)
+    )
+    idx = np.floor((v - lo) * bins / (hi - lo)).astype(np.int64)
+    np.clip(idx, 0, bins - 1, out=idx)
+    mat = np.zeros((n, bins), np.int64)
+    mat[np.arange(n), idx] = 1
+    if nulls is not None and nulls.any():
+        mat[nulls] = 0
+    return _hist_fsb(mat)
+
+
+def _hist_estimates(col, agg: AggSpec) -> pa.Array:
+    """Count-vector column → float64 quantile-q estimates: the lower edge
+    ``lo + b·(hi-lo)/bins`` of the first bin whose cumulative count reaches
+    ``ceil(q·total)`` — expression-identical to
+    ``sketch.histogram_quantiles``. A group whose values were all null
+    (total == 0) reads as NULL."""
+    lo, hi, bins, q = _hist_params(agg)
+    mat = _hist_matrix(col, bins)
+    cum = np.cumsum(mat, axis=1)
+    total = cum[:, -1] if len(mat) else np.zeros(0, np.int64)
+    target = np.maximum(np.ceil(q * total).astype(np.int64), 1)
+    ge = cum >= target[:, None]
+    b = ge.argmax(axis=1)
+    est = lo + b * (hi - lo) / bins
+    valid = total > 0
+    return pa.array(est, pa.float64(), mask=~valid)
+
+
 def _hll_estimates(col) -> pa.Array:
     """Register-vector column → int64 approx-distinct estimates (the sketch
     kit's integer-exact raw estimator; NULL (dirty) stays NULL)."""
@@ -351,6 +452,8 @@ def _agg_out_type(agg: AggSpec, schema: pa.Schema) -> pa.DataType:
         return schema.field(agg.col).type
     if agg.kind in _HLL:  # stored representation: the register vector
         return pa.binary(HLL_M)
+    if agg.kind in _HIST:  # stored representation: the bin-count vector
+        return pa.binary(8 * int((agg.arg or {})["bins"]))
     t = schema.field(agg.col).type
     return pa.float64() if pa.types.is_floating(t) else pa.int64()
 
@@ -367,13 +470,30 @@ def _is_orderable(t: pa.DataType) -> bool:
 
 def _validate_aggs(aggs: list[AggSpec], schema: pa.Schema) -> None:
     for a in aggs:
-        if a.kind not in ("count", "sum", "sum_len", "sum_sq") + _MINMAX + _HLL:
+        if a.kind not in (
+            ("count", "sum", "sum_len", "sum_sq") + _MINMAX + _HLL + _HIST
+        ):
             raise ValueError(f"unsupported agg kind {a.kind!r} ({a.out})")
         if a.kind == "count":
             continue
         if a.col is None or a.col not in schema.names:
             raise ValueError(f"agg {a.out}: unknown column {a.col!r}")
         t = schema.field(a.col).type
+        if a.kind in _HIST:
+            arg = a.arg or {}
+            missing = {"lo", "hi", "bins", "q"} - set(arg)
+            if missing:
+                raise ValueError(
+                    f"agg {a.out}: hist needs arg keys {sorted(missing)}"
+                )
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                raise ValueError(f"agg {a.out}: hist needs a numeric column")
+            if not float(arg["hi"]) > float(arg["lo"]):
+                raise ValueError(f"agg {a.out}: hist needs hi > lo")
+            if not 2 <= int(arg["bins"]) <= 65536:
+                raise ValueError(f"agg {a.out}: hist bins must be in [2, 65536]")
+            if not 0.0 < float(arg["q"]) <= 1.0:
+                raise ValueError(f"agg {a.out}: hist q must be in (0, 1]")
         if a.kind in _HLL and not pa.types.is_integer(t):
             # integer-only keeps hash parity with the SQL-mirrored sketch
             # (hash strings upstream into an int column first)
@@ -404,7 +524,7 @@ def _fold_specs(aggs: list[AggSpec], retract: bool) -> list[tuple[str, str]]:
     threat column."""
     specs: list[tuple[str, str]] = []
     for a in aggs:
-        fn = a.kind if a.kind in _REPAIRABLE else "sum"
+        fn = a.kind if a.kind in _REPAIRABLE + _HIST else "sum"
         specs.append((a.out, fn))
         if retract and a.kind in _REPAIRABLE:
             specs.append((_retract_col(a.out), a.kind))
@@ -425,6 +545,8 @@ def _contribution(
         return pc.cast(col, out_type)
     if agg.kind in _HLL:
         return _hll_row_registers(col)
+    if agg.kind in _HIST:
+        return _hist_onehot(col, agg)
     if agg.kind == "sum_len":
         vals = pc.fill_null(pc.utf8_length(col), 0)
         return pc.cast(vals, out_type)
@@ -475,6 +597,12 @@ def _signed_deltas(
             a_cols[_retract_col(agg.out)] = pa.nulls(n, ot)
             r_cols[agg.out] = pa.nulls(n, ot)
             r_cols[_retract_col(agg.out)] = before
+        elif agg.kind in _HIST:
+            # exactly retractable: the retraction is the NEGATED one-hot,
+            # fold is an element-wise signed sum — no dirty state ever
+            bins = ot.byte_width // 8
+            a_cols[agg.out] = after
+            r_cols[agg.out] = _hist_fsb(-_hist_matrix(before, bins))
         else:
             a_cols[agg.out] = after
             r_cols[agg.out] = pc.negate_checked(before)
@@ -496,11 +624,12 @@ def _fold(
     the arrow groups through the canonical group-key hash (null-safe —
     the same hash that routes partitions)."""
     hll_cols = [c for c, k in specs if k == "hll"]
-    plain = [(c, k) for c, k in specs if k != "hll"]
+    hist_cols = [c for c, k in specs if k == "hist"]
+    plain = [(c, k) for c, k in specs if k not in ("hll", "hist")]
     folded = table.group_by(group_by).aggregate(plain)
     names_p = [c for c, _ in plain]
     folded = folded.rename_columns(group_by + names_p)
-    if hll_cols:
+    if hll_cols or hist_cols:
         from ..canonical import content_hash
 
         row_code = content_hash(table, group_by)
@@ -513,6 +642,13 @@ def _fold(
             out_mat = np.zeros((ng, HLL_M), np.uint8)
             np.maximum.at(out_mat, row_to_out, mat)
             folded = folded.append_column(c, _fsb_from_matrix(out_mat))
+        for c in hist_cols:
+            col = table.column(c)
+            bins = col.type.byte_width // 8
+            mat = _hist_matrix(col, bins)  # nulls fold as zeros
+            out_mat = np.zeros((ng, bins), np.int64)
+            np.add.at(out_mat, row_to_out, mat)
+            folded = folded.append_column(c, _hist_fsb(out_mat))
     return folded.select(group_by + [c for c, _ in specs])
 
 
@@ -664,6 +800,18 @@ class ViewWriter:
                 cmp = pc.less_equal if a.kind == "min" else pc.greater_equal
                 hit = pc.fill_null(cmp(pc.cast(threat, ot), tentative), False)
                 cols[a.out] = pc.if_else(hit, pa.nulls(n, ot), tentative)
+            elif a.kind in _HIST:
+                bins = ot.byte_width // 8
+                # exact signed fold: new groups / untouched groups read as
+                # zero vectors via the null→zeros convention
+                out_mat = _hist_matrix(cur, bins) + _hist_matrix(dd, bins)
+                if (out_mat < 0).any():
+                    raise RuntimeError(
+                        f"negative histogram count in {a.out!r} — a "
+                        "retraction without its assertion (double-retract "
+                        "or feed corruption)"
+                    )
+                cols[a.out] = _hist_fsb(out_mat)
             elif a.kind in _HLL:
                 threat = joined.column(f"__d_{_retract_col(a.out)}")
                 cur_mat, cur_null = _fsb_matrix(cur)
@@ -1394,6 +1542,7 @@ def read_view(view_dir: str) -> pa.Table:
     representation is internal); a dirty (null) vector reads as null."""
     m = view_meta(view_dir)
     hll_outs = {a["out"] for a in m["aggs"] if a["kind"] in _HLL}
+    hist_aggs = {a["out"]: AggSpec(**a) for a in m["aggs"] if a["kind"] in _HIST}
     want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
     parts = []
     for pid in range(int(m["num_partitions"])):
@@ -1406,7 +1555,12 @@ def read_view(view_dir: str) -> pa.Table:
         return pa.schema(
             [(g, _type_from_str(t)) for g, t in m["group_types"]]
             + [
-                (a, pa.int64() if a in hll_outs else _type_from_str(t))
+                (
+                    a,
+                    pa.int64() if a in hll_outs
+                    else pa.float64() if a in hist_aggs
+                    else _type_from_str(t),
+                )
                 for a, t in m["agg_types"]
             ]
         ).empty_table()
@@ -1416,6 +1570,9 @@ def read_view(view_dir: str) -> pa.Table:
     for a in hll_outs:
         i = out.column_names.index(a)
         out = out.set_column(i, a, _hll_estimates(out.column(a)))
+    for a, spec in hist_aggs.items():
+        i = out.column_names.index(a)
+        out = out.set_column(i, a, _hist_estimates(out.column(a), spec))
     return out
 
 
@@ -1453,11 +1610,17 @@ def lookup(view_dir: str, value) -> pa.Table:
         partition_ids(pa.table({col: pa.array([v.as_py()], col_type)}), [col], P)[0]
     )
     hll_outs = {a["out"] for a in m["aggs"] if a["kind"] in _HLL}
+    hist_aggs = {a["out"]: AggSpec(**a) for a in m["aggs"] if a["kind"] in _HIST}
     want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
     empty = pa.schema(
         [(g, _type_from_str(t)) for g, t in m["group_types"]]
         + [
-            (a, pa.int64() if a in hll_outs else _type_from_str(t))
+            (
+                a,
+                pa.int64() if a in hll_outs
+                else pa.float64() if a in hist_aggs
+                else _type_from_str(t),
+            )
             for a, t in m["agg_types"]
         ]
     ).empty_table()
@@ -1472,6 +1635,9 @@ def lookup(view_dir: str, value) -> pa.Table:
     for a in hll_outs:
         i = t.column_names.index(a)
         t = t.set_column(i, a, _hll_estimates(t.column(a)))
+    for a, spec in hist_aggs.items():
+        i = t.column_names.index(a)
+        t = t.set_column(i, a, _hist_estimates(t.column(a), spec))
     return t
 
 
@@ -1544,7 +1710,7 @@ def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
             return LINEAGE_SCHEMA.empty_table()
         current = pq.read_table(path)
         meta_bytes = current.schema.metadata or {}
-        fold_fn = agg.kind if agg.kind in _REPAIRABLE else "sum"
+        fold_fn = agg.kind if agg.kind in _REPAIRABLE + _HIST else "sum"
         vals = _fold(
             group.select(group_by + [agg.out]), group_by, [(agg.out, fold_fn)]
         ).rename_columns(group_by + [f"__new_{agg.out}"])
@@ -1555,6 +1721,9 @@ def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
             # EMPTY register vector, not null (null = dirty)
             mat, _ = _fsb_matrix(col)
             col = _fsb_from_matrix(mat)
+        elif agg.kind in _HIST:
+            # same: unseen group → zero count vector (null→zeros convention)
+            col = _hist_fsb(_hist_matrix(col, ot.byte_width // 8))
         elif agg.kind not in _MINMAX:
             col = pc.fill_null(pc.cast(col, ot), 0)
         else:
@@ -1629,7 +1798,7 @@ def add_aggregate(
             | {agg.col}
             | {d.col for d in derived}
         )
-        fold_fn = agg.kind if agg.kind in _REPAIRABLE else "sum"
+        fold_fn = agg.kind if agg.kind in _REPAIRABLE + _HIST else "sum"
         gtypes = dict(m["group_types"])
 
         def partials(b: pa.Table) -> pa.Table:
@@ -1721,6 +1890,14 @@ def fsck(view_dir: str) -> dict:
         for a in aggs:
             if a.kind in _REPAIRABLE:
                 totals["dirty_bounds"] += t.column(a.out).null_count
+            elif a.kind in _HIST:
+                # hist vectors are never dirty: null or any negative bin
+                # count means a torn fold — hard corruption
+                col = t.column(a.out)
+                bad = col.null_count
+                mat = _hist_matrix(col, col.type.byte_width // 8)
+                bad += int((mat < 0).any(axis=1).sum())
+                totals["bad_counts"] += bad
     totals["clean"] = all(
         totals[k] == 0
         for k in ("misrouted", "bad_counts", "unsorted", "dup_groups",

@@ -962,3 +962,115 @@ def test_view_derive_validation_errors(ray_session, vdirs):
             vdirs["view"], vdirs["lake"], ["ts"], [AggSpec("n_rows", "count")],
             derive=[view.DeriveSpec("ts", "time_bucket", "ts", 60)],
         )
+
+
+# --- hist aggregate kind (retractable histogram → incremental quantiles) -----
+
+HIST_ARG = {"lo": 0.0, "hi": 48.0, "bins": 16, "q": 0.5}
+
+
+def _recompute_hist(lake_dir, arg=HIST_ARG) -> pa.Table:
+    """Independent per-group histogram-quantile recompute (numpy, same
+    IEEE expression as sketch.histogram_quantiles — NOT the view kernel)."""
+    import numpy as np
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lo, hi, bins, q = arg["lo"], arg["hi"], arg["bins"], arg["q"]
+    df = cdc.read_lake_table(lake_dir).to_pandas()
+    rows = []
+    for cid, g in df.groupby("conv_id"):
+        v = g.turn_idx.to_numpy().astype(np.float64)
+        idx = np.clip(
+            np.floor((v - lo) * bins / (hi - lo)).astype(np.int64), 0, bins - 1
+        )
+        cum = np.cumsum(np.bincount(idx, minlength=bins))
+        target = max(int(np.ceil(q * int(cum[-1]))), 1)
+        b = int(np.searchsorted(cum, target))
+        rows.append((cid, len(g), lo + b * (hi - lo) / bins))
+    rows.sort()
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "p50_turn": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_view_hist_incremental_matches_recompute(ray_session, vdirs):
+    """The hist kind is EXACTLY retractable (signed one-hot fold): across
+    replay rounds with deletes the maintained quantile estimates equal a
+    full recompute, and no refresh ever reports a repair pass."""
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["conv_id"],
+        [AggSpec("n_rows", "count"),
+         AggSpec("p50_turn", "hist", "turn_idx", arg=HIST_ARG)],
+    )
+    assert view.read_view(vdirs["view"]).equals(_recompute_hist(vdirs["lake"]))
+    for rnd, seed in enumerate((7, 11)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        rep = view.refresh_view(vdirs["view"], vdirs["changes"])
+        assert rep["applied_rows"] > 0 and "repair" not in rep
+        assert view.read_view(vdirs["view"]).equals(
+            _recompute_hist(vdirs["lake"])
+        )
+        assert view.fsck(vdirs["view"])["clean"]
+    assert view.refresh_view(vdirs["view"], vdirs["changes"])["files"] == 0
+
+
+def test_view_hist_crash_rerun_and_widen(ray_session, vdirs):
+    """A writer hard-crash mid-refresh retries to the same estimates
+    (in-file applied vectors make the signed fold exactly-once), and
+    add_aggregate widens a live view with a second hist column."""
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["conv_id"],
+        [AggSpec("n_rows", "count"),
+         AggSpec("p50_turn", "hist", "turn_idx", arg=HIST_ARG)],
+    )
+    _replay_round(vdirs, spec, 2500, seed=23)
+    with open(os.path.join(vdirs["view"], "_fault_once"), "w") as f:
+        f.write("0")
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    assert view.read_view(vdirs["view"]).equals(_recompute_hist(vdirs["lake"]))
+    assert view.fsck(vdirs["view"])["clean"]
+
+    arg90 = dict(HIST_ARG, q=0.9)
+    view.add_aggregate(
+        vdirs["view"], vdirs["changes"],
+        AggSpec("p90_turn", "hist", "turn_idx", arg=arg90),
+    )
+    got = view.read_view(vdirs["view"])
+    assert got.column("p90_turn").null_count == 0
+    want90 = _recompute_hist(vdirs["lake"], arg90).column("p50_turn")
+    assert got.column("p90_turn").equals(want90)
+    # and the widened column keeps maintaining incrementally
+    _replay_round(vdirs, spec, 1500, seed=29, lsn_start=200_000)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    got = view.read_view(vdirs["view"])
+    assert got.column("p90_turn").equals(
+        _recompute_hist(vdirs["lake"], arg90).column("p50_turn")
+    )
+
+
+def test_view_hist_validation_errors(ray_session, vdirs):
+    _setup(vdirs)
+    cases = [
+        ({"lo": 0, "hi": 48, "bins": 16}, "needs arg keys"),
+        ({"lo": 48, "hi": 0, "bins": 16, "q": 0.5}, "hi > lo"),
+        ({"lo": 0, "hi": 48, "bins": 1, "q": 0.5}, "bins must be"),
+        ({"lo": 0, "hi": 48, "bins": 16, "q": 1.5}, "q must be"),
+    ]
+    for arg, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            view.create_view(
+                vdirs["view"], vdirs["lake"], ["conv_id"],
+                [AggSpec("h", "hist", "turn_idx", arg=arg)],
+            )
+    with pytest.raises(ValueError, match="numeric column"):
+        view.create_view(
+            vdirs["view"], vdirs["lake"], ["conv_id"],
+            [AggSpec("h", "hist", "text", arg=HIST_ARG)],
+        )
