@@ -393,6 +393,19 @@ def cmd_view_lookup(args) -> dict:
     }
 
 
+def cmd_view_window(args) -> dict:
+    from .pipelines import view
+
+    t = view.read_window(args.view, args.width, args.slide)
+    return {
+        "cmd": "view-window",
+        "width_s": args.width,
+        "slide_s": args.slide or args.width,
+        "rows": t.num_rows,
+        "records": t.to_pylist() if t.num_rows <= 100 else t.num_rows,
+    }
+
+
 def cmd_snapshot(args) -> dict:
     from .pipelines import cdc
 
@@ -793,6 +806,15 @@ def build_parser() -> argparse.ArgumentParser:
     vlk.add_argument("view")
     vlk.add_argument("--value", required=True)
     vlk.set_defaults(fn=cmd_view_lookup)
+
+    vwin = sub.add_parser(
+        "view-window",
+        help="sliding/hopping windows folded from a tumbling-pane view",
+    )
+    vwin.add_argument("view")
+    vwin.add_argument("--width", type=int, required=True, help="seconds")
+    vwin.add_argument("--slide", type=int, help="seconds (default: width)")
+    vwin.set_defaults(fn=cmd_view_window)
 
     sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
     sp.add_argument("--lake", required=True)

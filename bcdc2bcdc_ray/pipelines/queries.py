@@ -90,6 +90,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # tests/test_queries.py SPOT every CI run; its M13 transform family
     # keeps domain_clamp_lang + value_map_lang rows in the window
     "incremental_view_quantile",
+    # view_sliding_window (round-4 API: read-time pane-combination hopping
+    # windows) displaces hot_users — the A1 dup-groupby-count family keeps
+    # its dup_groups sibling in the window; hot_users is green in r1/r2
+    # and covered by tests/check_oracles.py every session
+    "view_sliding_window",
     # CDC delta/merge family (r1/r2 anchors, driver-unseen in r3)
     "cdc_lww_merge",
     "cdc_delta_classify",
@@ -103,7 +108,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_events",
     # transform family
     "ignore_filter",
-    "hot_users",
     "value_map_lang",
     "domain_clamp_lang",
     "falsy_normalize",
@@ -4325,6 +4329,74 @@ def incremental_view_quantile(sf_dir: str):
         cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
         view.refresh_view(os.path.join(tmp, "view"), changes)
         return view.read_view(os.path.join(tmp, "view"))
+
+
+def _view_sliding_oracle_sql(lake_path: str, wal_path: str) -> str:
+    """Hopping windows (width 3600 s, slide 1800 s) over the replay
+    oracle's final state: every row explodes to the width/slide windows
+    containing it (lateral UNNEST(generate_series)), then a plain grouped
+    rollup per window start."""
+    w_us, s_us = 3600 * 1_000_000, 1800 * 1_000_000
+    return f"""
+    WITH fin AS ({_replay_oracle_sql(lake_path, wal_path)}),
+    e AS (
+        SELECT fin.*, u.ws
+        FROM fin, UNNEST(generate_series(
+            (epoch_us(ts) // {s_us}) * {s_us} - {w_us - s_us},
+            (epoch_us(ts) // {s_us}) * {s_us},
+            {s_us})) AS u(ws)
+    )
+    SELECT make_timestamp(ws) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+           max(turn_idx) AS max_turn
+    FROM e GROUP BY 1
+    """
+
+
+@q(
+    "view_sliding_window",
+    _view_sliding_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+)
+def view_sliding_window(sf_dir: str):
+    """Sliding/hopping windows from a tumbling-pane view at READ time
+    (round-4 ``view.read_window`` — the pane-combination / window-slicing
+    trick of stream engines): the incrementally maintained view holds
+    disjoint 1800 s PANES; a 3600 s window hopping by 1800 s is a fold of
+    2 panes, because every aggregate kind combines (sums add, bounds/HLL
+    registers fold in their own direction, hist vectors add). The feed
+    maintains ONE pane per bucket — wider windows cost zero extra write
+    amplification and never touch the lake. The SQL oracle explodes each
+    row of the replayed final state into its windows and re-aggregates,
+    so a hash match proves pane-fold == direct window aggregation. A
+    window containing a dirty pane bound would read NULL, never a
+    silently-wrong value (dirty panes are repaired before this returns)."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc, view
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txsw_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        changes = os.path.join(tmp, "changes")
+        cdc.init_lake(pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec, num_partitions=16)
+        view.create_view(
+            os.path.join(tmp, "view"),
+            lake_dir,
+            ["pane"],
+            [
+                view.AggSpec("n_rows", "count"),
+                view.AggSpec("n_chars", "sum_len", "text"),
+                view.AggSpec("max_turn", "max", "turn_idx"),
+            ],
+            derive=[view.DeriveSpec("pane", "time_bucket", "ts", 1800)],
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+        view.refresh_view(os.path.join(tmp, "view"), changes)
+        return view.read_window(os.path.join(tmp, "view"), 3600, 1800)
 
 
 _TOOL_REMAP = {

@@ -1576,6 +1576,132 @@ def read_view(view_dir: str) -> pa.Table:
     return out
 
 
+def read_window(view_dir: str, width_s: int, slide_s: int | None = None) -> pa.Table:
+    """SLIDING / HOPPING windows from a tumbling-bucket view at READ time —
+    the pane-combination trick (window slicing): a view whose first group
+    column is a ``time_bucket`` derived column already maintains disjoint
+    PANES incrementally; any window of ``width_s`` hopping by ``slide_s``
+    is a fold of ``width_s/slide_s`` panes, because every supported
+    aggregate kind combines (sums add, min/max/hll registers fold in their
+    own direction, hist vectors add). Zero extra write amplification: the
+    feed maintains one pane per bucket; wider windows never touch the lake
+    or the feed.
+
+    Requires ``slide_s`` and ``width_s`` to be multiples of the pane width
+    and ``width_s`` a multiple of ``slide_s`` (windows start at slide
+    boundaries). Output: ``window_start`` + the view's remaining group
+    columns + the aggregates under their own names (hll/hist surface as
+    estimates, exactly like :func:`read_view`). A window containing a
+    DIRTY pane bound (min/max/hll awaiting repair) reads NULL for that
+    aggregate — never a silently-wrong bound."""
+    m = view_meta(view_dir)
+    derived = {d["out"]: DeriveSpec(**d) for d in m.get("derived", [])}
+    group_by: list[str] = m["group_by"]
+    pane_col = group_by[0]
+    d = derived.get(pane_col)
+    if d is None or d.kind != "time_bucket":
+        raise ValueError(
+            "read_window needs a view whose FIRST group column is a "
+            "time_bucket derived column (the pane)"
+        )
+    pane_s = int(d.arg)
+    slide_s = int(slide_s if slide_s is not None else width_s)
+    width_s = int(width_s)
+    if slide_s % pane_s or width_s % slide_s or width_s <= 0:
+        raise ValueError(
+            f"width ({width_s}s) must be a multiple of slide ({slide_s}s) "
+            f"and slide a multiple of the pane width ({pane_s}s)"
+        )
+    aggs = [AggSpec(**a) for a in m["aggs"]]
+    agg_types = {a: _type_from_str(t) for a, t in m["agg_types"]}
+    rest = group_by[1:]
+
+    # stored representation (register/count vectors intact), all partitions
+    want = [g for g, _ in m["group_types"]] + [a for a, _ in m["agg_types"]]
+    parts = []
+    for pid in range(int(m["num_partitions"])):
+        p = _view_path(view_dir, pid)
+        if os.path.exists(p):
+            t = pq.read_table(p).replace_schema_metadata(None)
+            if t.num_rows:
+                parts.append(t.select(want))
+    hll_aggs = [a for a in aggs if a.kind in _HLL]
+    hist_aggs = [a for a in aggs if a.kind in _HIST]
+    out_fields = [("window_start", pa.timestamp("us"))] + [
+        (g, _type_from_str(dict(m["group_types"])[g])) for g in rest
+    ]
+    for a in aggs:
+        out_fields.append(
+            (
+                a.out,
+                pa.int64() if a.kind in _HLL
+                else pa.float64() if a.kind in _HIST
+                else agg_types[a.out],
+            )
+        )
+    if not parts:
+        return pa.schema(out_fields).empty_table()
+    panes = pa.concat_tables(parts)
+    # the NULL pane (rows whose source ts was null) belongs to no window
+    if panes.column(pane_col).null_count:
+        panes = panes.filter(pc.is_valid(panes.column(pane_col)))
+    if panes.num_rows == 0:
+        return pa.schema(out_fields).empty_table()
+
+    # explode: pane p (µs) contributes to windows s ∈ {p-W+S, ..., p} ∩ S·Z
+    k = width_s // slide_s
+    s_us = np.int64(slide_s) * 1_000_000
+    p_us = pc.cast(panes.column(pane_col), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    base = np.floor_divide(p_us, s_us) * s_us  # last window start ≤ pane
+    starts = (
+        base[:, None] - (np.arange(k - 1, -1, -1, dtype=np.int64) * s_us)
+    ).ravel()
+    idx = np.repeat(np.arange(len(p_us), dtype=np.int64), k)
+    # windows are [s, s+W): keep s ≤ p ≤ s+W-pane (always true by range)
+    exploded = panes.take(pa.array(idx, pa.int64()))
+    exploded = exploded.append_column(
+        "window_start", pa.array(starts, pa.int64()).cast(pa.timestamp("us"))
+    )
+
+    keys = ["window_start"] + rest
+    specs: list[tuple[str, str]] = []
+    null_flags: list[str] = []
+    for a in aggs:
+        fn = a.kind if a.kind in _REPAIRABLE + _HIST else "sum"
+        specs.append((a.out, fn))
+        if a.kind in _REPAIRABLE:
+            # a dirty pane poisons its windows (never a silently-wrong bound)
+            f = f"__isnull_{a.out}"
+            exploded = exploded.append_column(
+                f, pc.cast(pc.is_null(exploded.column(a.out)), pa.int64())
+            )
+            specs.append((f, "max"))
+            null_flags.append(f)
+    folded = _fold(exploded.select(keys + [c for c, _ in specs]), keys, specs)
+    n = folded.num_rows
+    cols: dict = {c: folded.column(c) for c in keys}
+    for a in aggs:
+        col = folded.column(a.out)
+        if a.kind in _REPAIRABLE:
+            poison = pc.greater(folded.column(f"__isnull_{a.out}"), 0)
+            if a.kind in _HLL:
+                est = _hll_estimates(col)
+                cols[a.out] = pc.if_else(poison, pa.nulls(n, pa.int64()), est)
+            else:
+                cols[a.out] = pc.if_else(
+                    poison, pa.nulls(n, agg_types[a.out]), col
+                )
+        elif a.kind in _HIST:
+            cols[a.out] = _hist_estimates(col, a)
+        else:
+            cols[a.out] = col
+    return pa.table(cols, schema=pa.schema(out_fields)).sort_by(
+        [(g, "ascending") for g in keys]
+    )
+
+
 def lookup(view_dir: str, value) -> pa.Table:
     """O(1)-FILE point probe on the view's partition column
     (``group_by[0]``): the value hashes to its partition with the view's

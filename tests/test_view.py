@@ -1074,3 +1074,126 @@ def test_view_hist_validation_errors(ray_session, vdirs):
             vdirs["view"], vdirs["lake"], ["conv_id"],
             [AggSpec("h", "hist", "text", arg=HIST_ARG)],
         )
+
+
+# --- read-time sliding windows (pane combination) -----------------------------
+
+def test_view_read_window_matches_row_explode(ray_session, vdirs):
+    """Hopping windows folded from 900 s panes equal a direct per-window
+    aggregation (each lake row exploded into its width/slide windows) —
+    across count, sum_len, max AND the vector kinds' representations."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text"),
+         AggSpec("max_turn", "max", "turn_idx")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 900)],
+    )
+    _replay_round(vdirs, spec, 2500, seed=61)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    W, S = 3600, 1800
+    got = view.read_window(vdirs["view"], W, S)
+
+    t = cdc.read_lake_table(vdirs["lake"])
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    s_us = S * 1_000_000
+    k = W // S
+    base = (us // s_us) * s_us
+    starts = (
+        base[:, None] - (np.arange(k - 1, -1, -1, dtype=np.int64) * s_us)
+    ).ravel()
+    df = t.to_pandas().iloc[np.repeat(np.arange(len(us)), k)].reset_index(drop=True)
+    df["ws"] = starts
+    df["nc"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("ws")
+        .agg(n_rows=("ws", "size"), n_chars=("nc", "sum"),
+             max_turn=("turn_idx", "max"))
+        .reset_index()
+        .sort_values("ws")
+    )
+    want = pa.table(
+        {
+            "window_start": pa.array(g.ws, pa.int64()).cast(pa.timestamp("us")),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+        }
+    )
+    assert got.equals(want)
+
+    # tumbling degenerate case: same pane count as read_view
+    rv = view.read_view(vdirs["view"])
+    got2 = view.read_window(vdirs["view"], 900, 900)
+    assert got2.num_rows == rv.num_rows
+    assert got2.column("n_rows").equals(rv.column("n_rows"))
+
+
+def test_view_read_window_dirty_pane_poisons_window(ray_session, vdirs):
+    """A window containing a DIRTY pane bound (awaiting repair) reads NULL
+    for that aggregate — never a silently-wrong bound — while additive
+    aggregates in the same window stay exact."""
+    import pyarrow.parquet as pq_
+
+    _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane"],
+        [AggSpec("n_rows", "count"), AggSpec("max_turn", "max", "turn_idx")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 900)],
+    )
+    clean = view.read_window(vdirs["view"], 1800, 900)
+    assert clean.column("max_turn").null_count == 0
+
+    # null one pane's bound in place (data+watermark metadata preserved)
+    p = next(
+        os.path.join(vdirs["view"], f)
+        for f in sorted(os.listdir(vdirs["view"]))
+        if f.endswith(".parquet") and pq_.read_metadata(
+            os.path.join(vdirs["view"], f)).num_rows > 0
+    )
+    t = pq_.read_table(p)
+    meta = t.schema.metadata
+    mt = t.column("max_turn").to_pylist()
+    mt[0] = None
+    dirty_pane = t.column("pane")[0].as_py()
+    t = t.set_column(t.column_names.index("max_turn"), "max_turn",
+                     pa.array(mt, pa.int32()))
+    pq_.write_table(t.replace_schema_metadata(meta), p)
+
+    got = view.read_window(vdirs["view"], 1800, 900)
+    mt_by_ws = dict(zip(
+        (x.timestamp() for x in got.column("window_start").to_pylist()),
+        got.column("max_turn").to_pylist(),
+    ))
+    pane_us = int(dirty_pane.timestamp())
+    # both windows covering the dirty pane are poisoned
+    for ws in (pane_us - 900, pane_us):
+        assert mt_by_ws[float(ws)] is None
+    # n_rows everywhere stays exact (equals the clean read)
+    assert got.column("n_rows").equals(clean.column("n_rows"))
+    # repair heals, windows read exact again
+    view.repair_view(vdirs["view"])
+    assert view.read_window(vdirs["view"], 1800, 900).equals(clean)
+
+
+def test_view_read_window_validation(ray_session, vdirs):
+    _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("n_rows", "count")]
+    )
+    with pytest.raises(ValueError, match="time_bucket derived column"):
+        view.read_window(vdirs["view"], 3600, 1800)
+    vd = vdirs["view"] + "_p"
+    view.create_view(
+        vd, vdirs["lake"], ["pane"], [AggSpec("n_rows", "count")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 900)],
+    )
+    for w, s in ((1000, 500), (3600, 2400), (900, 450)):
+        with pytest.raises(ValueError, match="multiple"):
+            view.read_window(vd, w, s)
