@@ -393,6 +393,12 @@ def cmd_view_lookup(args) -> dict:
     }
 
 
+def cmd_prune_panes(args) -> dict:
+    from .pipelines import view
+
+    return {"cmd": "prune-panes", **view.prune_panes(args.view, args.older_than)}
+
+
 def cmd_view_window(args) -> dict:
     from .pipelines import view
 
@@ -815,6 +821,15 @@ def build_parser() -> argparse.ArgumentParser:
     vwin.add_argument("--width", type=int, required=True, help="seconds")
     vwin.add_argument("--slide", type=int, help="seconds (default: width)")
     vwin.set_defaults(fn=cmd_view_window)
+
+    vpp = sub.add_parser(
+        "prune-panes",
+        help="retention: drop pane groups older than a watermark; later "
+        "feed deltas for expired panes are consumed-by-policy",
+    )
+    vpp.add_argument("view")
+    vpp.add_argument("--older-than", required=True, help="ISO timestamp")
+    vpp.set_defaults(fn=cmd_prune_panes)
 
     sp = sub.add_parser("snapshot", help="zero-copy named lake snapshot")
     sp.add_argument("--lake", required=True)

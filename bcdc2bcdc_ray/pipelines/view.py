@@ -740,6 +740,11 @@ class ViewWriter:
         self.aggs = [AggSpec(**a) for a in m["aggs"]]
         self.agg_types = {a: _type_from_str(t) for a, t in m["agg_types"]}
         self.fold_specs = _fold_specs(self.aggs, retract=True)
+        # pane-retention watermark (µs): deltas for EXPIRED panes (below
+        # it) are consumed-by-policy — dropped before the fold, so a late
+        # retraction for a pruned pane can neither resurrect the group nor
+        # trip the negative-count guard (see prune_panes)
+        self.retention_min_pane = m.get("retention_min_pane")
         self.schema = pa.schema(
             [(g, _type_from_str(t)) for g, t in m["group_types"]]
             + [(a, _type_from_str(t)) for a, t in m["agg_types"]]
@@ -853,6 +858,21 @@ class ViewWriter:
             fresh = np.ones(len(src_pid), dtype=bool)
         n_in = group.num_rows
         deltas = group.filter(pa.array(fresh))
+        if self.retention_min_pane is not None and deltas.num_rows:
+            # drop expired-pane deltas AFTER the applied-vector update
+            # below has seen them (their files are consumed-by-policy);
+            # null panes are never pruned
+            pane = pc.cast(
+                deltas.column(self.group_by[0]), pa.timestamp("us")
+            )
+            keep = pc.fill_null(
+                pc.greater_equal(
+                    pc.cast(pane, pa.int64()),
+                    pa.scalar(int(self.retention_min_pane), pa.int64()),
+                ),
+                True,
+            )
+            deltas = deltas.filter(keep)
         n_fresh = deltas.num_rows
         dirty = 0
 
@@ -1574,6 +1594,73 @@ def read_view(view_dir: str) -> pa.Table:
         i = out.column_names.index(a)
         out = out.set_column(i, a, _hist_estimates(out.column(a), spec))
     return out
+
+
+def prune_panes(view_dir: str, older_than) -> dict:
+    """Retention (TTL) for windowed views: drop every pane group strictly
+    below ``older_than`` and commit the watermark into ``_view_meta.json``
+    FIRST — from that point the writer treats deltas for expired panes as
+    consumed-by-policy (dropped before the fold), so late feed data can
+    neither resurrect a pruned pane nor trip the negative-count guard with
+    an orphaned retraction. Without this, a view over an unbounded time
+    axis grows forever even though only a trailing window is ever read.
+
+    Crash-safe ordering: watermark first, then per-partition atomic
+    rewrites (applied vectors preserved) — a crash mid-prune leaves some
+    expired rows on disk, legal until the idempotent rerun removes them.
+    Monotonic: a watermark below the committed one is refused."""
+    m = view_meta(view_dir)
+    derived = {d["out"]: DeriveSpec(**d) for d in m.get("derived", [])}
+    pane_col = m["group_by"][0]
+    d = derived.get(pane_col)
+    if d is None or d.kind != "time_bucket":
+        raise ValueError(
+            "prune_panes needs a view whose FIRST group column is a "
+            "time_bucket derived column (the pane)"
+        )
+    wm = pa.scalar(older_than).cast(pa.timestamp("us"))
+    wm_us = int(wm.cast(pa.int64()).as_py())
+    prev = m.get("retention_min_pane")
+    if prev is not None and wm_us < int(prev):
+        raise ValueError(
+            f"retention watermark must be monotonic: have {prev}, got {wm_us}"
+        )
+    from . import cdc
+
+    # lake writer lock serializes prune vs create/widen (refresh is
+    # single-consumer per view by contract, like every view mutator)
+    with cdc._LakeLock(m["source_lake"]):
+        if prev is None or wm_us > int(prev):
+            m["retention_min_pane"] = wm_us
+            _atomic_json(os.path.join(view_dir, "_view_meta.json"), m)
+
+        dropped = 0
+        kept = 0
+        for pid in range(int(m["num_partitions"])):
+            path = _view_path(view_dir, pid)
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path)
+            meta_bytes = t.schema.metadata
+            col = t.column(pane_col)
+            keep = pc.fill_null(
+                pc.greater_equal(
+                    pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()),
+                    pa.scalar(wm_us, pa.int64()),
+                ),
+                True,  # the null pane is never pruned
+            )
+            n_drop = t.num_rows - int(
+                pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+            )
+            if n_drop:
+                out = t.filter(keep).replace_schema_metadata(meta_bytes)
+                atomic_write_parquet(out, path)
+                dropped += n_drop
+                kept += out.num_rows
+            else:
+                kept += t.num_rows
+    return {"watermark_us": wm_us, "dropped_panes": dropped, "rows": kept}
 
 
 def read_window(view_dir: str, width_s: int, slide_s: int | None = None) -> pa.Table:

@@ -1197,3 +1197,103 @@ def test_view_read_window_validation(ray_session, vdirs):
     for w, s in ((1000, 500), (3600, 2400), (900, 450)):
         with pytest.raises(ValueError, match="multiple"):
             view.read_window(vd, w, s)
+
+
+# --- pane retention (TTL) ------------------------------------------------------
+
+def _recompute_hourly_from(lake_dir, wm_us, width_s=3600) -> pa.Table:
+    """Full re-aggregation restricted to panes at/after the watermark —
+    the retention invariant: view == recompute over surviving panes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    t = cdc.read_lake_table(lake_dir)
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    w = width_s * 1_000_000
+    pane = (us // w) * w
+    t = t.filter(pa.array(pane >= wm_us))
+    df = t.to_pandas()
+    us2 = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    df["pane_us"] = (us2 // w) * w
+    df["nc"] = df.text.str.len().fillna(0).astype("int64")
+    g = (
+        df.groupby("pane_us")
+        .agg(n_rows=("pane_us", "size"), n_chars=("nc", "sum"))
+        .reset_index()
+        .sort_values("pane_us")
+    )
+    return pa.table(
+        {
+            "pane": pa.array(g.pane_us, pa.int64()).cast(pa.timestamp("us")),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "n_chars": pa.array(g.n_chars, pa.int64()),
+        }
+    )
+
+
+def test_view_pane_retention_ttl(ray_session, vdirs):
+    """prune_panes drops expired pane groups and commits a watermark the
+    writer honors: late feed deltas for expired panes (retractions from
+    ts-moving updates of old rows, asserts landing below the watermark)
+    are consumed-by-policy — no resurrection, no negative-count error —
+    while surviving panes keep matching a recompute of the lake restricted
+    to panes at/after the watermark."""
+    import pyarrow.compute as pc
+
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 3600)],
+    )
+    full = view.read_view(vdirs["view"])
+    assert full.num_rows > 10
+    # watermark between the seed lake's panes and the replay events' panes
+    wm = full.column("pane")[full.num_rows // 2].as_py()
+    wm_us = int(wm.timestamp() * 1_000_000)
+
+    rep = view.prune_panes(vdirs["view"], wm)
+    assert rep["dropped_panes"] > 0
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute_hourly_from(vdirs["lake"], wm_us))
+    assert view.fsck(vdirs["view"])["clean"]
+
+    # idempotent rerun + monotonicity guard
+    assert view.prune_panes(vdirs["view"], wm)["dropped_panes"] == 0
+    import datetime as _dt
+
+    with pytest.raises(ValueError, match="monotonic"):
+        view.prune_panes(vdirs["view"], wm - _dt.timedelta(hours=1))
+
+    # late data: replay rounds whose updates/deletes RETRACT expired panes
+    # (old rows' ts sit below the watermark) and whose stable-echo asserts
+    # can land below it — all dropped by policy, never resurrected
+    for rnd, seed in enumerate((7, 11)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000)
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+        got = view.read_view(vdirs["view"])
+        assert got.equals(_recompute_hourly_from(vdirs["lake"], wm_us))
+        assert view.fsck(vdirs["view"])["clean"]
+        # nothing below the watermark ever reappears
+        pane_us = pc.cast(
+            pc.cast(got.column("pane"), pa.timestamp("us")), pa.int64()
+        )
+        assert pc.min(pane_us).as_py() >= wm_us
+
+    # read_window over the retained view only sees surviving panes
+    win = view.read_window(vdirs["view"], 7200, 3600)
+    ws_us = pc.cast(
+        pc.cast(win.column("window_start"), pa.timestamp("us")), pa.int64()
+    )
+    assert pc.min(ws_us).as_py() >= wm_us - 3600 * 1_000_000
+
+
+def test_view_pane_retention_requires_time_pane(ray_session, vdirs):
+    _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["conv_id"], [AggSpec("n_rows", "count")]
+    )
+    with pytest.raises(ValueError, match="time_bucket derived column"):
+        view.prune_panes(vdirs["view"], "2030-01-01 00:00:00")
