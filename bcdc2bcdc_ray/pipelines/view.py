@@ -1680,7 +1680,13 @@ def read_window(view_dir: str, width_s: int, slide_s: int | None = None) -> pa.T
     columns + the aggregates under their own names (hll/hist surface as
     estimates, exactly like :func:`read_view`). A window containing a
     DIRTY pane bound (min/max/hll awaiting repair) reads NULL for that
-    aggregate — never a silently-wrong bound."""
+    aggregate — never a silently-wrong bound.
+
+    Driver-side like :func:`read_view` (result-sized, bounded by
+    width/slide × pane count × residual group cardinality — retention
+    via :func:`prune_panes` bounds the time axis); a windowed view whose
+    residual groups are themselves huge should aggregate further before
+    windowing."""
     m = view_meta(view_dir)
     derived = {d["out"]: DeriveSpec(**d) for d in m.get("derived", [])}
     group_by: list[str] = m["group_by"]

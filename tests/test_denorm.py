@@ -432,3 +432,63 @@ def test_denorm_fsck_flags_staleness(ray_session, tmp_path):
     rep = denorm.fsck(dn_dir, sample_frac=0.2)
     assert rep["clean"] is True
     assert 0 < rep["convs_checked"] < 60
+
+
+def test_windowed_view_over_denorm_feed(ray_session, tmp_path):
+    """Capstone composition: fact WAL → fact feed → denorm join lake →
+    denorm feed → TIME-BUCKETED view (derived pane) grouped with the
+    JOINED attribute → read-time sliding windows. Every hop exactly-once;
+    the windowed rollup equals a direct explode-aggregate of the joined
+    lake."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import view as view_mod
+    from bcdc2bcdc_ray.pipelines.view import AggSpec, DeriveSpec
+
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+    dn_feed = str(tmp_path / "dn_feed")
+    vdir = str(tmp_path / "v")
+
+    view_mod.create_view(
+        vdir, dn_dir, ["pane", "tool_dest"],
+        [AggSpec("n_rows", "count")],
+        derive=[DeriveSpec("pane", "time_bucket", "ts", 1800)],
+    )
+
+    ev = cg.gen_change_events(1500, 60, seed=97)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fwal"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir, changes_dir=dn_feed, changes_before=True)
+    view_mod.refresh_view(vdir, dn_feed)
+
+    W, S = 3600, 1800
+    got = view_mod.read_window(vdir, W, S)
+
+    dn = denorm.read_denorm(dn_dir).select(["ts", "tool_dest"])
+    us = pc.cast(dn.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    s_us = S * 1_000_000
+    k = W // S
+    base = (us // s_us) * s_us
+    starts = (
+        base[:, None] - (np.arange(k - 1, -1, -1, dtype=np.int64) * s_us)
+    ).ravel()
+    df = dn.to_pandas().iloc[np.repeat(np.arange(len(us)), k)].reset_index(drop=True)
+    df["ws"] = starts
+    g = (
+        df.groupby(["ws", "tool_dest"], dropna=False)
+        .size().rename("n_rows").reset_index()
+        .sort_values(["ws", "tool_dest"], na_position="last")
+    )
+    import pandas as pd
+
+    gdf = got.to_pandas()
+    gdf["ws"] = (
+        got.column("window_start").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    gdf = gdf.sort_values(["ws", "tool_dest"], na_position="last")
+    pd.testing.assert_frame_equal(
+        gdf[["ws", "tool_dest", "n_rows"]].reset_index(drop=True),
+        g[["ws", "tool_dest", "n_rows"]].reset_index(drop=True),
+        check_dtype=False,
+    )
