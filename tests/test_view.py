@@ -1297,3 +1297,63 @@ def test_view_pane_retention_requires_time_pane(ray_session, vdirs):
     )
     with pytest.raises(ValueError, match="time_bucket derived column"):
         view.prune_panes(vdirs["view"], "2030-01-01 00:00:00")
+
+
+def test_lake_ttl_and_view_ttl_compose(ray_session, vdirs):
+    """Operational retention pipeline: `cdc.delete_where(ts < X)` expires
+    rows from the LAKE through the ordinary feed, and `view.prune_panes`
+    expires the matching panes from the windowed VIEW. Both orders stay
+    consistent: pruning the view first makes the bulk delete's feed
+    retractions consumed-by-policy; deleting first folds the panes to
+    zero naturally — either way view == recompute(lake panes ≥ wm)."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 3600)],
+    )
+    full = view.read_view(vdirs["view"])
+    wm = full.column("pane")[full.num_rows // 3].as_py()
+    wm_us = int(wm.timestamp() * 1_000_000)
+
+    # order A: prune the view FIRST, then bulk-delete the lake — the feed
+    # retractions for expired panes are consumed-by-policy
+    view.prune_panes(vdirs["view"], wm)
+    rep = cdc.delete_where(
+        vdirs["lake"], [("ts", "<", wm)], spec,
+        changes_dir=vdirs["changes"], changes_before=True,
+    )
+    assert rep["matched"] > 0
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute_hourly_from(vdirs["lake"], wm_us))
+    assert view.fsck(vdirs["view"])["clean"]
+    # the lake no longer holds any expired row, and the view matches a
+    # PLAIN recompute too (lake and view agree on the retention boundary)
+    t = cdc.read_lake_table(vdirs["lake"])
+    assert pc.min(t.column("ts")).as_py() >= wm
+    assert got.equals(_recompute_hourly_from(vdirs["lake"], 0))
+
+    # order B: bulk-delete FIRST (feed retractions fold panes to zero),
+    # then advance both watermarks again
+    wm2 = wm + _dt.timedelta(hours=3)
+    wm2_us = int(wm2.timestamp() * 1_000_000)
+    cdc.delete_where(
+        vdirs["lake"], [("ts", "<", wm2)], spec,
+        changes_dir=vdirs["changes"], changes_before=True,
+    )
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+    got = view.read_view(vdirs["view"])
+    assert got.equals(_recompute_hourly_from(vdirs["lake"], 0))
+    # panes below wm2 folded to zero and dropped — no prune needed for
+    # correctness; prune_panes just commits the policy watermark
+    pane_us = pc.cast(pc.cast(got.column("pane"), pa.timestamp("us")), pa.int64())
+    assert pc.min(pane_us).as_py() >= wm2_us
+    view.prune_panes(vdirs["view"], wm2)
+    assert view.fsck(vdirs["view"])["clean"]
