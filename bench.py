@@ -485,6 +485,100 @@ def run_view_bench() -> dict:
     }
 
 
+def run_window_bench() -> dict:
+    """Windowed-view economics (round-4 derived panes + read-time
+    sliding windows + TTL): on the same lake shape as --view, build an
+    hourly-pane view, fold a feed increment, then time read_window at
+    two (width, slide) shapes and a retention prune. The point at scale:
+    the feed maintains ONE pane per bucket (refresh cost = change
+    volume); any wider window is a read-time fold of the pane table —
+    never a lake pass, never extra write amplification."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc, view
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    abs_pre = _host_abs_ms()
+    work = f"/tmp/bench_window_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    lake_dir = os.path.join(work, "lake")
+    changes = os.path.join(work, "changes")
+    spec = transcripts_spec()
+    n_convs = int(os.environ.get("WINDOW_CONVS", "120000"))
+    n_events = int(os.environ.get("WINDOW_EVENTS", "200000"))
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    rows = lake.num_rows
+    cdc.init_lake(lake, lake_dir, spec, num_partitions=64)
+    del lake
+    aggs = [
+        view.AggSpec("n_rows", "count"),
+        view.AggSpec("n_chars", "sum_len", "text"),
+        view.AggSpec("max_turn", "max", "turn_idx"),
+    ]
+    derive = [view.DeriveSpec("pane", "time_bucket", "ts", 3600)]
+    vdir = os.path.join(work, "view")
+    # warm pass (worker spawn) outside the timed windows
+    view.create_view(os.path.join(work, "vwarm"), lake_dir, ["pane"], aggs,
+                     derive=derive)
+    t0 = time.perf_counter()
+    view.create_view(vdir, lake_dir, ["pane"], aggs, derive=derive)
+    create_s = time.perf_counter() - t0
+
+    paths = cg.gen_wal_chunks(
+        n_events, n_convs, os.path.join(work, "wal"), num_chunks=8, seed=43
+    )
+    cdc.replay(lake_dir, paths, spec, changes_dir=changes, changes_before=True)
+    t0 = time.perf_counter()
+    rep = view.refresh_view(vdir, changes)
+    refresh_s = time.perf_counter() - t0
+
+    panes = view.read_view(vdir)
+    t0 = time.perf_counter()
+    day = view.read_window(vdir, 86400, 3600)  # 24 panes per window
+    day_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    two = view.read_window(vdir, 7200, 3600)
+    two_s = time.perf_counter() - t0
+
+    # retention: drop the oldest third of panes
+    wm = panes.column("pane")[panes.num_rows // 3].as_py()
+    t0 = time.perf_counter()
+    prep = view.prune_panes(vdir, wm)
+    prune_s = time.perf_counter() - t0
+    out = {
+        "metric": "window_view_wall_sec",
+        "lake_rows": rows,
+        "pane_rows": panes.num_rows,
+        "applied_rows": rep["applied_rows"],
+        "num_cpus": NUM_CPUS,
+        "create_sec": round(create_s, 3),
+        "refresh_sec": round(refresh_s, 3),
+        "read_window_24pane_sec": round(day_s, 3),
+        "read_window_24pane_rows": day.num_rows,
+        "read_window_2pane_sec": round(two_s, 3),
+        "read_window_2pane_rows": two.num_rows,
+        "prune_sec": round(prune_s, 3),
+        "pruned_panes": prep["dropped_panes"],
+        "host_abs_ms_pre": abs_pre,
+        "host_abs_ms": _host_abs_ms(),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 def run_soak_once() -> dict:
     """Full-lifecycle soak at sustained scale (one Ray session): bootstrap
     a lake from a snapshot table → replay a ~32.6M-event WAL with the
@@ -762,6 +856,8 @@ if __name__ == "__main__":
         print(json.dumps(run_maintenance_scaling()))
     elif "--view" in sys.argv:
         print(json.dumps(run_view_bench()))
+    elif "--window" in sys.argv:
+        print(json.dumps(run_window_bench()))
     elif "--denorm" in sys.argv:
         print(json.dumps(run_denorm()))
     elif MODE == "maintenance":
