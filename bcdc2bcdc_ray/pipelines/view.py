@@ -1860,6 +1860,30 @@ def lookup(view_dir: str, value) -> pa.Table:
     return t
 
 
+def _max_pane_us(view_dir: str, pane_col: str) -> int | None:
+    """Footer-stats max of the pane column across partitions — no data
+    read (row-group statistics only)."""
+    m = view_meta(view_dir)
+    best = None
+    for pid in range(int(m["num_partitions"])):
+        path = _view_path(view_dir, pid)
+        if not os.path.exists(path):
+            continue
+        md = pq.read_metadata(path)
+        try:
+            ci = md.schema.to_arrow_schema().names.index(pane_col)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max or st.max is None:
+                continue
+            v = st.max
+            us = int(pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+            best = us if best is None else max(best, us)
+    return best
+
+
 def follow(
     view_dir: str,
     changes_dir: str,
@@ -1867,18 +1891,36 @@ def follow(
     max_rounds: int = 100,
     idle_rounds_to_stop: int = 1,
     poll_sleep_s: float = 0.0,
+    retain_panes_s: int | None = None,
 ) -> dict:
     """Continuous view tail-consumption — the view-side analog of
     ``cdc.follow``: poll ``changes_dir`` and fold whatever the consumed
     cursor hasn't covered yet, until ``idle_rounds_to_stop`` consecutive
     polls find no fresh feed files (or ``max_rounds``). Completes the CDC
     relay chain lake → change feed → continuously-maintained aggregate: an
-    idle poll costs one directory listing against the cursor, no reads."""
+    idle poll costs one directory listing against the cursor, no reads.
+
+    ``retain_panes_s`` (windowed views only) keeps a ROLLING window
+    trimmed automatically: after each non-idle round, panes older than
+    ``max_pane − retain_panes_s`` are pruned (:func:`prune_panes`;
+    watermark from parquet footer stats — no data read; monotonic, so a
+    stalled feed never prunes forward)."""
     import time as _time
 
+    pane_col = None
+    if retain_panes_s is not None:
+        m = view_meta(view_dir)
+        derived = {d["out"]: DeriveSpec(**d) for d in m.get("derived", [])}
+        pane_col = m["group_by"][0]
+        d = derived.get(pane_col)
+        if d is None or d.kind != "time_bucket":
+            raise ValueError(
+                "retain_panes_s needs a view whose FIRST group column is a "
+                "time_bucket derived column"
+            )
     rounds = 0
     idle = 0
-    totals = {"files": 0, "applied_rows": 0}
+    totals = {"files": 0, "applied_rows": 0, "pruned_panes": 0}
     while rounds < max_rounds and idle < idle_rounds_to_stop:
         rep = refresh_view(view_dir, changes_dir)
         rounds += 1
@@ -1888,6 +1930,17 @@ def follow(
             idle = 0
             totals["files"] += rep["files"]
             totals["applied_rows"] += rep["applied_rows"]
+            if retain_panes_s is not None:
+                mx = _max_pane_us(view_dir, pane_col)
+                if mx is not None:
+                    wm_us = mx - int(retain_panes_s) * 1_000_000
+                    prev = view_meta(view_dir).get("retention_min_pane")
+                    if prev is None or wm_us > int(prev):
+                        pr = prune_panes(
+                            view_dir,
+                            pa.scalar(wm_us, pa.int64()).cast(pa.timestamp("us")).as_py(),
+                        )
+                        totals["pruned_panes"] += pr["dropped_panes"]
         if poll_sleep_s and idle < idle_rounds_to_stop:
             _time.sleep(poll_sleep_s)
     return {"rounds": rounds, **totals}

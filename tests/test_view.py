@@ -1357,3 +1357,82 @@ def test_lake_ttl_and_view_ttl_compose(ray_session, vdirs):
     assert pc.min(pane_us).as_py() >= wm2_us
     view.prune_panes(vdirs["view"], wm2)
     assert view.fsck(vdirs["view"])["clean"]
+
+
+def test_view_follow_rolling_retention(ray_session, vdirs):
+    """follow(retain_panes_s=) keeps a rolling window trimmed: rounds of
+    ever-later events (hand-crafted ts marching past the seed's max pane)
+    advance the footer-stats watermark, panes older than max_pane −
+    retention are pruned automatically, and the surviving view equals a
+    recompute restricted to the retained panes."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs, n_convs=40)
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane"],
+        [AggSpec("n_rows", "count"), AggSpec("n_chars", "sum_len", "text")],
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 3600)],
+    )
+    seed_max_us = int(
+        pc.max(cdc.read_lake_table(vdirs["lake"]).column("ts"))
+        .cast(pa.int64()).as_py()
+    )
+    RETAIN = 4 * 3600  # keep 4 hours of panes (< the 5 h round hop)
+
+    def _advance_wal(rnd: int) -> pa.Table:
+        """500 upserts spread over 4 h starting 5·rnd hours past the seed max
+        (a 5 h hop vs the 8 h retention guarantees each round prunes)."""
+        n = 500
+        lsn0 = 1 + rnd * 100_000
+        base = seed_max_us + (5 * rnd) * 3_600_000_000
+        ts = base + (pa.array(range(n), pa.int64()).to_numpy() * 28_800_000)
+        return pa.table(
+            {
+                "lsn": pa.array(range(lsn0, lsn0 + n), pa.int64()),
+                "op": pa.array(["upsert"] * n),
+                "conv_id": pa.array(
+                    [f"conv-{i % 40:08d}" for i in range(n)], pa.string()
+                ),
+                # distinct keys per round: earlier rounds' rows STAY in their
+                # panes (an upsert of the same key would retract-and-move
+                # them forward, leaving nothing for the prune to drop)
+                "turn_idx": pa.array(
+                    [rnd * 12 + (i % 12) for i in range(n)], pa.int32()
+                ),
+                "role": pa.array(["user"] * n),
+                "text": pa.array([f"r{rnd} msg {i}" for i in range(n)]),
+                "tool": pa.nulls(n, pa.string()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    for rnd in range(1, 3):
+        paths = cg.write_wal_chunks(
+            _advance_wal(rnd), os.path.join(vdirs["wal"], f"adv{rnd}"),
+            num_chunks=2,
+        )
+        cdc.replay(
+            vdirs["lake"], paths, spec,
+            changes_dir=vdirs["changes"], changes_before=True,
+        )
+        rep = view.follow(
+            vdirs["view"], vdirs["changes"], retain_panes_s=RETAIN
+        )
+        assert rep["pruned_panes"] > 0  # the watermark advanced each round
+        got = view.read_view(vdirs["view"])
+        pane_us = pc.cast(
+            pc.cast(got.column("pane"), pa.timestamp("us")), pa.int64()
+        )
+        mx = pc.max(pane_us).as_py()
+        wm_us = mx - RETAIN * 1_000_000
+        assert pc.min(pane_us).as_py() >= wm_us
+        assert got.equals(_recompute_hourly_from(vdirs["lake"], wm_us))
+        assert view.fsck(vdirs["view"])["clean"]
+
+    # non-windowed views refuse the knob loudly
+    vd2 = vdirs["view"] + "_plain"
+    view.create_view(vd2, vdirs["lake"], ["conv_id"], [AggSpec("n_rows", "count")])
+    with pytest.raises(ValueError, match="time_bucket derived column"):
+        view.follow(vd2, vdirs["changes"], retain_panes_s=60)
