@@ -79,6 +79,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("applied_rows", pa.int64()),
         ("rows", pa.int64()),
         ("dirty", pa.int64()),  # groups whose min/max bound awaits repair
+        ("expired", pa.int64()),  # late delta rows dropped by pane retention
     ]
 )
 
@@ -858,10 +859,11 @@ class ViewWriter:
             fresh = np.ones(len(src_pid), dtype=bool)
         n_in = group.num_rows
         deltas = group.filter(pa.array(fresh))
+        expired = 0
         if self.retention_min_pane is not None and deltas.num_rows:
-            # drop expired-pane deltas AFTER the applied-vector update
-            # below has seen them (their files are consumed-by-policy);
-            # null panes are never pruned
+            # drop expired-pane deltas — consumed-by-policy, but COUNTED:
+            # the expired total in the refresh report is the operator's
+            # late-data signal; null panes are never pruned
             pane = pc.cast(
                 deltas.column(self.group_by[0]), pa.timestamp("us")
             )
@@ -872,7 +874,9 @@ class ViewWriter:
                 ),
                 True,
             )
+            n_before = deltas.num_rows
             deltas = deltas.filter(keep)
+            expired = n_before - deltas.num_rows
         n_fresh = deltas.num_rows
         dirty = 0
 
@@ -918,6 +922,7 @@ class ViewWriter:
                 "applied_rows": [n_fresh],
                 "rows": [rows],
                 "dirty": [dirty],
+                "expired": [expired],
             },
             schema=LINEAGE_SCHEMA,
         )
@@ -1294,6 +1299,9 @@ def refresh_view(view_dir: str, changes_dir: str) -> dict:
         "applied_rows": int(sum(r["applied_rows"] for r in lineage)),
         "partitions_touched": len(lineage),
         "view_rows": int(sum(r["rows"] for r in lineage)),
+        # late-data signal: delta rows for panes past the retention
+        # watermark, dropped consumed-by-policy (prune_panes docstring)
+        "expired_rows": int(sum(r["expired"] for r in lineage)),
     }
     if os.path.exists(_repair_flag(view_dir)):
         rep["repair"] = repair_view(view_dir)
@@ -1375,6 +1383,7 @@ class RepairWriter:
                 "applied_rows": [fixed],
                 "rows": [current.num_rows],
                 "dirty": [0],
+                "expired": [0],
             },
             schema=LINEAGE_SCHEMA,
         )
@@ -2015,6 +2024,7 @@ def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
                 "applied_rows": [merged.num_rows],
                 "rows": [merged.num_rows],
                 "dirty": [0],
+                "expired": [0],
             },
             schema=LINEAGE_SCHEMA,
         )

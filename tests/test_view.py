@@ -1330,7 +1330,10 @@ def test_lake_ttl_and_view_ttl_compose(ray_session, vdirs):
         changes_dir=vdirs["changes"], changes_before=True,
     )
     assert rep["matched"] > 0
-    view.refresh_view(vdirs["view"], vdirs["changes"])
+    vrep = view.refresh_view(vdirs["view"], vdirs["changes"])
+    # the late-data signal: the bulk delete's retractions for expired
+    # panes were dropped consumed-by-policy, and the report says how many
+    assert vrep["expired_rows"] > 0
     got = view.read_view(vdirs["view"])
     assert got.equals(_recompute_hourly_from(vdirs["lake"], wm_us))
     assert view.fsck(vdirs["view"])["clean"]
