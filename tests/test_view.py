@@ -1439,3 +1439,26 @@ def test_view_follow_rolling_retention(ray_session, vdirs):
     view.create_view(vd2, vdirs["lake"], ["conv_id"], [AggSpec("n_rows", "count")])
     with pytest.raises(ValueError, match="time_bucket derived column"):
         view.follow(vd2, vdirs["changes"], retain_panes_s=60)
+
+
+def test_view_over_snapshot_time_travel_aggregate(ray_session, vdirs):
+    """Snapshot dirs ARE complete lakes (hardlinked immutable inodes), so
+    create_view over cdc.snapshot_path computes a TIME-TRAVEL aggregate:
+    the view over the snapshot equals a recompute of the pre-mutation
+    state even after the live lake moves on."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    spec = _setup(vdirs)
+    cdc.snapshot(vdirs["lake"], "t0")
+    frozen = _recompute(vdirs["lake"])
+
+    _replay_round(vdirs, spec, 2500, seed=67)  # live lake moves on
+    assert not _recompute(vdirs["lake"]).equals(frozen)
+
+    snap = cdc.snapshot_path(vdirs["lake"], "t0")
+    vdir = vdirs["view"] + "_t0"
+    view.create_view(vdir, snap, ["conv_id"], AGGS)
+    assert view.read_view(vdir).equals(frozen)
+    # the snapshot dir holds only the transient lock artifacts afterwards,
+    # never mutated data files (hardlink safety)
+    assert not os.path.exists(os.path.join(snap, "_lock.json"))
