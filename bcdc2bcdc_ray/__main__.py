@@ -451,6 +451,11 @@ def _parse_agg(s: str):
             arg={"lo": float(lo), "hi": float(hi), "bins": int(bins),
                  "q": float(q)},
         )
+    if len(parts) > 3:  # a 4th field means hist — anything else is a typo
+        raise SystemExit(
+            f"--agg {s!r}: only kind 'hist' takes a 4th field "
+            f"(lo,hi,bins,q); got kind {parts[1]!r}"
+        )
     return view.AggSpec(*parts)
 
 

@@ -383,16 +383,24 @@ def _hist_matrix(col, bins: int) -> np.ndarray:
     return mat
 
 
-def _hist_onehot(col, agg: AggSpec) -> pa.Array:
-    """Per-row contribution: a one-hot bin-count vector. Bin id =
-    ``floor((v - lo) * bins / (hi - lo))`` clamped — bit-identical to the
-    sketch kit's quantization and its SQL mirror. NULL values contribute a
-    zero vector (quantiles ignore nulls)."""
+# pre-fold contribution representation: one (bin, sign) struct per row —
+# ~6 bytes instead of a dense 8·bins one-hot vector, so a 65536-bin spec
+# over a 100k-row batch costs ~600 KB, not 52 GB. The dense vector only
+# materializes PER GROUP, at the fold.
+_HIST_CONTRIB = pa.struct([("bin", pa.int32()), ("sign", pa.int8())])
+
+
+def _hist_contrib(col, agg: AggSpec, sign: int = 1) -> pa.Array:
+    """Per-row signed contribution: the bin id ``floor((v - lo) * bins /
+    (hi - lo))`` clamped — the same expression as the sketch kit's
+    quantization and its SQL mirror, INCLUDING the non-finite policy:
+    clamping happens in FLOAT space (a float→int64 astype of NaN/inf is
+    platform-defined), and NaN lands in the TOP bin exactly like DuckDB's
+    ``least(greatest(floor(NaN), 0), bins-1)`` (NaN compares greatest).
+    NULL values contribute a null struct (quantiles ignore nulls)."""
     lo, hi, bins, _ = _hist_params(agg)
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
-    if n == 0:
-        return pa.array([], pa.binary(bins * 8))
     nulls = (
         pc.is_null(arr).to_numpy(zero_copy_only=False) if arr.null_count else None
     )
@@ -400,13 +408,18 @@ def _hist_onehot(col, agg: AggSpec) -> pa.Array:
         pc.fill_null(pc.cast(arr, pa.float64(), safe=False), 0.0)
         .to_numpy(zero_copy_only=False)
     )
-    idx = np.floor((v - lo) * bins / (hi - lo)).astype(np.int64)
-    np.clip(idx, 0, bins - 1, out=idx)
-    mat = np.zeros((n, bins), np.int64)
-    mat[np.arange(n), idx] = 1
-    if nulls is not None and nulls.any():
-        mat[nulls] = 0
-    return _hist_fsb(mat)
+    f = np.floor((v - lo) * bins / (hi - lo))
+    # float-space clamp + DuckDB NaN-is-greatest before the int cast
+    f = np.where(np.isnan(f), float(bins - 1), f)
+    idx = np.clip(f, 0.0, float(bins - 1)).astype(np.int64)
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(idx.astype(np.int32), pa.int32()),
+            pa.array(np.full(n, sign, np.int8), pa.int8()),
+        ],
+        fields=list(_HIST_CONTRIB),
+        mask=pa.array(nulls) if nulls is not None else None,
+    )
 
 
 def _hist_estimates(col, agg: AggSpec) -> pa.Array:
@@ -525,7 +538,12 @@ def _fold_specs(aggs: list[AggSpec], retract: bool) -> list[tuple[str, str]]:
     threat column."""
     specs: list[tuple[str, str]] = []
     for a in aggs:
-        fn = a.kind if a.kind in _REPAIRABLE + _HIST else "sum"
+        if a.kind in _HIST:  # carry bins for the struct-input fold path
+            fn = f"hist:{int((a.arg or {})['bins'])}"
+        elif a.kind in _REPAIRABLE:
+            fn = a.kind
+        else:
+            fn = "sum"
         specs.append((a.out, fn))
         if retract and a.kind in _REPAIRABLE:
             specs.append((_retract_col(a.out), a.kind))
@@ -547,7 +565,7 @@ def _contribution(
     if agg.kind in _HLL:
         return _hll_row_registers(col)
     if agg.kind in _HIST:
-        return _hist_onehot(col, agg)
+        return _hist_contrib(col, agg)
     if agg.kind == "sum_len":
         vals = pc.fill_null(pc.utf8_length(col), 0)
         return pc.cast(vals, out_type)
@@ -599,11 +617,13 @@ def _signed_deltas(
             r_cols[agg.out] = pa.nulls(n, ot)
             r_cols[_retract_col(agg.out)] = before
         elif agg.kind in _HIST:
-            # exactly retractable: the retraction is the NEGATED one-hot,
+            # exactly retractable: the retraction is the sign=-1 contrib,
             # fold is an element-wise signed sum — no dirty state ever
-            bins = ot.byte_width // 8
+            pre = "" if (agg.col in key_cols) else "before_"
             a_cols[agg.out] = after
-            r_cols[agg.out] = _hist_fsb(-_hist_matrix(before, bins))
+            r_cols[agg.out] = _hist_contrib(
+                feed.column(f"{pre}{agg.col}"), agg, sign=-1
+            )
         else:
             a_cols[agg.out] = after
             r_cols[agg.out] = pc.negate_checked(before)
@@ -625,8 +645,10 @@ def _fold(
     the arrow groups through the canonical group-key hash (null-safe —
     the same hash that routes partitions)."""
     hll_cols = [c for c, k in specs if k == "hll"]
-    hist_cols = [c for c, k in specs if k == "hist"]
-    plain = [(c, k) for c, k in specs if k not in ("hll", "hist")]
+    hist_cols = [(c, k) for c, k in specs if k.startswith("hist")]
+    plain = [
+        (c, k) for c, k in specs if k != "hll" and not k.startswith("hist")
+    ]
     folded = table.group_by(group_by).aggregate(plain)
     names_p = [c for c, _ in plain]
     folded = folded.rename_columns(group_by + names_p)
@@ -643,12 +665,34 @@ def _fold(
             out_mat = np.zeros((ng, HLL_M), np.uint8)
             np.maximum.at(out_mat, row_to_out, mat)
             folded = folded.append_column(c, _fsb_from_matrix(out_mat))
-        for c in hist_cols:
+        for c, k in hist_cols:
             col = table.column(c)
-            bins = col.type.byte_width // 8
-            mat = _hist_matrix(col, bins)  # nulls fold as zeros
-            out_mat = np.zeros((ng, bins), np.int64)
-            np.add.at(out_mat, row_to_out, mat)
+            arr = (
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            if pa.types.is_struct(arr.type):
+                # pre-fold (bin, sign) contributions: scatter signed counts
+                # straight into the per-group matrix — the dense vector
+                # never materializes per row
+                bins = int(k.split(":", 1)[1])
+                out_mat = np.zeros((ng, bins), np.int64)
+                if len(arr):
+                    b = arr.field("bin").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    s = arr.field("sign").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    rows = row_to_out
+                    if arr.null_count:  # null contribs (null values) drop
+                        ok = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                        b, s, rows = b[ok], s[ok], rows[ok]
+                    np.add.at(out_mat, (rows, b), s)
+            else:  # already-dense per-group vectors (writer re-fold)
+                bins = arr.type.byte_width // 8
+                mat = _hist_matrix(arr, bins)  # nulls fold as zeros
+                out_mat = np.zeros((ng, bins), np.int64)
+                np.add.at(out_mat, row_to_out, mat)
             folded = folded.append_column(c, _hist_fsb(out_mat))
     return folded.select(group_by + [c for c, _ in specs])
 
@@ -1629,25 +1673,59 @@ def prune_panes(view_dir: str, older_than) -> dict:
         )
     wm = pa.scalar(older_than).cast(pa.timestamp("us"))
     wm_us = int(wm.cast(pa.int64()).as_py())
-    prev = m.get("retention_min_pane")
-    if prev is not None and wm_us < int(prev):
-        raise ValueError(
-            f"retention watermark must be monotonic: have {prev}, got {wm_us}"
-        )
     from . import cdc
 
     # lake writer lock serializes prune vs create/widen (refresh is
     # single-consumer per view by contract, like every view mutator)
     with cdc._LakeLock(m["source_lake"]):
+        # re-read UNDER the lock: a widen committed between our first read
+        # and acquisition must not be erased by writing a stale meta back
+        # (and the monotonic check must see the freshest watermark)
+        m = view_meta(view_dir)
+        prev = m.get("retention_min_pane")
+        if prev is not None and wm_us < int(prev):
+            raise ValueError(
+                f"retention watermark must be monotonic: have {prev}, "
+                f"got {wm_us}"
+            )
         if prev is None or wm_us > int(prev):
             m["retention_min_pane"] = wm_us
             _atomic_json(os.path.join(view_dir, "_view_meta.json"), m)
 
         dropped = 0
         kept = 0
+        ci_cache: dict[tuple, int] = {}
         for pid in range(int(m["num_partitions"])):
             path = _view_path(view_dir, pid)
             if not os.path.exists(path):
+                continue
+            # footer-stats fast path: a partition whose min pane is already
+            # at/after the watermark has nothing to drop — no data read
+            # (this is what makes the self-healing rerun at an UNCHANGED
+            # watermark cheap enough to run on every follow round)
+            md = pq.read_metadata(path)
+            key = tuple(md.schema.names)
+            ci = ci_cache.get(key)
+            if ci is None:
+                ci = ci_cache.setdefault(
+                    key, md.schema.to_arrow_schema().names.index(pane_col)
+                )
+            mins = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max or st.min is None:
+                    mins = None
+                    break
+                mins.append(
+                    int(
+                        pa.scalar(st.min)
+                        .cast(pa.timestamp("us"))
+                        .cast(pa.int64())
+                        .as_py()
+                    )
+                )
+            if mins is not None and (not mins or min(mins) >= wm_us):
+                kept += md.num_rows
                 continue
             t = pq.read_table(path)
             meta_bytes = t.schema.metadata
@@ -1727,8 +1805,6 @@ def read_window(view_dir: str, width_s: int, slide_s: int | None = None) -> pa.T
             t = pq.read_table(p).replace_schema_metadata(None)
             if t.num_rows:
                 parts.append(t.select(want))
-    hll_aggs = [a for a in aggs if a.kind in _HLL]
-    hist_aggs = [a for a in aggs if a.kind in _HIST]
     out_fields = [("window_start", pa.timestamp("us"))] + [
         (g, _type_from_str(dict(m["group_types"])[g])) for g in rest
     ]
@@ -1771,7 +1847,12 @@ def read_window(view_dir: str, width_s: int, slide_s: int | None = None) -> pa.T
     specs: list[tuple[str, str]] = []
     null_flags: list[str] = []
     for a in aggs:
-        fn = a.kind if a.kind in _REPAIRABLE + _HIST else "sum"
+        if a.kind in _HIST:
+            fn = f"hist:{int((a.arg or {})['bins'])}"
+        elif a.kind in _REPAIRABLE:
+            fn = a.kind
+        else:
+            fn = "sum"
         specs.append((a.out, fn))
         if a.kind in _REPAIRABLE:
             # a dirty pane poisons its windows (never a silently-wrong bound)
@@ -1944,7 +2025,12 @@ def follow(
                 if mx is not None:
                     wm_us = mx - int(retain_panes_s) * 1_000_000
                     prev = view_meta(view_dir).get("retention_min_pane")
-                    if prev is None or wm_us > int(prev):
+                    # >= , not >: a crash between the watermark commit and
+                    # the partition rewrites must self-heal on the next
+                    # round even when the watermark hasn't advanced (the
+                    # footer-min fast path makes the rerun cost footer
+                    # reads only when there's nothing to drop)
+                    if prev is None or wm_us >= int(prev):
                         pr = prune_panes(
                             view_dir,
                             pa.scalar(wm_us, pa.int64()).cast(pa.timestamp("us")).as_py(),
@@ -1991,7 +2077,10 @@ def _widen_writer(view_dir: str, agg: AggSpec, ot_str: str):
             return LINEAGE_SCHEMA.empty_table()
         current = pq.read_table(path)
         meta_bytes = current.schema.metadata or {}
-        fold_fn = agg.kind if agg.kind in _REPAIRABLE + _HIST else "sum"
+        fold_fn = (
+            f"hist:{int((agg.arg or {})['bins'])}" if agg.kind in _HIST
+            else agg.kind if agg.kind in _REPAIRABLE else "sum"
+        )
         vals = _fold(
             group.select(group_by + [agg.out]), group_by, [(agg.out, fold_fn)]
         ).rename_columns(group_by + [f"__new_{agg.out}"])
@@ -2061,6 +2150,13 @@ def add_aggregate(
     lmeta = cdc.lake_meta(lake_dir)
 
     with cdc._LakeLock(lake_dir):
+        # re-read UNDER the lock: a prune_panes watermark (or any other
+        # locked meta change) committed between the first read and lock
+        # acquisition must not be erased by the schema commit below
+        m = view_meta(view_dir)
+        aggs = [AggSpec(**a) for a in m["aggs"]]
+        if any(a.out == agg.out for a in aggs):
+            raise ValueError(f"aggregate {agg.out!r} already exists")
         if changes_dir is not None and os.path.isdir(changes_dir):
             refresh_view(view_dir, changes_dir)
         lake_files = [
@@ -2080,7 +2176,10 @@ def add_aggregate(
             | {agg.col}
             | {d.col for d in derived}
         )
-        fold_fn = agg.kind if agg.kind in _REPAIRABLE + _HIST else "sum"
+        fold_fn = (
+            f"hist:{int((agg.arg or {})['bins'])}" if agg.kind in _HIST
+            else agg.kind if agg.kind in _REPAIRABLE else "sum"
+        )
         gtypes = dict(m["group_types"])
 
         def partials(b: pa.Table) -> pa.Table:

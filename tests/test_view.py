@@ -1462,3 +1462,39 @@ def test_view_over_snapshot_time_travel_aggregate(ray_session, vdirs):
     # the snapshot dir holds only the transient lock artifacts afterwards,
     # never mutated data files (hardlink safety)
     assert not os.path.exists(os.path.join(snap, "_lock.json"))
+
+
+def test_hist_contrib_nonfinite_matches_sql_mirror():
+    """Bin quantization clamps in FLOAT space with DuckDB's NaN-is-greatest
+    policy — a float→int64 astype of a non-finite index is platform-defined
+    and must never reach the cast. Parity matrix vs
+    least(greatest(floor(...), 0), bins-1) on DOUBLE: NaN→top, +inf→top,
+    -inf→0, ±huge→top/0, null→null."""
+    import numpy as np
+
+    from bcdc2bcdc_ray.pipelines.view import _hist_contrib
+
+    agg = AggSpec("h", "hist", "v", arg={"lo": 0.0, "hi": 10.0, "bins": 4, "q": 0.5})
+    col = pa.array(
+        [float("nan"), float("inf"), float("-inf"), 1e300, -1e300, 5.0, None],
+        pa.float64(),
+    )
+    c = _hist_contrib(col, agg)
+    got = [(c[i].as_py()["bin"] if c[i].is_valid else None) for i in range(len(c))]
+    assert got == [3, 3, 0, 3, 0, 2, None]
+
+
+def test_hist_contrib_is_row_compact():
+    """The pre-fold contribution is a ~6-byte (bin, sign) struct per row —
+    a 65536-bin spec over a wide batch must NOT materialize dense one-hot
+    vectors (the dense form exists only per GROUP, post-fold)."""
+    from bcdc2bcdc_ray.pipelines.view import _HIST_CONTRIB, _hist_contrib
+
+    agg = AggSpec(
+        "h", "hist", "v",
+        arg={"lo": 0.0, "hi": 1.0, "bins": 65536, "q": 0.5},
+    )
+    col = pa.array([i / 100_000 for i in range(100_000)], pa.float64())
+    c = _hist_contrib(col, agg)
+    assert c.type == _HIST_CONTRIB
+    assert c.nbytes < 2_000_000  # ~0.6 MB, vs ~52 GB dense
