@@ -172,10 +172,24 @@ def create_denorm(
     must hold a secondary index on ``fact.fk`` (:func:`cdc.create_index`) —
     it is how dim-side changes reverse-resolve to affected fact keys.
 
-    Both feeds' current heads become the initial cursors: a feed file only
-    exists because its producing replay already committed, so the lakes'
-    current state reflects every file present now."""
+    Both feeds' heads AS OF ENTRY become the initial cursors — captured
+    BEFORE any base-state read, so a replay committing mid-build lands
+    past the cursor and the first refresh re-folds it (the recompute is
+    from base state, hence idempotent — a file marked consumed without
+    its data in the denorm would instead be lost forever).
+
+    Re-creating over an existing denorm dir REBUILDS from scratch: the
+    previous joined lake (and any snapshots under it) is removed first —
+    a bootstrap into a surviving lake would be watermark-skipped into a
+    silent no-op while the cursors reset, which is exactly the stale-lake
+    trap the re-partition guard tells users to escape via re-create."""
     import ray
+
+    # initial cursors FIRST (see docstring; order is load-bearing)
+    init_state = {
+        "fact": _feed_head(fact_changes_dir),
+        "dim": _feed_head(dim_changes_dir),
+    }
 
     fact_meta = cdc.lake_meta(fact_dir)
     dim_meta = cdc.lake_meta(dim_dir)
@@ -236,6 +250,16 @@ def create_denorm(
         "key": list(fact_meta["key"]),
         "num_partitions": int(fact_meta["num_partitions"]),
     }
+    if os.path.isdir(denorm_dir) and (
+        os.path.exists(os.path.join(denorm_dir, "_meta.json"))
+        or os.path.exists(_meta_path(denorm_dir))
+    ):
+        # rebuild-from-scratch semantics: a bootstrap into a surviving
+        # lake is watermark-skipped into a silent no-op (every bootstrap
+        # event carries lsn 0), so the old lake must go first
+        import shutil as _shutil
+
+        _shutil.rmtree(denorm_dir)
     os.makedirs(denorm_dir, exist_ok=True)
     spec = _denorm_spec(meta, fact_schema)
 
@@ -264,10 +288,7 @@ def create_denorm(
     with open(_meta_path(denorm_dir) + ".tmp", "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(_meta_path(denorm_dir) + ".tmp", _meta_path(denorm_dir))
-    _commit_state(
-        denorm_dir,
-        {"fact": _feed_head(fact_changes_dir), "dim": _feed_head(dim_changes_dir)},
-    )
+    _commit_state(denorm_dir, init_state)
     return {"rows": rep["rows"], "partitions": meta["num_partitions"], **{
         k: rep[k] for k in ("adds", "events")
     }}
@@ -364,6 +385,16 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
             "the refresh relies on no longer holds; re-create the denorm "
             "(create_denorm rebuilds from current base state)"
         )
+    # symmetric guard: the joined table is a first-class lake, so a user
+    # CAN split/merge it — but then the per-pid delete detection would
+    # read the wrong denorm files and stale rows would survive silently
+    dn_p = int(cdc.lake_meta(denorm_dir)["num_partitions"])
+    if dn_p != int(meta["num_partitions"]):
+        raise ValueError(
+            f"the denorm lake itself was re-partitioned "
+            f"({meta['num_partitions']} → {dn_p}) after create — the per-"
+            "partition recompute would miss rows; re-create the denorm"
+        )
 
     # the FK index must cover every fact feed file this refresh consumes —
     # and every one any PREVIOUS refresh consumed (a stale index misses
@@ -456,6 +487,20 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
 
     dim_ref = ray.put(dim_sub) if ray.is_initialized() else dim_sub
 
+    # the joined spec up front: delete events pad their payload columns
+    # from ITS schema, not from whatever `joined` happens to be in that
+    # task — so every emitted WAL chunk is schema-uniform even for a pid
+    # whose fact partition file is absent (joined is None there)
+    fact_schema = pq.read_schema(
+        next(
+            partition_path(fact_dir, p)
+            for p in range(cdc.lake_meta(fact_dir)["num_partitions"])
+            if os.path.exists(partition_path(fact_dir, p))
+        )
+    )
+    spec = _denorm_spec(meta, fact_schema)
+    pay_fields = [f for f in spec.schema if f.name not in key]
+
     def recompute_one(pid: int) -> None:
         import ray as _ray
 
@@ -498,14 +543,12 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
             parts.append(ev.replace_schema_metadata(None))
         if gone is not None and gone.num_rows:
             n = gone.num_rows
-            base = joined if joined is not None else None
             ev = gone.add_column(0, "lsn", pa.array([epoch] * n, pa.int64()))
             ev = ev.add_column(1, "op", pa.array(["delete"] * n, pa.string()))
-            # null payload columns (delete events are key-routed)
-            if base is not None:
-                for f in base.schema:
-                    if f.name not in key:
-                        ev = ev.append_column(f.name, pa.nulls(n, f.type))
+            # null payload columns from the SPEC (delete events are
+            # key-routed; schema-uniform across every pid's chunk)
+            for f in pay_fields:
+                ev = ev.append_column(f.name, pa.nulls(n, f.type))
             parts.append(ev.replace_schema_metadata(None))
         if not parts:
             return
@@ -539,14 +582,6 @@ def refresh_denorm(denorm_dir: str, **replay_kwargs) -> dict:
         for fn in os.listdir(tmp_wal)
         if fn.endswith(".parquet")
     )
-    fact_schema = pq.read_schema(
-        next(
-            partition_path(fact_dir, p)
-            for p in range(cdc.lake_meta(fact_dir)["num_partitions"])
-            if os.path.exists(partition_path(fact_dir, p))
-        )
-    )
-    spec = _denorm_spec(meta, fact_schema)
     events = 0
     if chunk_paths:
         rep = cdc.replay(denorm_dir, chunk_paths, spec, **replay_kwargs)
@@ -628,18 +663,23 @@ def fsck(denorm_dir: str, sample_frac: float = 0.05) -> dict:
     mod = 10_000
     keep = max(1, int(sample_frac * mod))
 
-    # sampled conv ids straight from the denorm lake's key column
+    # sample conv ids from BOTH lakes: the fact lake (base of record —
+    # a conversation a dropped feed file left entirely OUT of the denorm
+    # can only be sampled here) and the denorm (catches extra/stale rows
+    # for convs deleted from the fact side). Same hash rule → same convs
+    # re-checked every run.
     sampled: set = set()
-    for b in cdc.read_lake(denorm_dir, columns=[key0]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        if b.num_rows == 0:
-            continue
-        u = pc.unique(b.column(key0))
-        h = partition_ids(pa.table({key0: u}), [key0], mod)
-        sampled.update(
-            v for v, hh in zip(u.to_pylist(), h.tolist()) if hh < keep
-        )
+    for src in (meta["fact_dir"], denorm_dir):
+        for b in cdc.read_lake(src, columns=[key0]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            if b.num_rows == 0:
+                continue
+            u = pc.unique(b.column(key0))
+            h = partition_ids(pa.table({key0: u}), [key0], mod)
+            sampled.update(
+                v for v, hh in zip(u.to_pylist(), h.tolist()) if hh < keep
+            )
     rep = {
         "convs_checked": len(sampled), "rows_checked": 0,
         "stale_rows": 0, "missing_rows": 0, "extra_rows": 0,

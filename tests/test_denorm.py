@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -492,3 +494,79 @@ def test_windowed_view_over_denorm_feed(ray_session, tmp_path):
         g[["ws", "tool_dest", "n_rows"]].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_recreate_denorm_rebuilds_from_scratch(ray_session, tmp_path):
+    """create_denorm over an EXISTING denorm dir rebuilds: without the
+    wipe, the bootstrap's lsn=0 events are watermark-skipped into a
+    silent no-op while the cursors reset — the exact stale-lake trap the
+    re-partition guard tells users to escape via re-create."""
+    spec, fact_dir, dim_dir, idx_dir, dn_dir, fch, dch = _setup(tmp_path)
+
+    # move the fact lake forward WITHOUT refreshing the denorm
+    ev = cg.gen_change_events(1500, 120, seed=201)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fw2"), num_chunks=3)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    assert not _read_sorted(dn_dir).equals(_expected_join(fact_dir, dim_dir))
+
+    # re-create over the existing dir: must equal a fresh left join
+    denorm.create_denorm(
+        dn_dir, fact_dir, dim_dir, "tool", {"tool_dest": "dest_name"},
+        index_dir=idx_dir, fact_changes_dir=fch, dim_changes_dir=dch,
+    )
+    assert _read_sorted(dn_dir).equals(_expected_join(fact_dir, dim_dir))
+    # and the rebuilt denorm keeps refreshing normally
+    ev2 = cg.gen_change_events(800, 120, seed=203, lsn_start=50_000)
+    paths = cg.write_wal_chunks(ev2, str(tmp_path / "fw3"), num_chunks=2)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+    assert _read_sorted(dn_dir).equals(_expected_join(fact_dir, dim_dir))
+
+
+def test_refresh_refuses_repartitioned_denorm(ray_session, tmp_path):
+    """The symmetric guard: splitting the DENORM lake (legal — it's a
+    first-class lake) breaks the per-pid delete detection; refresh must
+    refuse loudly instead of leaving stale rows silently."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+    cdc.split_partitions(dn_dir)
+    ev = cg.gen_change_events(500, 60, seed=207)
+    paths = cg.write_wal_chunks(ev, str(tmp_path / "fw"), num_chunks=2)
+    cdc.replay(fact_dir, paths, spec, changes_dir=fch, changes_before=True)
+    with pytest.raises(ValueError, match="denorm lake itself was re-partitioned"):
+        denorm.refresh_denorm(dn_dir)
+
+
+def test_fsck_catches_wholly_missing_conversation(ray_session, tmp_path):
+    """fsck samples keys from the FACT lake too: a conversation entirely
+    absent from the denorm (the dropped-feed-file failure class) is
+    sampleable and reported as missing — sampling only the derived table
+    could never select it."""
+    import pyarrow.parquet as pq_
+
+    from bcdc2bcdc_ray.canonical import partition_ids
+
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path, n_convs=60)
+    assert denorm.fsck(dn_dir, sample_frac=1.0)["clean"]
+
+    # simulate a lost feed file: hard-delete ONE conversation's rows from
+    # the denorm partition file (bypassing the replay machinery)
+    t = denorm.read_denorm(dn_dir)
+    victim = t.column("conv_id")[0].as_py()
+    meta = denorm.denorm_meta(dn_dir)
+    pid = int(
+        partition_ids(
+            pa.table({"conv_id": pa.array([victim])}), ["conv_id"],
+            int(meta["num_partitions"]),
+        )[0]
+    )
+    from bcdc2bcdc_ray.pipelines.cdc import partition_path
+
+    p = partition_path(dn_dir, pid)
+    import pyarrow.compute as pc
+
+    pt = pq_.read_table(p)
+    kept = pt.filter(pc.invert(pc.equal(pt.column("conv_id"), victim)))
+    pq_.write_table(kept.replace_schema_metadata(pt.schema.metadata), p)
+
+    rep = denorm.fsck(dn_dir, sample_frac=1.0)
+    assert rep["missing_rows"] > 0 and not rep["clean"]
