@@ -55,9 +55,32 @@ class LakeLockedError(RuntimeError):
     runs), so mutating replays serialize through an advisory lock."""
 
 
-def lake_meta(lake_dir: str) -> dict:
+def lake_meta(lake_dir: str, *, allow_maintenance: bool = False) -> dict:
     with open(os.path.join(lake_dir, "_meta.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    mm = meta.get("maintenance")
+    if mm and not allow_maintenance:
+        # an interrupted split/merge committed its layout marker but not
+        # all of its staged renames — reads under this meta would misroute
+        # (a parent file still holds rows the new layout maps elsewhere).
+        # Refuse loudly; the op's rerun resumes the staged commit.
+        raise RuntimeError(
+            f"lake {lake_dir} has an interrupted {mm['op']} "
+            f"({mm['from']} → {meta['num_partitions']} partitions) — rerun "
+            f"cdc.{mm['op']}_partitions / `maintain {mm['op']}` to finish "
+            "the staged commit before reading or writing"
+        )
+    return meta
+
+
+def _write_meta(lake_dir: str, meta: dict) -> None:
+    """Atomic _meta.json commit (tmp + os.replace) — a crash mid-write
+    must never leave a truncated meta that bricks every later call."""
+    p = os.path.join(lake_dir, "_meta.json")
+    tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
 
 
 class _LakeLock:
@@ -406,14 +429,7 @@ def bootstrap_lake(
         # quadratic in block count (measured 16.6s wall on ~2s of CPU);
         # max(CPUs, bytes/128MB) blocks sort the same data in ~3s
         paths = [source] if isinstance(source, str) else list(source)
-        total_bytes = 0
-        for p in paths:
-            try:
-                total_bytes += os.path.getsize(p)
-            except OSError:
-                pass
-        n_blocks = max(min(cluster_cpus, 16), total_bytes // (128 << 20), 1)
-        ds = rd.read_parquet(paths, override_num_blocks=n_blocks)
+        ds = rd.read_parquet(paths, override_num_blocks=_scan_blocks(paths))
     else:
         ds = source  # caller-built Dataset: caller controls block sizing
 
@@ -741,7 +757,13 @@ def snapshot(lake_dir: str, tag: str) -> dict:
     meta = lake_meta(lake_dir)
     sdir = _snapshot_dir(lake_dir, tag)
     if os.path.exists(sdir):
-        raise FileExistsError(f"snapshot {tag!r} already exists")
+        if os.path.exists(os.path.join(sdir, "_meta.json")):
+            raise FileExistsError(f"snapshot {tag!r} already exists")
+        # torn leftover from a crashed snapshot (its _meta.json — the
+        # completion marker, linked LAST — never landed): redo from scratch
+        import shutil as _shutil
+
+        _shutil.rmtree(sdir)
     with _LakeLock(lake_dir):
         os.makedirs(os.path.join(sdir, "_manifests"))
         files = 0
@@ -766,9 +788,11 @@ def snapshot_path(lake_dir: str, tag: str) -> str:
     """Validated filesystem path of a named snapshot (a snapshot directory
     IS a complete read-only lake: partitions + _meta.json + _manifests)."""
     sdir = _snapshot_dir(lake_dir, tag)
-    if not os.path.isdir(sdir):
+    if not os.path.isdir(sdir) or not os.path.exists(
+        os.path.join(sdir, "_meta.json")
+    ):
         raise FileNotFoundError(
-            f"no snapshot {tag!r} under {lake_dir} "
+            f"no complete snapshot {tag!r} under {lake_dir} "
             f"(have: {list_snapshots(lake_dir)})"
         )
     return sdir
@@ -786,10 +810,18 @@ def read_snapshot(lake_dir: str, tag: str, **read_lake_kwargs):
 
 
 def list_snapshots(lake_dir: str) -> list[str]:
+    """COMPLETE snapshots only (the per-snapshot _meta.json is the
+    completion marker) — a torn leftover from a crashed snapshot() must
+    not look restorable."""
     d = os.path.join(lake_dir, "_snapshots")
     if not os.path.isdir(d):
         return []
-    return sorted(t for t in os.listdir(d) if not t.startswith("."))
+    return sorted(
+        t
+        for t in os.listdir(d)
+        if not t.startswith(".")
+        and os.path.exists(os.path.join(d, t, "_meta.json"))
+    )
 
 
 def snapshot_stats(lake_dir: str) -> list[dict]:
@@ -846,9 +878,18 @@ def prune_snapshots(
             raise FileNotFoundError(f"no such snapshot(s): {sorted(missing)}")
     else:
         victims = [r["tag"] for r in stats[: max(0, len(stats) - int(keep))]]
+    # torn leftovers from a crashed snapshot() (no _meta.json completion
+    # marker) are invisible to list/stats — GC them here too
+    snaps_root = os.path.join(lake_dir, "_snapshots")
+    torn = [
+        t
+        for t in (os.listdir(snaps_root) if os.path.isdir(snaps_root) else [])
+        if not t.startswith(".")
+        and not os.path.exists(os.path.join(snaps_root, t, "_meta.json"))
+    ]
     reclaimed = 0
     with _LakeLock(lake_dir):
-        for tag in victims:
+        for tag in victims + torn:
             sdir = _snapshot_dir(lake_dir, tag)
             for root, _, fns in os.walk(sdir):
                 for fn in fns:
@@ -857,7 +898,7 @@ def prune_snapshots(
                         reclaimed += st.st_size
             shutil.rmtree(sdir)
     return {
-        "removed": victims,
+        "removed": victims + torn,
         "kept": [t for t in list_snapshots(lake_dir)],
         "bytes_reclaimed": reclaimed,
     }
@@ -894,6 +935,14 @@ def restore(lake_dir: str, tag: str) -> dict:
     sdir = _snapshot_dir(lake_dir, tag)
     if not os.path.isdir(sdir):
         raise FileNotFoundError(f"no snapshot {tag!r} in {lake_dir}")
+    if not os.path.exists(os.path.join(sdir, "_meta.json")):
+        # the completion marker (linked LAST by snapshot()) is missing —
+        # restoring a torn snapshot would wipe the live lake and replace
+        # it with a fragment; refuse BEFORE anything destructive
+        raise FileNotFoundError(
+            f"snapshot {tag!r} is incomplete (interrupted snapshot; no "
+            "_meta.json) — delete it and re-snapshot"
+        )
     with _LakeLock(lake_dir):
         for pid in range(meta["num_partitions"]):
             p = partition_path(lake_dir, pid)
@@ -1183,8 +1232,22 @@ def _lake_scan_plan(lake_dir: str, columns, keys, predicate):
     key_col = meta["key"][0]
     pids = range(meta["num_partitions"])
     key_set = None
+    key_added = False
     if keys is not None:
         key_set = pa.array(sorted(set(keys)))
+        kt = _lake_col_type(lake_dir, meta, key_col)
+        if kt is not None and key_set.type != kt:
+            # CLI callers always pass strings; probe the lake's own key
+            # type (the fix lookup() already carries, generalized to the
+            # multi-key scan — a wrong-typed probe hashes to the wrong
+            # partitions and silently returns empty)
+            try:
+                key_set = key_set.cast(kt)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"keys= values are not castable to {key_col!r}'s type "
+                    f"{kt}: {e}"
+                ) from None
         probe = pa.table({key_col: key_set})
         pids = sorted(set(partition_ids(probe, [key_col], meta["num_partitions"]).tolist()))
     pred_extra_cols: list = []
@@ -1192,6 +1255,7 @@ def _lake_scan_plan(lake_dir: str, columns, keys, predicate):
         columns = list(columns)
         if key_set is not None and key_col not in columns:
             columns = [key_col] + columns
+            key_added = True
         if predicate is not None:
             pred_extra_cols = [
                 c for c, _, _ in predicate if c not in columns
@@ -1205,18 +1269,80 @@ def _lake_scan_plan(lake_dir: str, columns, keys, predicate):
     if predicate is not None and paths:
         paths = _prune_paths_by_predicate(paths, predicate)
 
+    # Column-presence audit over the kept files: schema evolution leaves
+    # OLDER partition files without later-added columns, and a parquet
+    # projection naming an absent column fails the read outright. Columns
+    # absent from SOME files read unprojected and pad as typed nulls per
+    # batch; absent from EVERY file is a caller error.
+    read_columns = columns
+    pad_types: dict = {}
+    want = list(columns or [])
+    if predicate is not None and columns is None:
+        want += [c for c, _, _ in predicate]
+    if want and paths:
+        types: dict = {}
+        presence = []
+        for p in paths:
+            s = pq.read_schema(p)
+            presence.append(set(s.names))
+            for c in want:
+                if c not in types and c in s.names:
+                    types[c] = s.field(c).type
+        unknown = sorted(set(want) - set(types))
+        if unknown:
+            raise ValueError(
+                f"column(s) {unknown} not present in any scanned partition "
+                f"of {lake_dir}"
+            )
+        pad_types = {
+            c: types[c]
+            for c in want
+            if any(c not in names for names in presence)
+        }
+        if pad_types and columns is not None:
+            read_columns = None  # heterogeneous fragments: no projection
+
+    out_cols = (
+        [
+            c
+            for c in columns
+            if c not in pred_extra_cols and not (key_added and c == key_col)
+        ]
+        if columns is not None
+        else None
+    )
+
     def strip(b: pa.Table) -> pa.Table:
+        for c, t in pad_types.items():
+            if c not in b.column_names:
+                b = b.append_column(c, pa.nulls(b.num_rows, t))
         if key_set is not None:
-            b = b.filter(pc.is_in(b.column(key_col), value_set=key_set))
+            ks = key_set
+            bt = b.column(key_col).type
+            if bt != ks.type:  # per-partition width drift (evolution)
+                ks = ks.cast(bt)
+            b = b.filter(pc.is_in(b.column(key_col), value_set=ks))
         if predicate is not None:
             b = b.filter(_predicate_mask(b, predicate))
-        if pred_extra_cols:
-            b = b.drop_columns(pred_extra_cols)
-        if HASH_COL in b.column_names:
+        if out_cols is not None:
+            b = b.select(out_cols)
+        elif HASH_COL in b.column_names:
             b = b.drop_columns([HASH_COL])
         return b.replace_schema_metadata(None) if b.schema.metadata else b
 
-    return paths, columns, strip
+    return paths, read_columns, strip
+
+
+def _lake_col_type(lake_dir: str, meta: dict, col: str):
+    """Type of ``col`` from the first partition file that carries it, or
+    None (empty lake). Per-file footer reads only."""
+    for pid in range(meta["num_partitions"]):
+        p = partition_path(lake_dir, pid)
+        if os.path.exists(p):
+            s = pq.read_schema(p)
+            if col in s.names:
+                return s.field(col).type
+    return None
 
 
 def _lake_empty_table(lake_dir: str, columns) -> pa.Table:
@@ -1352,11 +1478,29 @@ def split_partitions(lake_dir: str) -> None:
     are unchanged. Addresses the fixed-partition-count gap (VERDICT r1
     missing #7): partitions are kept at the few-hundred-MB target as the
     lake grows. Run as offline maintenance (no concurrent replay); the op
-    is idempotent — a crashed run leaves the old meta in place and a rerun
-    redoes the split from the unchanged inputs. The heavy per-parent
-    read→split→stage pass runs distributed (``_foreach_partition``); the
-    meta swap + renames that follow are metadata-only."""
-    meta = lake_meta(lake_dir)
+    is crash-consistent via a staged-commit marker: phase 1 stages every
+    child file (+ manifests) with the OLD meta still authoritative (a
+    crash there just reruns phase 1 over unchanged parents); only when
+    all children are durably staged does the meta commit the new layout
+    WITH a ``maintenance`` marker (atomic tmp+replace); phase 3 renames
+    the staged files into place and phase 4 clears the marker. A crash
+    between marker and clear leaves a lake whose reads would misroute —
+    ``lake_meta`` refuses every op until a rerun of THIS function resumes
+    the rename phase (pure ``os.replace`` of surviving staged files,
+    idempotent). The heavy per-parent read→split→stage pass runs
+    distributed (``_foreach_partition``)."""
+    meta = lake_meta(lake_dir, allow_maintenance=True)
+    mm = meta.get("maintenance")
+    if mm:
+        if mm["op"] != "split":
+            raise RuntimeError(
+                f"lake has an interrupted {mm['op']} — resume that first"
+            )
+        # resume: staging completed before the marker existed; only the
+        # rename phase can be outstanding
+        P = int(mm["from"])
+        _split_commit(lake_dir, meta, P)
+        return
     P = meta["num_partitions"]
     key0 = meta["key"][0]
 
@@ -1387,14 +1531,23 @@ def split_partitions(lake_dir: str) -> None:
                 )
 
     _foreach_partition(range(P), split_one)
-    # swap: meta first records the new layout, then the staged files land
+    # commit point: layout + in-progress marker as ONE atomic meta write
     meta["num_partitions"] = 2 * P
-    with open(os.path.join(lake_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    meta["maintenance"] = {"op": "split", "from": P}
+    _write_meta(lake_dir, meta)
+    _split_commit(lake_dir, meta, P)
+
+
+def _split_commit(lake_dir: str, meta: dict, P: int) -> None:
+    """Phase 3+4 of :func:`split_partitions`: land staged children, clear
+    the marker. Idempotent — a rerun skips already-renamed children."""
     for child in range(2 * P):
         staged = partition_path(lake_dir, child) + ".split"
         if os.path.exists(staged):
             os.replace(staged, partition_path(lake_dir, child))
+    meta = dict(meta)
+    meta.pop("maintenance", None)
+    _write_meta(lake_dir, meta)
 
 
 def merge_partitions(lake_dir: str) -> None:
@@ -1406,9 +1559,19 @@ def merge_partitions(lake_dir: str) -> None:
     higher side already absorbed is a NOOP by content hash (deterministic
     merge + idempotent commit), while taking the max could silently skip
     the lower side's unapplied range. Per-pair concat+sort+stage runs
-    distributed (``_foreach_partition``); the commit phase is
-    metadata-only."""
-    meta = lake_meta(lake_dir)
+    distributed (``_foreach_partition``); the commit follows the same
+    staged-commit marker protocol as :func:`split_partitions` (stage →
+    atomic meta+marker → renames/cleanup → marker clear; an interrupted
+    commit refuses every op until this function's rerun resumes it)."""
+    meta = lake_meta(lake_dir, allow_maintenance=True)
+    mm = meta.get("maintenance")
+    if mm:
+        if mm["op"] != "merge":
+            raise RuntimeError(
+                f"lake has an interrupted {mm['op']} — resume that first"
+            )
+        _merge_commit(lake_dir, meta, int(mm["from"]))
+        return
     P = meta["num_partitions"]
     if P % 2:
         raise ValueError("merge_partitions requires an even partition count")
@@ -1461,8 +1624,15 @@ def merge_partitions(lake_dir: str) -> None:
 
     _foreach_partition(range(H), merge_one)
     meta["num_partitions"] = H
-    with open(os.path.join(lake_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    meta["maintenance"] = {"op": "merge", "from": P}
+    _write_meta(lake_dir, meta)
+    _merge_commit(lake_dir, meta, P)
+
+
+def _merge_commit(lake_dir: str, meta: dict, P: int) -> None:
+    """Phase 3+4 of :func:`merge_partitions`: land staged merges, drop the
+    high-half files + manifests, clear the marker. Idempotent."""
+    H = P // 2
     for pid in range(H):
         staged = partition_path(lake_dir, pid) + ".merge"
         if os.path.exists(staged):
@@ -1473,6 +1643,9 @@ def merge_partitions(lake_dir: str) -> None:
         stale_m = os.path.join(lake_dir, "_manifests", f"part-{pid + H:05d}.json")
         if os.path.exists(stale_m):
             os.remove(stale_m)
+    meta = dict(meta)
+    meta.pop("maintenance", None)
+    _write_meta(lake_dir, meta)
 
 
 def compact(lake_dir: str, target_bytes: int = 256 << 20) -> int:
@@ -1573,10 +1746,13 @@ class AssignPartition:
     def __init__(self, spec: TableSpec, num_partitions: int, watermarks: dict):
         self.spec = spec
         self.P = num_partitions
-        # dense vector lookup: pid -> watermark (-1 = none)
+        # dense vector lookup: pid -> watermark (-1 = none). Manifests at
+        # pid >= P are strays from a crashed split's staging phase (child
+        # manifests commit before the layout marker) — not this layout's
         wm = np.full(num_partitions, -1, dtype=np.int64)
         for pid, w in watermarks.items():
-            wm[pid] = w
+            if pid < num_partitions:
+                wm[pid] = w
         self.wm = wm
         from ..canonical import add_content_hash
         from ..stages.delta import PRE_HASH_COL, _compare_columns
@@ -2185,6 +2361,7 @@ def sync_from(
     *,
     stage_dir: Optional[str] = None,
     keep_stage: bool = False,
+    resume_stage: bool = False,
     **replay_kwargs,
 ) -> dict:
     """The reference's END-TO-END job as one call: make the lake equal an
@@ -2232,6 +2409,16 @@ def sync_from(
             "/tmp", f"sync_stage_{spec.name}_{uuid.uuid4().hex[:10]}"
         )
     out_dir = stage_dir + "_wal"
+    if not resume_stage:
+        # a surviving stage (keep_stage workflow / crashed earlier sync of
+        # a DIFFERENT source) must not shadow this run's source: bootstrap
+        # into an existing lake is watermark-skipped, so the diff would
+        # silently run against the STALE staged contents — and stale diff
+        # chunks in out_dir would be re-applied. resume_stage=True opts
+        # into adopting both — only valid for a crashed sync of the
+        # IDENTICAL source.
+        _shutil.rmtree(stage_dir, ignore_errors=True)
+        _shutil.rmtree(out_dir, ignore_errors=True)
     try:
         bootstrap_lake(
             source, stage_dir, spec, num_partitions=meta["num_partitions"]
@@ -2283,11 +2470,20 @@ def _emit_where(
     meta = lake_meta(lake_dir)
     P = meta["num_partitions"]
     names = set(spec.schema.names)
+    # evolved columns live in the LAKE but not in a (possibly stale)
+    # caller spec: legal predicate targets, and — for updates — payload
+    # that must round-trip through the emitted upsert (an upsert replaces
+    # the whole row; dropping them would silently null them)
+    evolved_types: dict = {}
     for col, _o, _v in predicate:
         if col not in names:
-            raise ValueError(
-                f"predicate column {col!r} not in table schema {sorted(names)}"
-            )
+            t = _lake_col_type(lake_dir, meta, col)
+            if t is None:
+                raise ValueError(
+                    f"predicate column {col!r} not in table schema "
+                    f"{sorted(names)} nor in any lake partition"
+                )
+            evolved_types[col] = t
     key = list(spec.key)
     if set_values:
         for col in set_values:
@@ -2307,6 +2503,13 @@ def _emit_where(
         + 1
     )
     os.makedirs(out_dir, exist_ok=True)
+    # clear stale chunks from any previous emit into this out_dir (e.g. an
+    # inspected apply=False run): the post-emit listing below is by prefix
+    # glob, and a leftover chunk's LSNs sit above the never-advanced
+    # watermarks — a later apply would execute the OLD predicate too
+    for fn in os.listdir(out_dir):
+        if fn.startswith(f"{prefix}-") and fn.endswith(".parquet"):
+            os.unlink(os.path.join(out_dir, fn))
 
     # Index acceleration: with a secondary index whose LEADING column has
     # an equality conjunct in the predicate, resolve the matching keys
@@ -2363,11 +2566,29 @@ def _emit_where(
         )
 
     # delete needs only key + predicate columns off storage; update needs
-    # the full payload (an upsert replaces the row)
+    # the full payload (an upsert replaces the row) INCLUDING columns the
+    # lake evolved past the caller's spec
     if op == "delete":
         read_cols = sorted(set(key) | {c for c, _, _ in predicate})
     else:
-        read_cols = list(spec.schema.names)
+        from ..canonical import HASH_COL as _HC
+
+        lake_cols: dict = {}
+        for pid in range(P):
+            p = partition_path(lake_dir, pid)
+            if os.path.exists(p):
+                s = pq.read_schema(p)
+                for f in s:
+                    if f.name != _HC and f.name not in lake_cols:
+                        lake_cols[f.name] = f.type
+        evolved_types.update(
+            {c: t for c, t in lake_cols.items() if c not in names}
+        )
+        read_cols = sorted(set(spec.schema.names) | set(lake_cols))
+    col_type = {
+        **{f.name: f.type for f in spec.schema},
+        **evolved_types,
+    }
 
     def emit_one(pid: int) -> None:
         p = partition_path(lake_dir, pid)
@@ -2375,7 +2596,14 @@ def _emit_where(
             return
         if not _prune_paths_by_predicate([p], predicate):
             return  # zone-map skip: this partition cannot hold a match
-        t = pq.read_table(p, columns=read_cols)
+        # older files may predate an evolved column (schema drift is legal
+        # per partition): project what exists, pad the rest as spec-typed
+        # nulls — a predicate on the padded column simply never matches
+        have = set(pq.read_schema(p).names)
+        t = pq.read_table(p, columns=[c for c in read_cols if c in have])
+        for c in read_cols:
+            if c not in have:
+                t = t.append_column(c, pa.nulls(t.num_rows, col_type[c]))
         if key_filter is not None:
             t = t.filter(pc.is_in(t.column(key[0]), value_set=key_filter))
         t = t.filter(_predicate_mask(t, predicate))
@@ -2399,6 +2627,10 @@ def _emit_where(
                 )
             else:
                 cols[fld.name] = t.column(fld.name).cast(fld.type)
+        if op != "delete":
+            # evolved payload passes through the upsert unchanged
+            for c, ct in evolved_types.items():
+                cols[c] = t.column(c).cast(ct)
         atomic_write_parquet(
             pa.table(cols), os.path.join(out_dir, f"{prefix}-{pid:05d}.parquet")
         )

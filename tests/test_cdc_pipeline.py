@@ -2035,3 +2035,271 @@ def test_diff_lakes_skips_unchanged_partitions_by_fingerprint(
         dst, dst, str(tmp_path / "d3")
     )
     assert rep3["events"] == 0 and rep3["partitions_skipped"] == P
+
+
+# --- maintenance crash windows (staged-commit marker protocol) ----------------
+
+def test_split_interrupted_commit_refuses_then_resumes(
+    ray_session, dirs, monkeypatch
+):
+    """A split that crashed between the layout-marker commit and the staged
+    renames leaves a lake whose reads would misroute: every op must refuse
+    loudly, and a rerun of split_partitions must resume the rename phase
+    and land on the identical table."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=4)
+    cdc.replay(lake_dir, paths, spec)
+    before = cdc.read_lake_table(lake_dir)
+
+    # crash injection: staging + marker land, the commit phase never runs
+    monkeypatch.setattr(cdc, "_split_commit", lambda *a, **k: None)
+    cdc.split_partitions(lake_dir)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="interrupted split"):
+        cdc.lake_meta(lake_dir)
+    with pytest.raises(RuntimeError, match="interrupted split"):
+        cdc.replay(lake_dir, paths, spec)
+    with pytest.raises(RuntimeError, match="interrupted split"):
+        cdc.read_lake_table(lake_dir)
+
+    cdc.split_partitions(lake_dir)  # resume
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == 8
+    assert cdc.read_lake_table(lake_dir).equals(before)
+    assert cdc.fsck(lake_dir)["clean"]
+    rep = cdc.replay(lake_dir, paths, spec)  # exactly-once preserved
+    assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
+
+
+def test_merge_interrupted_commit_refuses_then_resumes(
+    ray_session, dirs, monkeypatch
+):
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=8)
+    cdc.replay(lake_dir, paths, spec)
+    before = cdc.read_lake_table(lake_dir)
+
+    monkeypatch.setattr(cdc, "_merge_commit", lambda *a, **k: None)
+    cdc.merge_partitions(lake_dir)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="interrupted merge"):
+        cdc.read_lake_table(lake_dir)
+    cdc.merge_partitions(lake_dir)  # resume
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == 4
+    assert cdc.read_lake_table(lake_dir).equals(before)
+    assert cdc.fsck(lake_dir)["clean"]
+
+
+def test_split_crash_before_marker_leaves_lake_usable(ray_session, dirs):
+    """A split that crashed DURING staging (no marker yet) leaves stray
+    child manifests at pid >= P; replay must ignore them (they are not
+    part of the committed layout), and a rerun of split converges."""
+    import json as _json
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=4)
+    cdc.replay(lake_dir, paths[:3], spec)
+
+    # simulate the staging phase's stray artifacts: a child manifest at
+    # pid+P and an orphan .split file
+    mdir = os.path.join(lake_dir, "_manifests")
+    src = os.path.join(mdir, "part-00001.json")
+    m = _json.load(open(src))
+    m["partition"] = 5
+    with open(os.path.join(mdir, "part-00005.json"), "w") as f:
+        _json.dump(m, f)
+    open(
+        cdc.partition_path(lake_dir, 5) + ".split", "wb"
+    ).write(open(cdc.partition_path(lake_dir, 1), "rb").read())
+
+    # replay under the OLD layout must neither crash nor misroute
+    cdc.replay(lake_dir, paths, spec)
+    # rerun of the split converges over the strays
+    cdc.split_partitions(lake_dir)
+    assert cdc.lake_meta(lake_dir)["num_partitions"] == 8
+    assert cdc.read_lake_table(lake_dir).equals(cg.oracle_replay(lake, events))
+    assert cdc.fsck(lake_dir)["clean"]
+
+
+def test_restore_refuses_torn_snapshot(ray_session, dirs):
+    """restore() must refuse an INCOMPLETE snapshot (no _meta.json
+    completion marker) BEFORE touching the live lake; list/prune treat it
+    as garbage; re-snapshotting the same tag redoes it."""
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, P=4)
+    cdc.replay(lake_dir, paths, spec)
+    before = cdc.read_lake_table(lake_dir)
+
+    # a torn snapshot: directory + one data file, no _meta.json
+    sdir = os.path.join(lake_dir, "_snapshots", "torn")
+    os.makedirs(os.path.join(sdir, "_manifests"))
+    open(os.path.join(sdir, "part-00000.parquet"), "wb").write(
+        open(cdc.partition_path(lake_dir, 0), "rb").read()
+    )
+
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        cdc.restore(lake_dir, "torn")
+    assert cdc.read_lake_table(lake_dir).equals(before)  # nothing destroyed
+    assert "torn" not in cdc.list_snapshots(lake_dir)
+
+    # re-snapshot over the torn leftover succeeds and is complete
+    cdc.snapshot(lake_dir, "torn")
+    assert "torn" in cdc.list_snapshots(lake_dir)
+    cdc.restore(lake_dir, "torn")
+    assert cdc.read_lake_table(lake_dir).equals(before)
+
+    # prune GCs torn leftovers too
+    os.makedirs(os.path.join(lake_dir, "_snapshots", "torn2"))
+    rep = cdc.prune_snapshots(lake_dir, keep=1)
+    assert "torn2" in rep["removed"]
+
+
+def test_read_lake_keys_cast_and_projection(ray_session, tmp_path):
+    """keys= casts string probes to the lake's key type (the CLI always
+    sends strings — a wrong-typed probe hashes to the wrong partitions and
+    silently returns empty), and a keys= + columns= scan returns EXACTLY
+    the requested columns (the key column added for filtering is
+    stripped)."""
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    spec = TableSpec(name="intkeyed", schema=schema, key=("k",), compare_columns=None)
+    t = pa.table({"k": pa.array(range(100), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(100)])})
+    lake = str(tmp_path / "ik")
+    cdc.init_lake(t, lake, spec, num_partitions=4)
+
+    got = pa.concat_tables(list(cdc.iter_lake_batches(lake, keys=["7", "42"])))
+    assert sorted(got.column("k").to_pylist()) == [7, 42]
+
+    only_v = pa.concat_tables(
+        list(cdc.iter_lake_batches(lake, columns=["v"], keys=[7]))
+    )
+    assert only_v.column_names == ["v"] and only_v.to_pylist() == [{"v": "v7"}]
+
+    with pytest.raises(ValueError, match="not castable"):
+        list(cdc.iter_lake_batches(lake, keys=["not-an-int"]))
+
+
+def test_scan_and_mutate_with_evolved_column(ray_session, dirs):
+    """Schema evolution leaves OLDER partition files without later-added
+    columns; scans and bulk mutations naming such a column must treat it
+    as null there, not crash the parquet projection."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_convs=40, P=8)
+    # evolved events confined to ONE conversation → exactly one partition
+    # gains the `lang` column (mixed presence across files)
+    ev = cg.gen_change_events(200, 40, seed=91, evolved=True)
+    ev = ev.filter(pc.equal(ev.column("conv_id"), ev.column("conv_id")[0]))
+    ev = ev.filter(pc.equal(ev.column("op"), "upsert")).slice(0, 10)
+    ev = ev.set_column(
+        ev.column_names.index("lang"), "lang",
+        pa.array(["en"] * ev.num_rows, pa.string()),
+    )
+    epaths = cg.write_wal_chunks(ev, os.path.join(wal_dir, "evo"), num_chunks=1)
+    cdc.replay(lake_dir, epaths, spec)
+    import pyarrow.parquet as pq_
+
+    present = [
+        "lang" in pq_.read_schema(cdc.partition_path(lake_dir, p)).names
+        for p in range(8)
+        if os.path.exists(cdc.partition_path(lake_dir, p))
+    ]
+    assert any(present) and not all(present), "need mixed presence"
+
+    # streaming scan projecting the evolved column pads nulls on old files
+    got = pa.concat_tables(
+        list(cdc.iter_lake_batches(lake_dir, columns=["conv_id", "lang"]))
+    )
+    assert got.num_rows == cdc.read_lake_table(lake_dir).num_rows
+    assert got.column("lang").null_count > 0
+
+    # predicate on the evolved column: old partitions simply never match
+    want = cdc.read_lake_table(lake_dir)
+    want_n = pc.sum(
+        pc.cast(pc.equal(want.column("lang"), "en"), pa.int64())
+    ).as_py() or 0
+    matched = pa.concat_tables(
+        list(cdc.iter_lake_batches(lake_dir, predicate=[("lang", "==", "en")]))
+    )
+    assert matched.num_rows == want_n
+
+    # bulk delete by the evolved column works end to end
+    rep = cdc.delete_where(lake_dir, [("lang", "==", "en")], spec)
+    assert rep["matched"] == want_n
+    after = cdc.read_lake_table(lake_dir)
+    if "lang" in after.column_names:
+        assert pc.sum(
+            pc.cast(pc.equal(after.column("lang"), "en"), pa.int64())
+        ).as_py() in (0, None)
+
+    with pytest.raises(ValueError, match="not present in any"):
+        list(cdc.iter_lake_batches(lake_dir, columns=["no_such_col"]))
+
+
+def test_emit_where_ignores_stale_chunks(ray_session, dirs, tmp_path):
+    """A dry-run (apply=False) whose chunks linger in out_dir must NOT be
+    replayed by a later apply=True run with a different predicate."""
+    import pyarrow.compute as pc
+
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_convs=40, P=4)
+    out = str(tmp_path / "walout")
+
+    t = cdc.read_lake_table(lake_dir)
+    conv_a = t.column("conv_id")[0].as_py()
+    conv_b = next(
+        v for v in t.column("conv_id").to_pylist() if v != conv_a
+    )
+    # inspected-but-never-applied delete of conv_a
+    cdc.delete_where(
+        lake_dir, [("conv_id", "==", conv_a)], spec, out_dir=out, apply=False
+    )
+    # applied delete of conv_b reusing the same out_dir
+    cdc.delete_where(
+        lake_dir, [("conv_id", "==", conv_b)], spec, out_dir=out, apply=True
+    )
+    after = cdc.read_lake_table(lake_dir)
+    assert pc.sum(pc.cast(pc.equal(after.column("conv_id"), conv_b), pa.int64())).as_py() in (0, None)
+    # conv_a was NEVER applied — its rows survive
+    n_a = pc.sum(pc.cast(pc.equal(after.column("conv_id"), conv_a), pa.int64())).as_py()
+    assert n_a and n_a > 0
+
+
+def test_sync_from_reused_stage_dir_sees_new_source(ray_session, dirs, tmp_path):
+    """A kept stage from a previous sync must not shadow the new source:
+    by default the stage is rebuilt (resume_stage=True opts into adopting
+    a crashed run's stage for the IDENTICAL source)."""
+    from bcdc2bcdc_ray.canonical import canonicalize
+    from bcdc2bcdc_ray.pipelines import cdc
+
+    lake_dir, wal_dir = dirs
+    spec, lake, events, paths = _setup(lake_dir, wal_dir, n_convs=40, P=4)
+    stage = str(tmp_path / "stage")
+
+    src1 = cg.oracle_replay(lake, cg.gen_change_events(500, 40, seed=71))
+    cdc.sync_from(lake_dir, src1, spec, stage_dir=stage, keep_stage=True)
+    src2 = cg.oracle_replay(lake, cg.gen_change_events(900, 40, seed=73))
+    rep = cdc.sync_from(lake_dir, src2, spec, stage_dir=stage, keep_stage=True)
+    got = canonicalize(cdc.read_lake_table(lake_dir), spec.falsy_null_columns)
+    want = canonicalize(
+        src2.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]),
+        spec.falsy_null_columns,
+    )
+    assert got.select(want.column_names).equals(want)
