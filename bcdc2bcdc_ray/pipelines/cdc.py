@@ -74,13 +74,11 @@ def lake_meta(lake_dir: str, *, allow_maintenance: bool = False) -> dict:
 
 
 def _write_meta(lake_dir: str, meta: dict) -> None:
-    """Atomic _meta.json commit (tmp + os.replace) — a crash mid-write
-    must never leave a truncated meta that bricks every later call."""
-    p = os.path.join(lake_dir, "_meta.json")
-    tmp = f"{p}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, p)
+    """Atomic _meta.json commit — a crash mid-write must never leave a
+    truncated meta that bricks every later call."""
+    from ..state.manifest import atomic_write_json
+
+    atomic_write_json(os.path.join(lake_dir, "_meta.json"), meta)
 
 
 class _LakeLock:

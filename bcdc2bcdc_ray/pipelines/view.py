@@ -216,10 +216,9 @@ def view_meta(view_dir: str) -> dict:
 
 
 def _atomic_json(path: str, obj) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
+    from ..state.manifest import atomic_write_json
+
+    atomic_write_json(path, obj)
 
 
 def _consumed_path(view_dir: str) -> str:

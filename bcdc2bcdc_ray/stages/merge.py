@@ -119,16 +119,16 @@ class MergeWriter:
         pid = int(group.column(PART_COL)[0].as_py())
         events = group.drop_columns([PART_COL])
 
-        wm = self.store.watermark(pid)
+        manifest = self.store.load(pid)
+        wm = manifest.lsn_hi if manifest else -1
         n_in = events.num_rows
         if wm >= 0:
             events = events.filter(pc.greater(events.column("lsn"), wm))
         skipped = n_in - events.num_rows
         if events.num_rows == 0:
-            cur_rows = 0
-            p = partition_path(self.lake_dir, pid)
-            if os.path.exists(p):
-                cur_rows = pq.read_metadata(p).num_rows
+            # all-skip path runs only when the manifest commit landed, so
+            # its rows count is authoritative — no footer read needed
+            cur_rows = manifest.rows if manifest else 0
             return pa.table(
                 {
                     "partition": [pid], "events": [n_in], "adds": [0], "updates": [0],
@@ -157,13 +157,18 @@ class MergeWriter:
                 # commit under a deterministic (pid, lsn_hi) name: a task
                 # retry rewrites the same file atomically, and a replay of
                 # already-committed chunks never reaches here (watermark
-                # filter above) — so downstream consumers see each change
-                # exactly once
+                # filter above). Invariant: the feed LEADS the lake inside
+                # the crash window — if this replay is abandoned (never
+                # retried), consumers may fold changes the lake hasn't
+                # committed until the SAME chunk is replayed; exactly-once
+                # holds once every started replay eventually completes.
+                # (lsn_hi > wm always here: events were filtered to
+                # lsn > wm and the empty case returned above.)
                 atomic_write_parquet(
                     feed,
                     os.path.join(
                         self.changes_dir,
-                        f"changes-{pid:05d}-{max(lsn_hi, wm):012d}.parquet",
+                        f"changes-{pid:05d}-{lsn_hi:012d}.parquet",
                     ),
                 )
             atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
@@ -173,7 +178,7 @@ class MergeWriter:
             self.store.commit(
                 PartitionManifest(
                     partition=pid,
-                    lsn_hi=max(lsn_hi, wm),
+                    lsn_hi=lsn_hi,
                     rows=new_state.num_rows,
                     counts=counts,
                     schema_names=list(new_state.schema.names),

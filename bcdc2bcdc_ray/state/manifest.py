@@ -7,12 +7,18 @@ read-through cache as cross-run state (``/root/reference/bcdc2bcdc/CacheFiles.py
 with an idempotent commit protocol:
 
 - one JSON manifest per logical lake partition: ``{partition, lsn_hi,
-  counts{adds,updates,deletes,noops}, rows, schema_names, committed_utc}``;
+  counts{adds,updates,deletes,noops}, rows, schema_names, data_file,
+  content_fp}``;
 - data written to ``part-XXXXX.parquet.tmp-<nonce>`` then atomically
   ``os.replace``d — a Ray task retry that dies mid-write leaves only a tmp
   file, never a torn partition (SURVEY §7 hard part (a));
 - the manifest is written (atomically) only AFTER the data rename, so
-  ``manifest.lsn_hi`` is the partition's durable high-watermark;
+  ``manifest.lsn_hi`` is the partition's high-watermark under the
+  PROCESS-crash model (task retry / driver kill — what Ray gives and the
+  crash-injection tests exercise). Power-loss/kernel-crash durability
+  additionally needs fsync of file + directory around each rename —
+  enabled with ``BCDC_FSYNC=1`` (off by default: local benchmarking; on
+  a production cluster writing to shared storage, turn it on);
 - re-applying a batch whose ``lsn_hi <= watermark`` is a no-op (skip), which
   makes replay of committed WAL chunks idempotent;
 - manifests key on the LOGICAL partition id, not any salted shuffle group
@@ -31,7 +37,41 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
+
+
+def _fsync_on() -> bool:
+    return os.environ.get("BCDC_FSYNC", "0") == "1"
+
+
+def _fsync_path_and_dir(path: str) -> None:
+    """fsync the file then its directory — the rename itself is only
+    durable across power loss once the directory entry is flushed."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    d = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(d)
+    finally:
+        os.close(d)
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """The engine-wide atomic JSON commit: tmp + os.replace (+ file/dir
+    fsync under ``BCDC_FSYNC=1``). One helper so a durability change lands
+    everywhere at once."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        if _fsync_on():
+            f.flush()
+            os.fsync(f.fileno())
+    os.replace(tmp, path)
+    if _fsync_on():
+        _fsync_path_and_dir(path)
 
 
 @dataclass
@@ -62,7 +102,12 @@ class ManifestStore:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return PartitionManifest(**json.load(f))
+            raw = json.load(f)
+        # forward-compatible: a manifest written by a NEWER engine with
+        # extra fields must still load here (the mirror of content_fp's
+        # treat-missing-as-unknown backward compat)
+        known = {f.name for f in fields(PartitionManifest)}
+        return PartitionManifest(**{k: v for k, v in raw.items() if k in known})
 
     def watermark(self, pid: int) -> int:
         m = self.load(pid)
@@ -80,11 +125,7 @@ class ManifestStore:
         """Atomic write: tmp + os.replace. Safe under task retry — last
         writer wins and both writers wrote identical content for identical
         (partition, lsn_hi) inputs (deterministic merge)."""
-        p = self._path(m.partition)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(asdict(m), f)
-        os.replace(tmp, p)
+        atomic_write_json(self._path(m.partition), asdict(m))
 
     # ---- lake-level replay watermark -------------------------------------
     # Committed by replay() ONLY after every partition's manifest commit
@@ -108,10 +149,7 @@ class ManifestStore:
         cur = self.global_watermark()
         if lsn_hi <= cur:
             return
-        tmp = f"{self._gpath()}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"lsn_hi": int(lsn_hi)}, f)
-        os.replace(tmp, self._gpath())
+        atomic_write_json(self._gpath(), {"lsn_hi": int(lsn_hi)})
 
     def total_counts(self) -> dict:
         tot = {"adds": 0, "updates": 0, "deletes": 0, "noops": 0, "rows": 0}
@@ -126,9 +164,13 @@ class ManifestStore:
 
 
 def atomic_write_parquet(table, final_path: str) -> None:
-    """Write a pa.Table to final_path via tmp + os.replace (torn-write safe)."""
+    """Write a pa.Table to final_path via tmp + os.replace (torn-write safe
+    under process crash; file+dir fsync under ``BCDC_FSYNC=1`` for power-
+    loss durability)."""
     import pyarrow.parquet as pq
 
     tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
     pq.write_table(table, tmp)
     os.replace(tmp, final_path)
+    if _fsync_on():
+        _fsync_path_and_dir(final_path)

@@ -2303,3 +2303,40 @@ def test_sync_from_reused_stage_dir_sees_new_source(ray_session, dirs, tmp_path)
         spec.falsy_null_columns,
     )
     assert got.select(want.column_names).equals(want)
+
+
+def test_manifest_load_is_forward_compatible(tmp_path):
+    """A manifest written by a NEWER engine (extra JSON keys) must load —
+    the mirror of content_fp's treat-missing-as-unknown backward compat."""
+    import json as _json
+
+    from bcdc2bcdc_ray.state.manifest import ManifestStore, PartitionManifest
+
+    store = ManifestStore(str(tmp_path))
+    store.commit(PartitionManifest(partition=3, lsn_hi=17, rows=5))
+    p = os.path.join(str(tmp_path), "_manifests", "part-00003.json")
+    raw = _json.load(open(p))
+    raw["future_field"] = {"anything": 1}
+    with open(p, "w") as f:
+        _json.dump(raw, f)
+    m = store.load(3)
+    assert m.lsn_hi == 17 and m.rows == 5
+
+
+def test_fsync_toggle_smoke(tmp_path, monkeypatch):
+    """BCDC_FSYNC=1 routes every atomic commit through file+dir fsync —
+    byte-identical results, just durable across power loss."""
+    from bcdc2bcdc_ray.state.manifest import atomic_write_json, atomic_write_parquet
+
+    monkeypatch.setenv("BCDC_FSYNC", "1")
+    p = str(tmp_path / "x.json")
+    atomic_write_json(p, {"a": 1})
+    import json as _json
+
+    assert _json.load(open(p)) == {"a": 1}
+    t = pa.table({"v": [1, 2]})
+    pp = str(tmp_path / "x.parquet")
+    atomic_write_parquet(t, pp)
+    import pyarrow.parquet as pq_
+
+    assert pq_.read_table(pp).equals(t)
