@@ -58,14 +58,17 @@ def cmd_init_lake(args) -> dict:
     if args.streaming:
         # 100-TB shape: snapshot streams through the distributed writer
         rep = cdc.bootstrap_lake(
-            args.input, args.lake, _load_spec(args.spec), args.partitions
+            args.input, args.lake, _load_spec(args.spec), args.partitions,
+            fs_kind=args.fs,
         )
         return {"cmd": "init-lake", "streaming": True,
                 "rows": rep["rows"], "partitions": args.partitions}
     import pyarrow.parquet as pq
 
     table = pq.read_table(args.input)
-    cdc.init_lake(table, args.lake, _load_spec(args.spec), args.partitions)
+    cdc.init_lake(
+        table, args.lake, _load_spec(args.spec), args.partitions, fs_kind=args.fs
+    )
     return {"cmd": "init-lake", "rows": table.num_rows, "partitions": args.partitions}
 
 
@@ -605,6 +608,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--streaming", action="store_true",
         help="stream the snapshot through the distributed writer "
              "(exactly-once, resumable) instead of loading it on the driver",
+    )
+    il.add_argument(
+        "--fs", choices=["posix", "object"], default=None,
+        help="storage commit protocol (default $BCDC_LAKE_FS, else posix): "
+             "posix = rename/hardlink, object = object-store PUT/lease/copy",
     )
     il.set_defaults(fn=cmd_init_lake)
 

@@ -35,6 +35,8 @@ import pyarrow.parquet as pq
 
 from ..canonical import partition_ids
 from ..spec import TableSpec, transcripts_spec
+from ..state import fs as lakefs
+from ..state.fs import LakeLockedError  # noqa: F401 — re-export (both backends raise it)
 from ..state.manifest import ManifestStore, PartitionManifest, atomic_write_parquet
 from ..stages import evolve
 from ..stages.merge import PART_COL, partition_path
@@ -48,11 +50,12 @@ class ProtectedLakeError(RuntimeError):
     ``checkUrl``; VERDICT r1 missing #5)."""
 
 
-class LakeLockedError(RuntimeError):
-    """Raised when a mutating replay finds another LIVE writer's lock on
-    the lake. Two concurrent replays would race partition rewrites and
-    manifests (last-writer-wins per partition → a torn mix of the two
-    runs), so mutating replays serialize through an advisory lock."""
+def lake_lock(lake_dir: str, stale_after_s: float = 3600.0):
+    """Writer mutual exclusion for this lake's storage backend: the
+    link-create ``_LakeLock`` on posix lakes, the conditional-PUT
+    :class:`~..state.fs.ObjectLease` on object-store lakes. Both raise
+    :class:`LakeLockedError` on a live conflicting holder."""
+    return lakefs.fs_for(lake_dir).lock(lake_dir, stale_after_s=stale_after_s)
 
 
 def lake_meta(lake_dir: str, *, allow_maintenance: bool = False) -> dict:
@@ -284,34 +287,40 @@ def mark_protected(lake_dir: str, protected: bool = True) -> None:
     unless called with ``force=True`` (or ``dry_run=True``)."""
     meta = lake_meta(lake_dir)
     meta["protected"] = bool(protected)
-    tmp = os.path.join(lake_dir, "_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(lake_dir, "_meta.json"))
+    _write_meta(lake_dir, meta)
 
 
 def init_lake(
-    table: pa.Table, lake_dir: str, spec: TableSpec, num_partitions: int
+    table: pa.Table,
+    lake_dir: str,
+    spec: TableSpec,
+    num_partitions: int,
+    fs_kind: Optional[str] = None,
 ) -> None:
     """Seed the lake: hash-partition the initial table by conv_id and write
     one file per partition. Partition assignment must match AssignPartition
-    exactly (same hash, same modulus) — co-partitioning invariant."""
+    exactly (same hash, same modulus) — co-partitioning invariant.
+
+    ``fs_kind`` picks the storage commit protocol (``"posix"`` rename/
+    hardlink, ``"object"`` object-store PUT/lease/copy — state/fs.py);
+    default from ``$BCDC_LAKE_FS``, else posix. The choice persists in a
+    ``_fs.json`` marker and is part of the lake's committed layout."""
     from ..canonical import HASH_VERSION
 
     os.makedirs(lake_dir, exist_ok=True)
-    with open(os.path.join(lake_dir, "_meta.json"), "w") as f:
-        json.dump(
-            {
-                "num_partitions": num_partitions,
-                "key": list(spec.key),
-                "name": spec.name,
-                # partition layout is a function of this hash — replay
-                # refuses a lake written with a different hash version
-                # rather than silently mis-routing keys
-                "hash": HASH_VERSION,
-            },
-            f,
-        )
+    lakefs.mark_fs(lake_dir, lakefs.resolve_kind(fs_kind))
+    _write_meta(
+        lake_dir,
+        {
+            "num_partitions": num_partitions,
+            "key": list(spec.key),
+            "name": spec.name,
+            # partition layout is a function of this hash — replay
+            # refuses a lake written with a different hash version
+            # rather than silently mis-routing keys
+            "hash": HASH_VERSION,
+        },
+    )
     # persist per-row content hashes + the column list they cover: replays
     # then classify against stored hashes instead of re-hashing the lake
     from ..canonical import HASH_COL, add_content_hash
@@ -362,6 +371,7 @@ def bootstrap_lake(
     spec: Optional[TableSpec] = None,
     num_partitions: int = 64,
     concurrency: Optional[int] = None,
+    fs_kind: Optional[str] = None,
 ) -> dict:
     """100-TB-shape initial load: STREAM the snapshot into a new lake
     through the same distributed machinery as replay (AssignPartition →
@@ -382,17 +392,16 @@ def bootstrap_lake(
     os.makedirs(lake_dir, exist_ok=True)
     meta_path = os.path.join(lake_dir, "_meta.json")
     if not os.path.exists(meta_path):  # idempotent re-run keeps the meta
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(
-                {
-                    "num_partitions": num_partitions,
-                    "key": list(spec.key),
-                    "name": spec.name,
-                    "hash": HASH_VERSION,
-                },
-                f,
-            )
-        os.replace(meta_path + ".tmp", meta_path)
+        lakefs.mark_fs(lake_dir, lakefs.resolve_kind(fs_kind))
+        _write_meta(
+            lake_dir,
+            {
+                "num_partitions": num_partitions,
+                "key": list(spec.key),
+                "name": spec.name,
+                "hash": HASH_VERSION,
+            },
+        )
     else:
         # resume path: the COMMITTED meta is authoritative — silently using
         # the caller's (possibly different) partitions/key here would route
@@ -443,7 +452,7 @@ def bootstrap_lake(
     )
     if concurrency is None:
         concurrency = max(1, min(16, P // 2, cluster_cpus - 1))
-    with _LakeLock(lake_dir):
+    with lake_lock(lake_dir):
         lineage_ds = ds.groupby(PART_COL).map_groups(
             bound_writer(lake_dir, spec, False, None),
             batch_format="pyarrow",
@@ -731,52 +740,49 @@ def _snapshot_dir(lake_dir: str, tag: str) -> str:
     return os.path.join(lake_dir, "_snapshots", tag)
 
 
-def _link_or_copy(src: str, dst: str) -> None:
-    try:
-        os.link(src, dst)
-    except OSError:  # cross-device or FS without hardlinks
-        import shutil
-
-        shutil.copy2(src, dst)
-
-
 def snapshot(lake_dir: str, tag: str) -> dict:
-    """Named ZERO-COPY snapshot: hardlink every partition file and copy the
-    (small) manifests + meta into ``_snapshots/<tag>/``. O(partitions)
-    metadata work, no data bytes move. Correct because partition writers
-    never modify a file in place — every rewrite goes through tmp +
-    ``os.replace``, which swaps the directory entry to a NEW inode and
-    leaves the snapshot's hardlinked old inode untouched (copy-on-write
-    for free). Taken under the lake writer lock, so the snapshot is a
+    """Named snapshot: clone every partition file and the (small) manifests
+    + meta into ``_snapshots/<tag>/``. On a posix lake the clone is a
+    hardlink — O(partitions) metadata work, zero data bytes move; correct
+    because partition writers never modify a file in place (every rewrite
+    publishes a NEW inode, leaving the snapshot's hardlinked old inode
+    untouched — copy-on-write for free). On an object-store lake the clone
+    is a server-side CopyObject per file (independent immutable objects —
+    keys get overwritten in place there, so reference-sharing would be
+    wrong). Taken under the lake writer lock, so the snapshot is a
     consistent (data + watermark) point: restoring it and re-replaying the
     same WAL resumes exactly from the snapshot's committed state. The
     reference has no state-versioning story at all — its closest analog is
     re-fetching everything into the JSON cache (``CacheFiles.py``)."""
     meta = lake_meta(lake_dir)
+    fs = lakefs.fs_for(lake_dir)
     sdir = _snapshot_dir(lake_dir, tag)
     if os.path.exists(sdir):
         if os.path.exists(os.path.join(sdir, "_meta.json")):
             raise FileExistsError(f"snapshot {tag!r} already exists")
         # torn leftover from a crashed snapshot (its _meta.json — the
-        # completion marker, linked LAST — never landed): redo from scratch
+        # completion marker, cloned LAST — never landed): redo from scratch
         import shutil as _shutil
 
         _shutil.rmtree(sdir)
-    with _LakeLock(lake_dir):
+    with lake_lock(lake_dir):
         os.makedirs(os.path.join(sdir, "_manifests"))
+        # the snapshot dir IS a complete lake — carry the backend marker so
+        # it stays self-describing even if relocated
+        lakefs.mark_fs(sdir, fs.kind)
         files = 0
         for pid in range(meta["num_partitions"]):
             p = partition_path(lake_dir, pid)
             if os.path.exists(p):
-                _link_or_copy(p, os.path.join(sdir, os.path.basename(p)))
+                fs.clone(p, os.path.join(sdir, os.path.basename(p)))
                 files += 1
         mdir = os.path.join(lake_dir, "_manifests")
         for fn in os.listdir(mdir):
             if fn.endswith(".json"):
-                _link_or_copy(
+                fs.clone(
                     os.path.join(mdir, fn), os.path.join(sdir, "_manifests", fn)
                 )
-        _link_or_copy(
+        fs.clone(
             os.path.join(lake_dir, "_meta.json"), os.path.join(sdir, "_meta.json")
         )
     return {"tag": tag, "files": files}
@@ -823,23 +829,24 @@ def list_snapshots(lake_dir: str) -> list[str]:
 
 
 def snapshot_stats(lake_dir: str) -> list[dict]:
-    """Per-snapshot disk accounting, oldest first. Hardlinks make cost
-    subtle: a snapshot's ``bytes_total`` is mostly shared with the live
-    lake (same inodes); its ``bytes_exclusive`` counts only inodes whose
-    SOLE remaining directory entry is this snapshot (``st_nlink == 1``) —
-    the bytes actually reclaimed by pruning it. Metadata-only (O(files)
-    stats, no data read)."""
+    """Per-snapshot disk accounting, oldest first. On posix lakes hardlinks
+    make cost subtle: a snapshot's ``bytes_total`` is mostly shared with
+    the live lake (same inodes); its ``bytes_exclusive`` counts only inodes
+    whose SOLE remaining directory entry is this snapshot (``st_nlink ==
+    1``) — the bytes actually reclaimed by pruning it. On object-store
+    lakes every snapshot object is independent (CopyObject), so exclusive
+    == total. Metadata-only (O(files) stats, no data read)."""
+    fs = lakefs.fs_for(lake_dir)
     out = []
     for tag in list_snapshots(lake_dir):
         sdir = _snapshot_dir(lake_dir, tag)
         total = excl = files = 0
         for root, _, fns in os.walk(sdir):
             for fn in fns:
-                st = os.stat(os.path.join(root, fn))
+                p = os.path.join(root, fn)
                 files += 1
-                total += st.st_size
-                if st.st_nlink == 1:
-                    excl += st.st_size
+                total += os.stat(p).st_size
+                excl += fs.exclusive_size(p)
         out.append(
             {
                 "tag": tag,
@@ -885,15 +892,15 @@ def prune_snapshots(
         if not t.startswith(".")
         and not os.path.exists(os.path.join(snaps_root, t, "_meta.json"))
     ]
+    fs = lakefs.fs_for(lake_dir)
     reclaimed = 0
-    with _LakeLock(lake_dir):
+    with lake_lock(lake_dir):
         for tag in victims + torn:
             sdir = _snapshot_dir(lake_dir, tag)
             for root, _, fns in os.walk(sdir):
                 for fn in fns:
-                    st = os.stat(os.path.join(root, fn))
-                    if st.st_nlink == 1:  # last reference → bytes freed
-                        reclaimed += st.st_size
+                    # last reference → bytes freed (object: always exclusive)
+                    reclaimed += fs.exclusive_size(os.path.join(root, fn))
             shutil.rmtree(sdir)
     return {
         "removed": victims + torn,
@@ -941,37 +948,26 @@ def restore(lake_dir: str, tag: str) -> dict:
             f"snapshot {tag!r} is incomplete (interrupted snapshot; no "
             "_meta.json) — delete it and re-snapshot"
         )
-    with _LakeLock(lake_dir):
+    fs = lakefs.fs_for(lake_dir)
+    with lake_lock(lake_dir):
         for pid in range(meta["num_partitions"]):
-            p = partition_path(lake_dir, pid)
-            if os.path.exists(p):
-                os.unlink(p)
+            fs.delete(partition_path(lake_dir, pid))
         mdir = os.path.join(lake_dir, "_manifests")
         for fn in os.listdir(mdir):
             if fn.endswith(".json"):
-                os.unlink(os.path.join(mdir, fn))
+                fs.delete(os.path.join(mdir, fn))
         files = 0
+        # fs.clone is atomic at the destination (posix: link-to-tmp +
+        # rename; object: CopyObject) — a crash mid-restore cannot leave a
+        # half-written directory entry
         for fn in os.listdir(sdir):
             if fn.endswith(".parquet"):
-                # link to a tmp name then replace: a crash mid-restore can
-                # not leave a half-written directory entry
-                dst = os.path.join(lake_dir, fn)
-                tmp = f"{dst}.tmp-restore"
-                _link_or_copy(os.path.join(sdir, fn), tmp)
-                os.replace(tmp, dst)
+                fs.clone(os.path.join(sdir, fn), os.path.join(lake_dir, fn))
                 files += 1
         for fn in os.listdir(os.path.join(sdir, "_manifests")):
-            dst = os.path.join(mdir, fn)
-            tmp = f"{dst}.tmp-restore"
-            _link_or_copy(os.path.join(sdir, "_manifests", fn), tmp)
-            os.replace(tmp, dst)
-        _link_or_copy(
-            os.path.join(sdir, "_meta.json"),
-            os.path.join(lake_dir, "_meta.json.tmp-restore"),
-        )
-        os.replace(
-            os.path.join(lake_dir, "_meta.json.tmp-restore"),
-            os.path.join(lake_dir, "_meta.json"),
+            fs.clone(os.path.join(sdir, "_manifests", fn), os.path.join(mdir, fn))
+        fs.clone(
+            os.path.join(sdir, "_meta.json"), os.path.join(lake_dir, "_meta.json")
         )
     return {"tag": tag, "files": files}
 
@@ -1021,7 +1017,6 @@ class FeedCursor:
 
     def commit(self, files) -> None:
         import re as _re
-        import uuid as _uuid
 
         pat = _re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
         consumed = self.consumed()
@@ -1032,10 +1027,9 @@ class FeedCursor:
             pid, lsn = int(mm.group(1)), int(mm.group(2))
             if lsn > consumed.get(pid, -1):
                 consumed[pid] = lsn
-        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({str(k): int(v) for k, v in consumed.items()}, f)
-        os.replace(tmp, self.path)
+        lakefs.fs_for_path(self.path).put_json(
+            self.path, {str(k): int(v) for k, v in consumed.items()}
+        )
 
 
 def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
@@ -1050,6 +1044,7 @@ def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
     import re as _re
 
     pat = _re.compile(r"changes-(\d{5})-(\d{12})\.parquet$")
+    fs = lakefs.fs_for(changes_dir)
     removed = 0
     kept = 0
     for fn in sorted(os.listdir(changes_dir)):
@@ -1058,7 +1053,7 @@ def prune_changes(changes_dir: str, consumed: dict[int, int]) -> dict:
             continue
         pid, lsn = int(mm.group(1)), int(mm.group(2))
         if lsn <= consumed.get(pid, -1):
-            os.unlink(os.path.join(changes_dir, fn))
+            fs.delete(os.path.join(changes_dir, fn))
             removed += 1
         else:
             kept += 1
@@ -1538,11 +1533,15 @@ def split_partitions(lake_dir: str) -> None:
 
 def _split_commit(lake_dir: str, meta: dict, P: int) -> None:
     """Phase 3+4 of :func:`split_partitions`: land staged children, clear
-    the marker. Idempotent — a rerun skips already-renamed children."""
+    the marker. Idempotent — a rerun skips already-published children (on
+    the object backend publish = CopyObject + DELETE; a crash between the
+    two leaves the staged object, and this rerun re-publishes the same
+    deterministic content over the final key)."""
+    fs = lakefs.fs_for(lake_dir)
     for child in range(2 * P):
         staged = partition_path(lake_dir, child) + ".split"
         if os.path.exists(staged):
-            os.replace(staged, partition_path(lake_dir, child))
+            fs.publish(staged, partition_path(lake_dir, child))
     meta = dict(meta)
     meta.pop("maintenance", None)
     _write_meta(lake_dir, meta)
@@ -1630,17 +1629,14 @@ def merge_partitions(lake_dir: str) -> None:
 def _merge_commit(lake_dir: str, meta: dict, P: int) -> None:
     """Phase 3+4 of :func:`merge_partitions`: land staged merges, drop the
     high-half files + manifests, clear the marker. Idempotent."""
+    fs = lakefs.fs_for(lake_dir)
     H = P // 2
     for pid in range(H):
         staged = partition_path(lake_dir, pid) + ".merge"
         if os.path.exists(staged):
-            os.replace(staged, partition_path(lake_dir, pid))
-        stale = partition_path(lake_dir, pid + H)
-        if os.path.exists(stale):
-            os.remove(stale)
-        stale_m = os.path.join(lake_dir, "_manifests", f"part-{pid + H:05d}.json")
-        if os.path.exists(stale_m):
-            os.remove(stale_m)
+            fs.publish(staged, partition_path(lake_dir, pid))
+        fs.delete(partition_path(lake_dir, pid + H))
+        fs.delete(os.path.join(lake_dir, "_manifests", f"part-{pid + H:05d}.json"))
     meta = dict(meta)
     meta.pop("maintenance", None)
     _write_meta(lake_dir, meta)
@@ -2135,7 +2131,7 @@ def replay(
         audit_dir=audit_dir, auto_compact_bytes=auto_compact_bytes,
         stats=stats, changes_dir=changes_dir, changes_before=changes_before,
         )
-    with _LakeLock(lake_dir):
+    with lake_lock(lake_dir):
         return _replay_execute(
         lake_dir, spec, P, store, watermarks, live_paths, wal_paths,
         salt=salt, hot_key_threshold=hot_key_threshold,
@@ -2697,7 +2693,7 @@ def delete_where(
             # one lock across emit + apply: a concurrent writer cannot
             # advance watermarks past the emitted LSNs in between (the
             # exactly-once filter would silently skip them)
-            with _LakeLock(lake_dir):
+            with lake_lock(lake_dir):
                 rep = _emit_where(
                     lake_dir, predicate, out_dir, spec,
                     op="delete", prefix="del",
@@ -2755,7 +2751,7 @@ def update_where(
         out_dir = tmp
     try:
         if apply:
-            with _LakeLock(lake_dir):  # see delete_where: emit+apply atomic
+            with lake_lock(lake_dir):  # see delete_where: emit+apply atomic
                 rep = _emit_where(
                     lake_dir, predicate, out_dir, spec,
                     op="upsert", set_values=set_values, prefix="upd",

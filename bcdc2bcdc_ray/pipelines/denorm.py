@@ -72,14 +72,13 @@ def _load_state(denorm_dir: str) -> dict:
 
 
 def _commit_state(denorm_dir: str, state: dict) -> None:
-    p = os.path.join(denorm_dir, _STATE)
+    from ..state.manifest import atomic_write_json
+
     enc = {
         side: {str(k): int(v) for k, v in state[side].items()}
         for side in ("fact", "dim")
     }
-    with open(p + ".tmp", "w") as f:
-        json.dump(enc, f)
-    os.replace(p + ".tmp", p)
+    atomic_write_json(os.path.join(denorm_dir, _STATE), enc)
 
 
 def _feed_head(changes_dir: str) -> dict[int, int]:
@@ -281,13 +280,20 @@ def create_denorm(
         return _attach_dim(b, d, fk_col, dk_col, sel)
 
     ds = cdc.read_lake(fact_dir).map_batches(attach, batch_format="pyarrow")
+    from ..state import fs as lakefs
+
     rep = cdc.bootstrap_lake(
-        ds, denorm_dir, spec, num_partitions=meta["num_partitions"]
+        ds,
+        denorm_dir,
+        spec,
+        num_partitions=meta["num_partitions"],
+        # the joined lake inherits the fact lake's storage backend
+        fs_kind=lakefs.fs_kind(fact_dir),
     )
 
-    with open(_meta_path(denorm_dir) + ".tmp", "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(_meta_path(denorm_dir) + ".tmp", _meta_path(denorm_dir))
+    from ..state.manifest import atomic_write_json
+
+    atomic_write_json(_meta_path(denorm_dir), meta)
     _commit_state(denorm_dir, init_state)
     return {"rows": rep["rows"], "partitions": meta["num_partitions"], **{
         k: rep[k] for k in ("adds", "events")

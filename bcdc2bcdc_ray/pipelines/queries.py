@@ -3708,6 +3708,37 @@ def transcripts_replay(sf_dir: str):
         return cdc.read_lake_table(lake_dir)
 
 
+@q("transcripts_replay_objectfs", _replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL))
+def transcripts_replay_objectfs(sf_dir: str):
+    """The flagship replay on the OBJECT-STORE lake backend (state/fs.py
+    kind="object" — atomic PUT commits, ObjectLease writer lock, CopyObject
+    snapshots; no rename/hardlink semantics anywhere), exercised end to end:
+    init(object) → replay half the WAL → snapshot → replay all → restore →
+    re-replay (exactly-once forward) → read. Same exact SQL oracle as
+    ``transcripts_replay`` — the storage protocol must be invisible to the
+    result (VERDICT r4 next-round #1)."""
+    from .. import changegen as cg
+    from ..spec import transcripts_spec
+    from . import cdc
+
+    _ensure_flagship_fixture()
+    spec = transcripts_spec()
+    with tempfile.TemporaryDirectory(prefix="txro_") as tmp:
+        lake_dir = os.path.join(tmp, "lake")
+        cdc.init_lake(
+            pq.read_table(_FLAGSHIP_LAKE), lake_dir, spec,
+            num_partitions=16, fs_kind="object",
+        )
+        events = pq.read_table(_FLAGSHIP_WAL)
+        paths = cg.write_wal_chunks(events, os.path.join(tmp, "wal"), num_chunks=8)
+        cdc.replay(lake_dir, paths[:4], spec)
+        cdc.snapshot(lake_dir, "mid")
+        cdc.replay(lake_dir, paths, spec)
+        cdc.restore(lake_dir, "mid")  # time travel back…
+        cdc.replay(lake_dir, paths, spec)  # …and exactly-once forward again
+        return cdc.read_lake_table(lake_dir)
+
+
 @q(
     "delete_where_retention",
     f"""

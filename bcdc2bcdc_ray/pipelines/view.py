@@ -1051,7 +1051,7 @@ def create_view(
             a for a in aggs if a.kind != "count"
         ]
 
-    with cdc._LakeLock(lake_dir):
+    with cdc.lake_lock(lake_dir):
         store = ManifestStore(lake_dir)
         consumed = dict(store.watermarks())
         paths = [
@@ -1084,6 +1084,10 @@ def create_view(
         P = num_partitions or meta["num_partitions"]
 
         os.makedirs(view_dir, exist_ok=True)
+        # the view inherits the source lake's storage backend (state/fs.py)
+        from ..state import fs as lakefs
+
+        lakefs.mark_fs(view_dir, lakefs.fs_kind(lake_dir))
         # (re)create from scratch: stale partitions would be folded INTO
         for fn in os.listdir(view_dir):
             if fn.endswith(".parquet") or fn in ("_consumed.json", "_needs_repair"):
@@ -1676,7 +1680,7 @@ def prune_panes(view_dir: str, older_than) -> dict:
 
     # lake writer lock serializes prune vs create/widen (refresh is
     # single-consumer per view by contract, like every view mutator)
-    with cdc._LakeLock(m["source_lake"]):
+    with cdc.lake_lock(m["source_lake"]):
         # re-read UNDER the lock: a widen committed between our first read
         # and acquisition must not be erased by writing a stale meta back
         # (and the monotonic check must see the freshest watermark)
@@ -2148,7 +2152,7 @@ def add_aggregate(
     lake_dir = m["source_lake"]
     lmeta = cdc.lake_meta(lake_dir)
 
-    with cdc._LakeLock(lake_dir):
+    with cdc.lake_lock(lake_dir):
         # re-read UNDER the lock: a prune_panes watermark (or any other
         # locked meta change) committed between the first read and lock
         # acquisition must not be erased by the schema commit below

@@ -87,9 +87,9 @@ def write_partitioned(ds, out_dir: str, by: str, resume: bool = True) -> dict:
                 out_flags.append(0)
                 continue
             atomic_write_parquet(part, path)
-            with open(done + ".tmp", "w") as f:
-                f.write(str(part.num_rows))
-            os.replace(done + ".tmp", done)
+            from ..state.fs import fs_for_path
+
+            fs_for_path(done).put_bytes(done, str(part.num_rows).encode())
             out_vals.append(_safe_name(value))
             out_flags.append(1)
         return pa.table(

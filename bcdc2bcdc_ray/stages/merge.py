@@ -109,9 +109,14 @@ class MergeWriter:
         self.dry_run = dry_run  # classify + count, write nothing
         self.changes_dir = changes_dir  # outbound CDC feed (None = off)
         self.changes_before = changes_before  # emit before_* pre-images
+        self.store = ManifestStore(lake_dir)  # resolves the lake-fs backend
         if changes_dir and not dry_run:
             os.makedirs(changes_dir, exist_ok=True)
-        self.store = ManifestStore(lake_dir)
+            # the feed inherits the lake's storage backend: plant the
+            # marker so feed writes/pruning commit under the same protocol
+            from ..state import fs as lakefs
+
+            lakefs.mark_fs(changes_dir, self.store.fs.kind)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:  # Ray may emit empty boundary blocks
@@ -170,8 +175,11 @@ class MergeWriter:
                         self.changes_dir,
                         f"changes-{pid:05d}-{lsn_hi:012d}.parquet",
                     ),
+                    fs=self.store.fs,
                 )
-            atomic_write_parquet(new_state, partition_path(self.lake_dir, pid))
+            atomic_write_parquet(
+                new_state, partition_path(self.lake_dir, pid), fs=self.store.fs
+            )
             _maybe_crash_once(self.lake_dir, pid)
             from ..canonical import partition_fingerprint
 

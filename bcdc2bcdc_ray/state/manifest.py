@@ -36,42 +36,17 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from dataclasses import asdict, dataclass, field, fields
 
-
-def _fsync_on() -> bool:
-    return os.environ.get("BCDC_FSYNC", "0") == "1"
+from .fs import LakeFS, fs_for, fs_for_path
 
 
-def _fsync_path_and_dir(path: str) -> None:
-    """fsync the file then its directory — the rename itself is only
-    durable across power loss once the directory entry is flushed."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-    d = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-    try:
-        os.fsync(d)
-    finally:
-        os.close(d)
-
-
-def atomic_write_json(path: str, obj) -> None:
-    """The engine-wide atomic JSON commit: tmp + os.replace (+ file/dir
-    fsync under ``BCDC_FSYNC=1``). One helper so a durability change lands
-    everywhere at once."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        if _fsync_on():
-            f.flush()
-            os.fsync(f.fileno())
-    os.replace(tmp, path)
-    if _fsync_on():
-        _fsync_path_and_dir(path)
+def atomic_write_json(path: str, obj, fs: LakeFS | None = None) -> None:
+    """The engine-wide atomic JSON commit, routed through the target
+    directory's lake-fs backend (state/fs.py): posix = tmp + os.replace
+    (+ file/dir fsync under ``BCDC_FSYNC=1``), object = atomic PUT. One
+    helper so a durability change lands everywhere at once."""
+    (fs or fs_for_path(path)).put_json(path, obj)
 
 
 @dataclass
@@ -93,6 +68,8 @@ class ManifestStore:
     def __init__(self, lake_dir: str):
         self.dir = os.path.join(lake_dir, "_manifests")
         os.makedirs(self.dir, exist_ok=True)
+        # backend resolved once per store (== once per writer actor)
+        self.fs = fs_for(lake_dir)
 
     def _path(self, pid: int) -> str:
         return os.path.join(self.dir, f"part-{pid:05d}.json")
@@ -122,10 +99,10 @@ class ManifestStore:
         return out
 
     def commit(self, m: PartitionManifest) -> None:
-        """Atomic write: tmp + os.replace. Safe under task retry — last
+        """Atomic publish (backend-routed). Safe under task retry — last
         writer wins and both writers wrote identical content for identical
         (partition, lsn_hi) inputs (deterministic merge)."""
-        atomic_write_json(self._path(m.partition), asdict(m))
+        atomic_write_json(self._path(m.partition), asdict(m), fs=self.fs)
 
     # ---- lake-level replay watermark -------------------------------------
     # Committed by replay() ONLY after every partition's manifest commit
@@ -149,7 +126,7 @@ class ManifestStore:
         cur = self.global_watermark()
         if lsn_hi <= cur:
             return
-        atomic_write_json(self._gpath(), {"lsn_hi": int(lsn_hi)})
+        atomic_write_json(self._gpath(), {"lsn_hi": int(lsn_hi)}, fs=self.fs)
 
     def total_counts(self) -> dict:
         tot = {"adds": 0, "updates": 0, "deletes": 0, "noops": 0, "rows": 0}
@@ -163,14 +140,9 @@ class ManifestStore:
         return tot
 
 
-def atomic_write_parquet(table, final_path: str) -> None:
-    """Write a pa.Table to final_path via tmp + os.replace (torn-write safe
-    under process crash; file+dir fsync under ``BCDC_FSYNC=1`` for power-
-    loss durability)."""
-    import pyarrow.parquet as pq
-
-    tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, final_path)
-    if _fsync_on():
-        _fsync_path_and_dir(final_path)
+def atomic_write_parquet(table, final_path: str, fs: LakeFS | None = None) -> None:
+    """Write a pa.Table to final_path as one atomic publish, routed through
+    the target directory's lake-fs backend: posix = tmp + os.replace
+    (torn-write safe under process crash; file+dir fsync under
+    ``BCDC_FSYNC=1``), object = atomic whole-object PUT."""
+    (fs or fs_for_path(final_path)).put_parquet(final_path, table)

@@ -1,0 +1,211 @@
+"""Object-store lake backend (state/fs.py kind="object"): the full commit
+protocol — replay, exactly-once rerun, writer-crash injection, snapshot /
+restore, feed → incremental view, split/merge maintenance, the lease lock —
+green WITHOUT rename-of-existing or hardlink semantics. Every snapshot file
+must be an independent object (st_nlink == 1), the opposite of the posix
+backend's zero-copy hardlinks, and every durable dir carries the ``_fs.json``
+marker (VERDICT r4 next-round #1)."""
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pytest
+
+from bcdc2bcdc_ray import changegen as cg
+from bcdc2bcdc_ray.pipelines import cdc, view
+from bcdc2bcdc_ray.pipelines.view import AggSpec
+from bcdc2bcdc_ray.spec import transcripts_spec
+from bcdc2bcdc_ray.state import fs as lakefs
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return {
+        "lake": str(tmp_path / "lake"),
+        "wal": str(tmp_path / "wal"),
+        "changes": str(tmp_path / "changes"),
+        "view": str(tmp_path / "view"),
+    }
+
+
+def _setup_object(d, n_convs=100, n_events=2500, P=8):
+    spec = transcripts_spec()
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    cdc.init_lake(lake, d["lake"], spec, num_partitions=P, fs_kind="object")
+    events = cg.gen_change_events(n_events, n_convs, seed=43)
+    paths = cg.write_wal_chunks(events, d["wal"], num_chunks=5)
+    return spec, lake, events, paths
+
+
+def _all_nlink_one(root: str) -> bool:
+    for r, _, fns in os.walk(root):
+        for fn in fns:
+            if os.stat(os.path.join(r, fn)).st_nlink != 1:
+                return False
+    return True
+
+
+def test_object_lake_replay_exactly_once_and_oracle(ray_session, dirs):
+    spec, lake, events, paths = _setup_object(dirs)
+    assert lakefs.fs_kind(dirs["lake"]) == "object"
+    rep = cdc.replay(dirs["lake"], paths, spec, changes_dir=dirs["changes"],
+                     changes_before=True)
+    assert rep["events"] == events.num_rows
+    oracle = cg.oracle_replay(lake, events)
+    assert cdc.read_lake_table(dirs["lake"]).equals(oracle)
+    # feed dir inherited the backend marker
+    assert lakefs.fs_kind(dirs["changes"]) == "object"
+    # exactly-once rerun
+    rep2 = cdc.replay(dirs["lake"], paths, spec, changes_dir=dirs["changes"],
+                      changes_before=True)
+    assert rep2["adds"] == rep2["updates"] == rep2["deletes"] == 0
+    assert rep2["skipped"] == events.num_rows
+    assert cdc.read_lake_table(dirs["lake"]).equals(oracle)
+    # nothing in the lake shares an inode — the object protocol never links
+    assert _all_nlink_one(dirs["lake"])
+
+
+def test_object_lake_writer_crash_recovers(ray_session, dirs):
+    """The nastiest window (data published, manifest not) on the object
+    backend: Ray restarts the writer, the retry classifies already-applied
+    events NOOP by content hash, final state equals the oracle."""
+    spec, lake, events, paths = _setup_object(dirs)
+    with open(os.path.join(dirs["lake"], "_fault_once"), "w") as f:
+        f.write("0")
+    try:
+        cdc.replay(dirs["lake"], paths, spec)
+    finally:
+        os.remove(os.path.join(dirs["lake"], "_fault_once"))
+    assert os.path.exists(os.path.join(dirs["lake"], "_crashed-0"))
+    assert cdc.read_lake_table(dirs["lake"]).equals(cg.oracle_replay(lake, events))
+    rep = cdc.replay(dirs["lake"], paths, spec)
+    assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
+
+
+def test_object_snapshot_restore_roundtrip(ray_session, dirs):
+    """Snapshot = CopyObject per file (independent objects, never hardlinks);
+    restore brings data + watermarks back; re-replay of the same WAL
+    reconverges exactly-once."""
+    spec, lake, events, paths = _setup_object(dirs)
+    cdc.replay(dirs["lake"], paths[:3], spec)
+    mid = cdc.read_lake_table(dirs["lake"])
+    cdc.snapshot(dirs["lake"], "mid")
+    sdir = os.path.join(dirs["lake"], "_snapshots", "mid")
+    # every snapshot object is independent AND the dir is a self-described lake
+    assert _all_nlink_one(sdir)
+    assert lakefs.fs_kind(sdir) == "object"
+    assert json.load(open(os.path.join(sdir, "_fs.json")))["kind"] == "object"
+    # snapshot accounting: object backend → exclusive == total
+    st = [s for s in cdc.snapshot_stats(dirs["lake"]) if s["tag"] == "mid"][0]
+    assert st["bytes_exclusive"] == st["bytes_total"] > 0
+
+    cdc.replay(dirs["lake"], paths, spec)  # move the live lake past the snapshot
+    assert not cdc.read_lake_table(dirs["lake"]).equals(mid)
+    assert cdc.read_snapshot(dirs["lake"], "mid").take_all()  # time travel reads
+    cdc.restore(dirs["lake"], "mid")
+    assert cdc.read_lake_table(dirs["lake"]).equals(mid)
+    rep = cdc.replay(dirs["lake"], paths, spec)  # forward again, exactly-once
+    assert rep["skipped"] > 0
+    assert cdc.read_lake_table(dirs["lake"]).equals(cg.oracle_replay(lake, events))
+
+
+def test_object_feed_to_view_refresh(ray_session, dirs):
+    """Feed → incremental view on the object backend: the view inherits the
+    marker and stays bit-identical to a full re-aggregation."""
+    spec, lake, events, paths = _setup_object(dirs)
+    cdc.replay(dirs["lake"], paths[:2], spec, changes_dir=dirs["changes"],
+               changes_before=True)
+    aggs = [AggSpec("n_rows", "count"), AggSpec("sum_turn", "sum", "turn_idx")]
+    view.create_view(dirs["view"], dirs["lake"], ["conv_id"], aggs)
+    assert lakefs.fs_kind(dirs["view"]) == "object"
+    cdc.replay(dirs["lake"], paths, spec, changes_dir=dirs["changes"],
+               changes_before=True)
+    view.refresh_view(dirs["view"], dirs["changes"])
+    got = view.read_view(dirs["view"]).sort_by([("conv_id", "ascending")])
+    df = cdc.read_lake_table(dirs["lake"]).to_pandas()
+    g = df.groupby("conv_id").agg(
+        n_rows=("conv_id", "size"), sum_turn=("turn_idx", "sum")
+    ).reset_index()
+    want = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "sum_turn": pa.array(g.sum_turn, pa.int64()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert got.select(want.column_names).equals(want)
+
+
+def test_object_split_merge_maintenance(ray_session, dirs):
+    """split/merge publish via CopyObject+DELETE instead of rename — state
+    and watermarks identical through a split→merge round trip."""
+    spec, lake, events, paths = _setup_object(dirs, P=4)
+    cdc.replay(dirs["lake"], paths, spec)
+    before = cdc.read_lake_table(dirs["lake"])
+    cdc.split_partitions(dirs["lake"])
+    assert cdc.lake_meta(dirs["lake"])["num_partitions"] == 8
+    assert cdc.read_lake_table(dirs["lake"]).equals(before)
+    cdc.merge_partitions(dirs["lake"])
+    assert cdc.lake_meta(dirs["lake"])["num_partitions"] == 4
+    assert cdc.read_lake_table(dirs["lake"]).equals(before)
+    rep = cdc.replay(dirs["lake"], paths, spec)  # still exactly-once after
+    assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
+
+
+def test_object_lease_mutual_exclusion(tmp_path):
+    d = str(tmp_path)
+    lakefs.mark_fs(d, "object")
+    with cdc.lake_lock(d):
+        assert isinstance(
+            cdc.lake_lock(d), lakefs.ObjectLease
+        )  # backend dispatch
+        with pytest.raises(cdc.LakeLockedError, match="live writer"):
+            with cdc.lake_lock(d):
+                pass
+    assert not os.path.exists(os.path.join(d, "_lock.json"))
+
+
+def test_object_lease_heartbeat_outlives_lease(tmp_path):
+    """A live holder heartbeats (re-PUTs a fresh expiry), so holding LONGER
+    than the lease duration never loses the lock to a contender."""
+    d = str(tmp_path)
+    lakefs.mark_fs(d, "object")
+    with lakefs.ObjectLease(d, lease_s=1.0):
+        time.sleep(2.2)  # > 2 lease durations; heartbeat every 0.25 s
+        with pytest.raises(lakefs.LakeLockedError):
+            with lakefs.ObjectLease(d, lease_s=1.0):
+                pass
+
+
+def test_object_lease_stale_reclaim(tmp_path):
+    """A crashed holder's lease (no heartbeat) ages out by its embedded
+    expiry and a contender reclaims it."""
+    d = str(tmp_path)
+    lakefs.mark_fs(d, "object")
+    dead = lakefs.ObjectLease(d, lease_s=0.5)
+    lakefs._OBJECT.put_bytes(dead.path, dead._payload())  # holder "crashed"
+    time.sleep(0.8)
+    with lakefs.ObjectLease(d, lease_s=5.0):
+        pass
+    assert not os.path.exists(os.path.join(d, "_lock.json"))
+
+
+def test_mark_fs_refuses_backend_flip(tmp_path):
+    d = str(tmp_path)
+    lakefs.mark_fs(d, "object")
+    lakefs.mark_fs(d, "object")  # idempotent
+    with pytest.raises(ValueError, match="refusing"):
+        lakefs.mark_fs(d, "posix")
+
+
+def test_posix_default_unchanged(tmp_path):
+    """No marker → posix; posix lakes never write a marker; the posix lock
+    class is dispatched."""
+    spec = transcripts_spec()
+    lake_dir = str(tmp_path / "lake")
+    cdc.init_lake(cg.gen_transcripts(10, seed=1), lake_dir, spec, num_partitions=2)
+    assert not os.path.exists(os.path.join(lake_dir, "_fs.json"))
+    assert lakefs.fs_kind(lake_dir) == "posix"
+    assert isinstance(cdc.lake_lock(lake_dir), cdc._LakeLock)
