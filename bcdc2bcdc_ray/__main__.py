@@ -209,6 +209,23 @@ def cmd_sync_from(args) -> dict:
     return {"cmd": "sync-from", **rep}
 
 
+def cmd_sync_out(args) -> dict:
+    """Outbound sync: apply every not-yet-delivered change-feed file to a
+    remote REST API (exactly-once via feed cursor + per-event LWW version
+    guard; create-conflict → update fallback)."""
+    from .sources import http_sink
+
+    rep = http_sink.sync_out(
+        args.changes,
+        args.url,
+        args.key,
+        consumer=args.consumer,
+        max_retries=args.max_retries,
+        min_interval_s=args.min_interval,
+    )
+    return {"cmd": "sync-out", **rep}
+
+
 def _parse_pred_value(v: str):
     """CLI predicate/set literal → typed value: int, float, ISO timestamp,
     else string (matches the lake column's arrow comparison semantics)."""
@@ -689,6 +706,25 @@ def build_parser() -> argparse.ArgumentParser:
     sf.add_argument("--spec")
     sf.add_argument("--changes-dir")
     sf.add_argument("--changes-before", action="store_true")
+    so = sub.add_parser(
+        "sync-out",
+        help="apply unconsumed change-feed files to a remote REST API "
+        "(exactly-once: feed cursor + per-event version guard)",
+    )
+    so.add_argument("--changes", required=True, help="change-feed directory")
+    so.add_argument("--url", required=True, help="destination base URL")
+    so.add_argument(
+        "--key", action="append", required=True,
+        help="key column (repeat for composite keys)",
+    )
+    so.add_argument("--consumer", default="http-sink")
+    so.add_argument("--max-retries", type=int, default=5)
+    so.add_argument(
+        "--min-interval", type=float, default=0.0,
+        help="per-connection rate limit (seconds between POSTs)",
+    )
+    so.set_defaults(fn=cmd_sync_out)
+
     sf.add_argument(
         "--dry-run", action="store_true",
         help="classify + count the what-would-change report, write nothing",
