@@ -340,6 +340,14 @@ def cmd_refresh_denorm(args) -> dict:
     return {"cmd": "refresh-denorm", **denorm.refresh_denorm(args.denorm, **kw)}
 
 
+def cmd_resolve_misses(args) -> dict:
+    """Heal NULLed join columns whose FK now resolves (out-of-band dim
+    advance — no feed). The feed path heals automatically in refresh."""
+    from .pipelines import denorm
+
+    return {"cmd": "resolve-misses", **denorm.resolve_misses(args.denorm)}
+
+
 def cmd_scan(args) -> dict:
     """Pruned streaming read of a lake (or snapshot via --tag): columns=
     prunes at the parquet reader, --key prunes to k files by partition
@@ -814,6 +822,14 @@ def build_parser() -> argparse.ArgumentParser:
     rdn.add_argument("denorm")
     rdn.add_argument("--changes", default=None, help="denorm's own outbound feed dir")
     rdn.set_defaults(fn=cmd_refresh_denorm)
+
+    rm = sub.add_parser(
+        "resolve-misses",
+        help="heal dangling-FK join columns against the current dim "
+        "(lazy miss resolution for out-of-band dim advances)",
+    )
+    rm.add_argument("denorm")
+    rm.set_defaults(fn=cmd_resolve_misses)
 
     sc = sub.add_parser(
         "scan",

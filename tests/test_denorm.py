@@ -93,6 +93,101 @@ def test_refresh_distributed_affected_plan_equals_gather(
     assert rep2 == {"files": 0, "affected_keys": 0, "events": 0}
 
 
+def _fact_wal_new_tool(tmp_path, tool: str, lsn_start=1_000_000, n=5):
+    """Upsert events referencing a tool id the dim lake does NOT hold yet."""
+    import numpy as np
+
+    lsn = list(range(lsn_start, lsn_start + n))
+    t = pa.table(
+        {
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(["upsert"] * n, pa.string()),
+            "conv_id": pa.array([f"late-{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["assistant"] * n, pa.string()),
+            "text": pa.array([f"uses {tool} #{i}" for i in range(n)], pa.string()),
+            "tool": pa.array([tool] * n, pa.string()),
+            "ts": pa.array(np.array(lsn, np.int64) * 1_000_000, pa.timestamp("us")),
+        }
+    )
+    return cg.write_wal_chunks(t, str(tmp_path / f"wal_{tool}"), num_chunks=1)
+
+
+def _dim_wal_add(tmp_path, tool: str, dest: str, lsn=1):
+    t = pa.table(
+        {
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array(["upsert"], pa.string()),
+            "tool_id": pa.array([tool], pa.string()),
+            "dest_name": pa.array([dest], pa.string()),
+            "ts": pa.array([lsn * 1_000_000], pa.timestamp("us")),
+        }
+    )
+    return cg.write_wal_chunks(t, str(tmp_path / f"dwal_{tool}"), num_chunks=1)
+
+
+def _late_rows(dn_dir):
+    t = denorm.read_denorm(dn_dir)
+    import pyarrow.compute as _pc
+
+    return t.filter(_pc.equal(t.column("tool"), "late-tool"))
+
+
+def test_late_dim_heals_through_feed_on_refresh(ray_session, tmp_path):
+    """A dim row arriving AFTER the fact rows that reference it: the next
+    refresh reverse-resolves the new dim value through the FK index and
+    heals the NULLed join columns — no special API needed."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+    cdc.replay(fact_dir, _fact_wal_new_tool(tmp_path, "late-tool"), spec,
+               changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+    rows = _late_rows(dn_dir)
+    assert rows.num_rows == 5
+    assert rows.column("tool_dest").null_count == 5  # dangling FK → NULL
+
+    cdc.replay(dim_dir, _dim_wal_add(tmp_path, "late-tool", "dst-late"),
+               _tool_spec(), changes_dir=dch)
+    rep = denorm.refresh_denorm(dn_dir)
+    assert rep["affected_keys"] >= 5
+    rows = _late_rows(dn_dir)
+    assert rows.column("tool_dest").to_pylist() == ["dst-late"] * 5
+    assert _read_sorted(dn_dir).select(
+        _expected_join(fact_dir, dim_dir).column_names
+    ).equals(_expected_join(fact_dir, dim_dir))
+
+
+def test_resolve_misses_heals_out_of_band_dim(ray_session, tmp_path):
+    """The dim lake advanced WITHOUT a change feed (out-of-band replay):
+    refresh has nothing to consume, the joined rows stay NULL — and
+    resolve_misses point-reads the dangling fks from the current dim and
+    heals exactly them (DataCache.loadData semantics; idempotent)."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+    cdc.replay(fact_dir, _fact_wal_new_tool(tmp_path, "late-tool"), spec,
+               changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+
+    # dim advances with NO changes_dir → no feed → refresh can't see it
+    cdc.replay(dim_dir, _dim_wal_add(tmp_path, "late-tool", "dst-oob"), _tool_spec())
+    denorm.refresh_denorm(dn_dir)
+    rows = _late_rows(dn_dir)
+    assert rows.column("tool_dest").null_count == 5  # still dangling
+
+    rep = denorm.resolve_misses(dn_dir)
+    assert rep["dangling_fks"] >= 1 and rep["healed_fks"] == 1
+    assert rep["updates"] == 5
+    rows = _late_rows(dn_dir)
+    assert rows.column("tool_dest").to_pylist() == ["dst-oob"] * 5
+    assert _read_sorted(dn_dir).select(
+        _expected_join(fact_dir, dim_dir).column_names
+    ).equals(_expected_join(fact_dir, dim_dir))
+
+    # idempotent: nothing left that resolves
+    rep2 = denorm.resolve_misses(dn_dir)
+    assert rep2["healed_fks"] == 0 or rep2["events"] == 0
+    # and the lake still audits clean
+    assert cdc.fsck(dn_dir)["clean"]
+
+
 def test_create_denorm_matches_left_join(ray_session, tmp_path):
     _, fact_dir, dim_dir, _, dn_dir, _, _ = _setup(tmp_path)
     got = _read_sorted(dn_dir)
