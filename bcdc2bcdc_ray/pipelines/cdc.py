@@ -1883,14 +1883,33 @@ def _replay_execute(
     # BOUND (stages/merge.bound_writer) instead of taking fn_constructor_args
     # so actor restarts never depend on driver-held argument refs.
     if concurrency is None:
-        # one writer actor per ~2 partitions (measured on the bench WAL:
-        # P//2 writers doubled throughput over P//4 at 32 CPUs — merge-write
-        # is the serial tail; more writers past that saturate single-node
-        # memory bandwidth), capped below the cluster CPU count: an actor
-        # pool that reserves every CPU starves the upstream read/shuffle
-        # tasks and deadlocks the streaming executor. Callers override for
-        # bench; on a real cluster size to nodes × cores/writer.
-        concurrency = max(1, min(16, P // 2, cluster_cpus - 1))
+        # Bytes-aware writer-pool sizing (VERDICT r4 next #8). Baseline:
+        # one writer per ~2 partitions (measured on the bench WAL: P//2
+        # writers doubled throughput over P//4 at 32 CPUs — merge-write is
+        # the serial tail; more writers past ~8 saturate single-node
+        # memory bandwidth), capped below the cluster CPU count (a pool
+        # reserving every CPU starves the upstream read/shuffle tasks and
+        # deadlocks the streaming executor). The static rule
+        # under-parallelizes ONE regime: a merged/compacted lake with few
+        # FAT partitions (P=4 → 2 writers while 4 independent fat merges
+        # queue behind the pool). When the average touched bytes per
+        # partition (live WAL + current partition files) exceeds
+        # WRITER_FAT_BYTES (32 MB), lift the pool to min(P, 8) — one
+        # writer per fat merge group up to the measured bandwidth sweet
+        # spot, never past P (idle writers) and never changing the P ≥ 16
+        # benched shapes. Callers override for bench; on a real cluster
+        # size to nodes × cores/writer.
+        wal_bytes = sum(os.path.getsize(p) for p in live_paths)
+        lake_bytes = sum(
+            os.path.getsize(partition_path(lake_dir, pid))
+            for pid in range(P)
+            if os.path.exists(partition_path(lake_dir, pid))
+        )
+        fat = int(os.environ.get("WRITER_FAT_BYTES", str(32 << 20)))
+        target = P // 2
+        if (wal_bytes + lake_bytes) / max(P, 1) > fat:
+            target = max(target, min(P, 8))
+        concurrency = max(1, min(16, target, cluster_cpus - 1))
     from ..stages.merge import bound_writer
 
     lineage_ds = ds.groupby(PART_COL).map_groups(

@@ -847,6 +847,87 @@ def run_soak() -> dict:
     }
 
 
+def run_writers_bench() -> dict:
+    """--writers: the bytes-aware writer-pool rule on a 4-partition FAT
+    lake (VERDICT r4 next #8). A merged/compacted lake has few fat
+    partitions; the legacy static pool (P//2 = 2 writers at P=4) leaves
+    half the independent merge groups queued behind the pool while the
+    bytes-aware auto rule opens one writer per fat partition (4). Replays
+    the SAME heavy WAL into fresh 4-partition lakes under both rules,
+    interleaved A/B with host probes bracketed."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bcdc2bcdc_ray import changegen as cg
+    from bcdc2bcdc_ray.pipelines import cdc
+    from bcdc2bcdc_ray.spec import transcripts_spec
+
+    work = f"/tmp/bench_writers_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    spec = transcripts_spec()
+    # FAT-partition shape: the lake side dominates the merge (each writer
+    # reads, LWW-classifies, re-sorts and rewrites its whole ~40 MB
+    # partition), which is exactly the regime where pool width = P wins
+    n_convs = 200_000
+    lake = cg.gen_transcripts(n_convs, seed=42)
+    paths = cg.gen_wal_chunks(
+        1_500_000, n_convs, os.path.join(work, "wal"), num_chunks=32,
+        seed=43, noop_frac=0.05,
+    )
+
+    def one(tag: str, conc):
+        d = os.path.join(work, f"lake_{tag}")
+        cdc.init_lake(lake, d, spec, num_partitions=4)
+        t0 = time.perf_counter()
+        rep = cdc.replay(d, paths, spec, concurrency=conc)
+        wall = time.perf_counter() - t0
+        shutil.rmtree(d)
+        return wall, rep["events"]
+
+    one("warm", None)  # worker/actor spin-up outside the timed legs
+    abs_pre = _host_abs_ms()
+    # full width gradient: serial (1) → legacy static (P//2 = 2) → bytes-
+    # aware auto (4). Interleaved so host drift hits every arm equally.
+    walls = {"serial": [], "static": [], "auto": []}
+    events = 0
+    for i in range(2):
+        w, events = one(f"w1{i}", 1)
+        walls["serial"].append(round(w, 3))
+        w, events = one(f"s{i}", 2)  # legacy P//2 rule at P=4
+        walls["static"].append(round(w, 3))
+        w, events = one(f"a{i}", None)  # bytes-aware auto (4 writers)
+        walls["auto"].append(round(w, 3))
+    abs_post = _host_abs_ms()
+    ray.shutdown()
+    s, a = min(walls["static"]), min(walls["auto"])
+    return {
+        "metric": "writer_pool_4part_fat",
+        "events": int(events),
+        "partitions": 4,
+        "static_writers": 2,
+        "serial_sec": min(walls["serial"]),
+        "static_sec": s,
+        "auto_sec": a,
+        "speedup": round(s / a, 2),
+        "speedup_1_to_2": round(min(walls["serial"]) / s, 2),
+        "reps": walls,
+        "num_cpus": NUM_CPUS,
+        "host_abs_ms_pre": abs_pre,
+        "host_abs_ms": abs_post,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -860,6 +941,8 @@ if __name__ == "__main__":
         print(json.dumps(run_window_bench()))
     elif "--denorm" in sys.argv:
         print(json.dumps(run_denorm()))
+    elif "--writers" in sys.argv:
+        print(json.dumps(run_writers_bench()))
     elif MODE == "maintenance":
         print(json.dumps(run_maintenance_once()))
     elif MODE == "soak":
