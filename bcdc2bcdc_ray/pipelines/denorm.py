@@ -858,7 +858,6 @@ def resolve_misses(denorm_dir: str, **replay_kwargs) -> dict:
         return {"dangling_fks": len(dangling), "healed_fks": len(found), "events": 0}
 
     fact_dir = meta["fact_dir"]
-    dim_sub = _dim_subset(meta["dim_dir"], dim_key, dim_select, found)
     fact_schema = pq.read_schema(
         next(
             partition_path(fact_dir, p)
@@ -871,8 +870,20 @@ def resolve_misses(denorm_dir: str, **replay_kwargs) -> dict:
     from ..state.manifest import ManifestStore, atomic_write_parquet
 
     epoch = max(list(ManifestStore(denorm_dir).watermarks().values()) or [0]) + 1
+    # ``affected`` holds PARTITION-KEY values (whole conversations), so the
+    # recompute touches sibling rows whose fk was never dangling — the dim
+    # subset must cover every fk those rows reference, not just the healed
+    # ones, or the recompute would NULL a healthy row's join columns (then
+    # replay it). Healed-row siblings re-NOOP by content hash either way.
+    bufs = list(cdc.iter_lake_batches(fact_dir, keys=sorted(affected)))
+    referenced: set = set()
+    for b in bufs:
+        referenced.update(
+            v for v in pc.unique(b.column(fk)).to_pylist() if v is not None
+        )
+    dim_sub = _dim_subset(meta["dim_dir"], dim_key, dim_select, referenced)
     parts = []
-    for b in cdc.iter_lake_batches(fact_dir, keys=sorted(affected)):
+    for b in bufs:
         joined = _attach_dim(b, dim_sub, fk, dim_key, dim_select)
         if joined.num_rows:
             n = joined.num_rows

@@ -928,6 +928,212 @@ def run_writers_bench() -> dict:
     }
 
 
+def _gen_dup_corpus(n_docs: int, out_dir: str, seed: int = 7) -> str:
+    """Deterministic near-dup-heavy documents table (sf-layout dir): 65%
+    base docs of 40 vocab words, 35% near-dups of a random base doc with
+    one word substituted — every dup is an LSH candidate of its source."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    n_base = int(n_docs * 0.65)
+    n_dup = n_docs - n_base
+    base = rng.integers(0, 5000, size=(n_base, 40))
+    src = rng.integers(0, n_base, n_dup)
+    dup = base[src].copy()
+    dup[np.arange(n_dup), rng.integers(0, 40, n_dup)] = rng.integers(0, 5000, n_dup)
+    words = np.vstack([base, dup])
+    texts = [" ".join(vocab[r]) for r in words]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(["rss-bench"] * n_docs, pa.string()),
+            "n_chars": pa.array(
+                np.fromiter((len(s) for s in texts), np.int64, n_docs)
+            ),
+        }
+    )
+    _pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return out_dir
+
+
+def _vm_rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / (1 << 20)
+
+
+def run_rss_leg() -> dict:
+    """One fresh-process RSS probe (child of --rss). Env: RSS_LEG
+    (neardup|denorm|window), RSS_N, RSS_DIR (neardup corpus), plan caps."""
+    import resource
+
+    import ray
+
+    leg = os.environ["RSS_LEG"]
+    n = int(os.environ.get("RSS_N", "0"))
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    out: dict = {"leg": leg, "n": n}
+
+    if leg == "neardup":
+        from bcdc2bcdc_ray.pipelines import queries as Q
+
+        out["rss_before_mb"] = round(_vm_rss_mb(), 1)
+        t0 = time.perf_counter()
+        kept = _consume(Q.queries()["neardup_dedup_docs"](os.environ["RSS_DIR"]))
+        out["wall_sec"] = round(time.perf_counter() - t0, 2)
+        out["kept_rows"] = kept
+        # the gather plan's driver payload is exactly the drop-set ids
+        out["driver_held_bytes"] = (
+            (n - kept) * 8
+            if int(os.environ.get("NEARDUP_GATHER_BYTES", str(64 << 20))) > 0
+            else 0
+        )
+    elif leg == "denorm":
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        from bcdc2bcdc_ray import changegen as cg
+        from bcdc2bcdc_ray.pipelines import cdc, denorm
+        from bcdc2bcdc_ray.spec import TableSpec, transcripts_spec
+
+        work = f"/tmp/bench_rssdn_{n}_{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        p = lambda *a: os.path.join(work, *a)  # noqa: E731
+        spec = transcripts_spec()
+        dim_spec = TableSpec(name="tools", schema=cg.TOOLS_SCHEMA, key=("tool_id",))
+        _pq.write_table(cg.gen_transcripts(n, seed=42), p("seed.parquet"))
+        cdc.bootstrap_lake(p("seed.parquet"), p("fact"), spec, num_partitions=32)
+        cdc.init_lake(cg.gen_tool_dim(), p("dim"), dim_spec, num_partitions=4)
+        cdc.create_index(p("idx"), p("fact"), "tool")
+        denorm.create_denorm(
+            p("dn"), p("fact"), p("dim"), "tool", {"tool_dest": "dest_name"},
+            index_dir=p("idx"), fact_changes_dir=p("fch"), dim_changes_dir=p("dch"),
+        )
+        dev = pa.table({
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["upsert"], pa.string()),
+            "tool_id": pa.array(["search"], pa.string()),
+            "dest_name": pa.array(["renamed"], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+        })
+        cdc.replay(p("dim"), cg.write_wal_chunks(dev, p("dwal"), 1), dim_spec,
+                   changes_dir=p("dch"))
+        out["rss_before_mb"] = round(_vm_rss_mb(), 1)
+        t0 = time.perf_counter()
+        rep = denorm.refresh_denorm(p("dn"))
+        out["wall_sec"] = round(time.perf_counter() - t0, 2)
+        out["affected_keys"] = rep["affected_keys"]
+        out["plan"] = rep["affected_plan"]
+        out["driver_held_bytes"] = (
+            rep["affected_keys"] * 16 if rep["affected_plan"] == "gather" else 0
+        )
+        shutil.rmtree(work, ignore_errors=True)
+    elif leg == "window":
+        from bcdc2bcdc_ray import changegen as cg
+        from bcdc2bcdc_ray.pipelines import cdc, view
+        from bcdc2bcdc_ray.spec import transcripts_spec
+
+        work = f"/tmp/bench_rssw_{n}_{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        spec = transcripts_spec()
+        lake = os.path.join(work, "lake")
+        vdir = os.path.join(work, "view")
+        cdc.init_lake(cg.gen_transcripts(n, seed=42), lake, spec, num_partitions=32)
+        # high residual cardinality: pane × conv_id (the regime VERDICT r4
+        # wrong #1 flags — the driver fold holds every pane row at once)
+        view.create_view(
+            vdir, lake, ["pane", "conv_id"],
+            [view.AggSpec("n_rows", "count"),
+             view.AggSpec("n_chars", "sum_len", "text")],
+            derive=[view.DeriveSpec("pane", "time_bucket", "ts", 1800)],
+        )
+        view_bytes = sum(
+            os.path.getsize(os.path.join(vdir, f))
+            for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        dist = int(os.environ.get("WINDOW_LOCAL_BYTES", str(64 << 20))) == 0
+        out["rss_before_mb"] = round(_vm_rss_mb(), 1)
+        t0 = time.perf_counter()
+        res = view.read_window(vdir, 3600, 1800, as_dataset=dist)
+        out["window_rows"] = _consume(res)
+        out["wall_sec"] = round(time.perf_counter() - t0, 2)
+        out["view_bytes"] = view_bytes
+        out["driver_held_bytes"] = 0 if dist else view_bytes * 2  # k=2 explode
+        shutil.rmtree(work, ignore_errors=True)
+    else:
+        raise SystemExit(f"unknown RSS_LEG {leg}")
+
+    out["peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
+    ray.shutdown()
+    return out
+
+
+def run_rss() -> dict:
+    """--rss: driver-memory ceilings of the size-capped plan pickers
+    (VERDICT r4 next-round #5) — for each crossover stage (neardup
+    survivorship drop-set, denorm dim-fanout affected set, read_window
+    pane fold) run the GATHER plan and the DISTRIBUTED plan in fresh
+    processes at two corpus widths; report wall, the driver-held stage
+    payload, and the process peak RSS. The claim under test: the
+    distributed plan's driver footprint does NOT grow with the corpus."""
+
+    def leg(name: str, n: int, plan_env: dict, extra: dict | None = None) -> dict:
+        env = dict(os.environ, RSS_LEG=name, RSS_N=str(n), **plan_env,
+                   **(extra or {}))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rss-leg"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    doc_sizes = [int(x) for x in os.environ.get(
+        "RSS_DOCS", "150000,300000").split(",")]
+    conv_sizes = [int(x) for x in os.environ.get(
+        "RSS_CONVS", "30000,60000").split(",")]
+    legs = []
+    for nd in doc_sizes:
+        d = _gen_dup_corpus(nd, f"/tmp/bench_rss_docs_{nd}")
+        for plan, cap in (("gather", str(1 << 40)), ("distributed", "0")):
+            r = leg("neardup", nd, {"NEARDUP_GATHER_BYTES": cap}, {"RSS_DIR": d})
+            legs.append({"stage": "neardup_survivorship", "plan": plan, **r})
+    for nc in conv_sizes:
+        for plan, cap in (("gather", str(1 << 40)), ("distributed", "0")):
+            r = leg("denorm", nc, {"DENORM_GATHER_BYTES": cap})
+            legs.append({"stage": "denorm_fanout", "plan": plan, **r})
+    for nc in conv_sizes:
+        for plan, cap in (("driver_fold", str(1 << 40)), ("distributed", "0")):
+            r = leg("window", nc, {"WINDOW_LOCAL_BYTES": cap})
+            legs.append({"stage": "read_window", "plan": plan, **r})
+    return {
+        "metric": "driver_rss_crossovers",
+        "num_cpus": NUM_CPUS,
+        "legs": legs,
+        "host_abs_ms": _host_abs_ms(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -943,6 +1149,10 @@ if __name__ == "__main__":
         print(json.dumps(run_denorm()))
     elif "--writers" in sys.argv:
         print(json.dumps(run_writers_bench()))
+    elif "--rss-leg" in sys.argv:
+        print(json.dumps(run_rss_leg()))
+    elif "--rss" in sys.argv:
+        print(json.dumps(run_rss()))
     elif MODE == "maintenance":
         print(json.dumps(run_maintenance_once()))
     elif MODE == "soak":

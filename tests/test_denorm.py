@@ -188,6 +188,46 @@ def test_resolve_misses_heals_out_of_band_dim(ray_session, tmp_path):
     assert cdc.fsck(dn_dir)["clean"]
 
 
+def test_resolve_misses_spares_sibling_rows(ray_session, tmp_path):
+    """Regression (round-5): ``affected`` holds PARTITION-KEY values, so a
+    heal recomputes WHOLE conversations — sibling turns referencing other
+    (present) tools must keep their joined columns. The old code subset the
+    dim to the healed fks only, NULLing every sibling it recomputed."""
+    spec, fact_dir, dim_dir, _, dn_dir, fch, dch = _setup(tmp_path)
+    # plant the dangling rows INSIDE existing conversations that also hold
+    # turns referencing present tools (new turn_idx, existing conv ids)
+    import numpy as np
+
+    convs = [f"conv-{i:08d}" for i in (1, 2, 3)]
+    t = pa.table(
+        {
+            "lsn": pa.array([1_000_000 + i for i in range(3)], pa.int64()),
+            "op": pa.array(["upsert"] * 3, pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array([999] * 3, pa.int32()),
+            "role": pa.array(["assistant"] * 3, pa.string()),
+            "text": pa.array(["late"] * 3, pa.string()),
+            "tool": pa.array(["late-tool"] * 3, pa.string()),
+            "ts": pa.array(np.full(3, 2_000_000_000), pa.timestamp("us")),
+        }
+    )
+    cdc.replay(fact_dir, cg.write_wal_chunks(t, str(tmp_path / "lw"), 1), spec,
+               changes_dir=fch, changes_before=True)
+    denorm.refresh_denorm(dn_dir)
+    cdc.replay(dim_dir, _dim_wal_add(tmp_path, "late-tool", "dst-oob"), _tool_spec())
+
+    before = _read_sorted(dn_dir)
+    n_joined_before = before.num_rows - before.column("tool_dest").null_count
+    rep = denorm.resolve_misses(dn_dir)
+    assert rep["healed_fks"] == 1 and rep["updates"] == 3
+    got = _read_sorted(dn_dir)
+    # every previously-joined sibling row kept its value, plus 3 healed
+    assert got.num_rows - got.column("tool_dest").null_count == n_joined_before + 3
+    assert got.select(
+        _expected_join(fact_dir, dim_dir).column_names
+    ).equals(_expected_join(fact_dir, dim_dir))
+
+
 def test_create_denorm_matches_left_join(ray_session, tmp_path):
     _, fact_dir, dim_dir, _, dn_dir, _, _ = _setup(tmp_path)
     got = _read_sorted(dn_dir)
