@@ -86,6 +86,10 @@ QUERY_NAMES = [
     "cdc_change_feed",
     "incremental_view_rollup",
     "lsh_index_adds",
+    # round-5 surface (fixture-scale; http_sink_sync_out is excluded — a
+    # ~15k-request real-socket run belongs in its pytest, not the sweep)
+    "denorm_resolve_misses",
+    "view_sliding_window_dist",
 ]
 
 

@@ -154,6 +154,62 @@ def test_object_split_merge_maintenance(ray_session, dirs):
     assert rep["adds"] + rep["updates"] + rep["deletes"] == 0
 
 
+def test_object_denorm_lifecycle_and_heal(ray_session, tmp_path):
+    """Denorm join view entirely on the object backend (fact, dim, FK
+    index and the denorm lake all inherit the marker): refresh equals the
+    LEFT JOIN, resolve_misses heals an out-of-band dim advance, audits
+    stay clean, and nothing anywhere shares an inode."""
+    from bcdc2bcdc_ray.pipelines import denorm
+    from bcdc2bcdc_ray.spec import TableSpec
+
+    import pyarrow.compute as pc
+
+    spec = transcripts_spec()
+    dim_spec = TableSpec(name="tools", schema=cg.TOOLS_SCHEMA, key=("tool_id",))
+    p = lambda *a: str(tmp_path.joinpath(*a))  # noqa: E731
+    tools = cg.gen_tool_dim()
+    cdc.init_lake(cg.gen_transcripts(80, seed=42), p("fact"), spec,
+                  num_partitions=8, fs_kind="object")
+    cdc.init_lake(
+        tools.filter(pc.not_equal(tools.column("tool_id"), "search")),
+        p("dim"), dim_spec, num_partitions=2, fs_kind="object",
+    )
+    cdc.create_index(p("idx"), p("fact"), "tool")
+    denorm.create_denorm(
+        p("dn"), p("fact"), p("dim"), "tool", {"tool_dest": "dest_name"},
+        index_dir=p("idx"), fact_changes_dir=p("fch"), dim_changes_dir=p("dch"),
+    )
+    for d in ("idx", "dn"):
+        assert lakefs.fs_kind(p(d)) == "object"
+
+    ev = cg.gen_change_events(2000, 80, seed=43)
+    cdc.replay(p("fact"), cg.write_wal_chunks(ev, p("fwal"), 4), spec,
+               changes_dir=p("fch"), changes_before=True)
+    assert lakefs.fs_kind(p("fch")) == "object"  # feed inherits on first write
+    denorm.refresh_denorm(p("dn"))
+
+    # out-of-band dim advance (no feed) → only resolve_misses can heal
+    hold = tools.filter(pc.equal(tools.column("tool_id"), "search"))
+    oob = hold.add_column(0, "lsn", pa.array([1], pa.int64())).add_column(
+        1, "op", pa.array(["upsert"], pa.string()))
+    cdc.replay(p("dim"), cg.write_wal_chunks(oob, p("dwal"), 1), dim_spec)
+    rep = denorm.resolve_misses(p("dn"))
+    assert rep["healed_fks"] == 1
+
+    got = denorm.read_denorm(p("dn")).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    dim = cdc.read_lake_table(p("dim")).select(
+        ["tool_id", "dest_name"]).rename_columns(["tool_id", "tool_dest"])
+    want = cdc.read_lake_table(p("fact")).join(
+        dim, keys=["tool"], right_keys=["tool_id"], join_type="left outer"
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.select(want.column_names).equals(want)
+    assert cdc.fsck(p("dn"))["clean"]
+    assert denorm.fsck(p("dn"), sample_frac=1.0)["clean"]
+    for d in ("fact", "dim", "idx", "dn"):
+        assert _all_nlink_one(p(d))
+
+
 def test_object_lease_mutual_exclusion(tmp_path):
     d = str(tmp_path)
     lakefs.mark_fs(d, "object")
