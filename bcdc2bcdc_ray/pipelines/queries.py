@@ -3380,6 +3380,12 @@ _FLAGSHIP_LAKE_REMAP = os.path.join(_FIXTURE_DIR, "transcripts_lake_remap.parque
 _TOOLS_LAKE = os.path.join(_FIXTURE_DIR, "tools_lake.parquet")
 _TOOLS_WAL = os.path.join(_FIXTURE_DIR, "tools_wal.parquet")
 _FLAGSHIP_LAKE_2T = os.path.join(_FIXTURE_DIR, "transcripts_lake_2t.parquet")
+# the sink row pays one real HTTP round trip PER RECORD through a local
+# (GIL-bound) server double, so it gets a smaller dedicated fixture — the
+# semantics (two waves, updates, deletes, NOOP suppression, 503 retries)
+# are identical, the wire volume is ~4k requests instead of ~15k
+_SINK_LAKE = os.path.join(_FIXTURE_DIR, "transcripts_lake_sink.parquet")
+_SINK_WAL = os.path.join(_FIXTURE_DIR, "transcripts_wal_sink.parquet")
 
 
 def _ensure_flagship_fixture() -> None:
@@ -3403,6 +3409,12 @@ def _ensure_flagship_fixture() -> None:
         atomic_write_parquet(cg.gen_tool_dim(), _TOOLS_LAKE)
     if not os.path.exists(_TOOLS_WAL):
         atomic_write_parquet(cg.gen_tool_events(64), _TOOLS_WAL)
+    if not os.path.exists(_SINK_LAKE):
+        atomic_write_parquet(cg.gen_transcripts(120, seed=48), _SINK_LAKE)
+    if not os.path.exists(_SINK_WAL):
+        atomic_write_parquet(
+            cg.gen_change_events(2500, 120, seed=49, noop_frac=0.05), _SINK_WAL
+        )
     if not os.path.exists(_FLAGSHIP_LAKE_2T):
         # the destination transcripts lake is already in FINAL dim-LUT space
         lut = cg.final_tool_lut(cg.gen_tool_dim(), cg.gen_tool_events(64))
@@ -3780,15 +3792,15 @@ def _start_rest_double(fail_every: int = 29):
 
 @q(
     "http_sink_sync_out",
-    _replay_oracle_sql(_FLAGSHIP_LAKE, _FLAGSHIP_WAL),
+    _replay_oracle_sql(_SINK_LAKE, _SINK_WAL),
 )
 def http_sink_sync_out(sf_dir: str):
     """Round-5 idempotent REMOTE-API SINK (``sources/http_sink.sync_out`` —
     the reference's write side, ``CKAN.py:462-537`` one-POST-per-record
     with retry + create-409→update fallback, re-expressed as an actor-pool
     stage over the change feed; VERDICT r4 missing #2 / next-round #4):
-    an EMPTY lake replays the flagship seed (wave 1, all creates) then the
-    flagship WAL (wave 2, updates + deletes + NOOP suppression), and ONE
+    an EMPTY lake replays the sink-fixture seed (wave 1, all creates) then
+    its WAL (wave 2, updates + deletes + NOOP suppression), and ONE
     ``sync_out`` delivers the whole feed to a live local REST double —
     per-partition actors, per-key lsn order, injected 503s retried,
     version-guarded duplicates skipped. The query returns the SERVER's
@@ -3811,7 +3823,7 @@ def http_sink_sync_out(sf_dir: str):
         cdc.init_lake(
             TRANSCRIPTS_SCHEMA.empty_table(), lake_dir, spec, num_partitions=16
         )
-        seed = pq.read_table(_FLAGSHIP_LAKE)
+        seed = pq.read_table(_SINK_LAKE)
         seed_ev = seed.add_column(
             0, "lsn", pa.array([0] * seed.num_rows, pa.int64())
         ).add_column(1, "op", pa.array(["upsert"] * seed.num_rows, pa.string()))
@@ -3823,13 +3835,15 @@ def http_sink_sync_out(sf_dir: str):
         cdc.replay(
             lake_dir,
             cg.write_wal_chunks(
-                pq.read_table(_FLAGSHIP_WAL), os.path.join(tmp, "wal"), num_chunks=8
+                pq.read_table(_SINK_WAL), os.path.join(tmp, "wal"), num_chunks=8
             ),
             spec, changes_dir=ch,
         )
         srv, url, state = _start_rest_double()
         try:
-            http_sink.sync_out(ch, url, ["conv_id", "turn_idx"], backoff_s=0.01)
+            http_sink.sync_out(
+                ch, url, ["conv_id", "turn_idx"], concurrency=16, backoff_s=0.01
+            )
         finally:
             srv.shutdown()
         rows = list(state["records"].values())
