@@ -1462,10 +1462,15 @@ def repair_view(view_dir: str) -> dict:
     2. when the view group key is the lake's partition key, hash the dirty
        keys to lake partition ids and read ONLY those files; otherwise read
        all lake files with columns pruned to group + bound sources;
-    3. per-block coarse filter against the broadcast dirty-key set →
-       partial min/max per group → one hash exchange to view partitions →
-       fill nulls in place (applied vectors untouched; repair is
-       idempotent by construction).
+    3. per-block coarse filter against the dirty-key set — broadcast
+       ``is_in`` while the gathered keys fit ``REPAIR_GATHER_BYTES``
+       (64 MB default; force 0 for the distributed plan), an exact
+       distributed semi-join against the object-store-resident dirty set
+       above it (a mass retraction can dirty O(view) groups; the driver
+       then holds only an O(partitions) pid summary) → partial min/max
+       per group → one hash exchange to view partitions → fill nulls in
+       place (applied vectors untouched; repair is idempotent by
+       construction).
 
     A conservative retraction can null a bound that was actually safe
     (another row still holds the same value) — repair then rediscovers the
@@ -1501,10 +1506,17 @@ def repair_view(view_dir: str) -> dict:
             mask = nulls if mask is None else pc.or_(mask, nulls)
         return b.filter(mask).select(group_by)
 
-    # dirty-key discovery: driver-side under 64 MB of view files (one
-    # process, no pipeline spin-up — same crossover philosophy as the join
-    # planner's broadcast probe), distributed scan above it
-    if sum(os.path.getsize(f) for f in view_files) <= 64 << 20:
+    # dirty-key discovery: driver-side under ``REPAIR_GATHER_BYTES``
+    # (64 MB default — one process, no pipeline spin-up; same crossover
+    # philosophy as the join planner's broadcast probe), distributed scan
+    # above it. A distributed scan whose dirty set ITSELF exceeds the cap
+    # never lands on the driver (a mass retraction can dirty O(view)
+    # groups): it stays materialized in the object store and the recompute
+    # below becomes a distributed semi-join against it.
+    cap = int(os.environ.get("REPAIR_GATHER_BYTES", str(64 << 20)))
+    dirty_ds = None
+    dirty_rows: list = []
+    if sum(os.path.getsize(f) for f in view_files) <= cap:
         dirty_tbl = pa.concat_tables(
             [
                 find_dirty(pq.read_table(f, columns=group_by + bound_names))
@@ -1512,37 +1524,82 @@ def repair_view(view_dir: str) -> dict:
             ]
         )
         dirty_rows = dirty_tbl.to_pylist()
+        n_dirty = len(dirty_rows)
     else:
-        vds = rd.read_parquet(view_files, columns=group_by + bound_names)
-        dirty_rows = vds.map_batches(
+        vds = rd.read_parquet(
+            view_files,
+            columns=group_by + bound_names,
+            override_num_blocks=_read_blocks(view_files),
+        )
+        dirty_ds = vds.map_batches(
             find_dirty, batch_format="pyarrow"
-        ).take_all()
-    if not dirty_rows:
+        ).materialize()
+        n_dirty = int(dirty_ds.count())
+        if dirty_ds.size_bytes() <= cap:
+            dirty_rows = dirty_ds.take_all()
+            dirty_ds = None
+    if not n_dirty:
         return {"dirty_groups": 0, "repaired": 0}
     key0 = group_by[0]
     key0_type = _type_from_str(dict(m["group_types"])[key0])
-    _vals = {r[key0] for r in dirty_rows}
-    dirty_has_null = None in _vals  # NULL is a legal group key (one group)
-    dirty_key0 = pa.array(
-        sorted(v for v in _vals if v is not None), type=key0_type
-    )
-
     lake_dir = m["source_lake"]
     lmeta = cdc.lake_meta(lake_dir)
-    lake_pids = range(lmeta["num_partitions"])
-    if m.get("source_key") and key0 == m["source_key"][0]:
-        # co-keyed: dirty groups live in exactly these lake partitions
-        # (a null dirty key hashes to the null sentinel's partition)
+    nP = int(lmeta["num_partitions"])
+
+    if dirty_ds is None:
+        _vals = {r[key0] for r in dirty_rows}
+        dirty_has_null = None in _vals  # NULL is a legal group key (one group)
+        dirty_key0 = pa.array(
+            sorted(v for v in _vals if v is not None), type=key0_type
+        )
         probe_vals = dirty_key0
         if dirty_has_null:
             probe_vals = pa.concat_arrays(
                 [dirty_key0, pa.nulls(1, type=key0_type)]
             )
-        probe = pa.table({key0: probe_vals})
-        pids = set(
-            partition_ids(probe, [key0], lmeta["num_partitions"]).tolist()
+        dirty_pids = sorted(
+            set(
+                partition_ids(
+                    pa.table({key0: probe_vals}), [key0], nP
+                ).tolist()
+            )
         )
-        lake_pids = sorted(pids)
+    else:
+        dirty_key0 = None
+        # O(P)-driver summary of the object-store dirty set: per-block
+        # unique lake partition ids + a null-group flag — the keys
+        # themselves never gather (partition_ids routes null keys to the
+        # null sentinel's partition, so dirty_pids covers the null group)
+
+        def block_stats(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "pid": pa.array([], pa.int64()),
+                        "nulls": pa.array([], pa.int64()),
+                    }
+                )
+            pids = np.unique(partition_ids(b, [key0], nP))
+            return pa.table(
+                {
+                    "pid": pa.array(np.concatenate([pids, [-1]]), pa.int64()),
+                    "nulls": pa.array(
+                        [0] * len(pids) + [b.column(key0).null_count],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        stats = dirty_ds.map_batches(
+            block_stats, batch_format="pyarrow"
+        ).take_all()
+        dirty_pids = sorted({r["pid"] for r in stats if r["pid"] >= 0})
+        dirty_has_null = sum(r["nulls"] for r in stats) > 0
+
+    lake_pids = range(nP)
+    if m.get("source_key") and key0 == m["source_key"][0]:
+        # co-keyed: dirty groups live in exactly these lake partitions
+        lake_pids = dirty_pids
     lake_files = [
         cdc.partition_path(lake_dir, pid)
         for pid in lake_pids
@@ -1554,16 +1611,22 @@ def repair_view(view_dir: str) -> dict:
         | {d.col for d in derived}
     )
 
-    def partial_bounds(b: pa.Table) -> pa.Table:
-        b = _apply_derived(b, derived)
-        mask = pc.fill_null(
-            pc.is_in(b.column(key0), value_set=dirty_key0), False
-        )
-        if dirty_has_null:
-            mask = pc.or_(mask, pc.is_null(b.column(key0)))
-        b = b.filter(mask)
-        fields = [(g, b.schema.field(g).type) for g in group_by]
-        fields += [(a.out, _type_from_str(dict(m["agg_types"])[a.out])) for a in minmax]
+    agg_types = dict(m["agg_types"])
+
+    def fold_partial(b: pa.Table) -> pa.Table:
+        """Shared by every plan: fold rows already filtered to the dirty
+        groups (derived columns applied) into per-block partial bounds,
+        tagged with their view partition."""
+        fields = [
+            (
+                g,
+                b.schema.field(g).type
+                if g in b.column_names
+                else _type_from_str(dict(m["group_types"])[g]),
+            )
+            for g in group_by
+        ]
+        fields += [(a.out, _type_from_str(agg_types[a.out])) for a in minmax]
         if b.num_rows == 0:
             return pa.schema(fields + [(VIEW_PART, pa.int64())]).empty_table()
         cols: dict = {g: b.column(g) for g in group_by}
@@ -1572,11 +1635,60 @@ def repair_view(view_dir: str) -> dict:
                 cols[a.out] = _hll_row_registers(b.column(a.col))
             else:
                 cols[a.out] = pc.cast(
-                    b.column(a.col), _type_from_str(dict(m["agg_types"])[a.out])
+                    b.column(a.col), _type_from_str(agg_types[a.out])
                 )
         t = _fold(pa.table(cols), group_by, [(a.out, a.kind) for a in minmax])
         vp = partition_ids(t, [key0], P)
         return t.append_column(VIEW_PART, pa.array(vp, pa.int64()))
+
+    def partial_bounds(b: pa.Table) -> pa.Table:
+        b = _apply_derived(b, derived)
+        mask = pc.fill_null(
+            pc.is_in(b.column(key0), value_set=dirty_key0), False
+        )
+        if dirty_has_null:
+            mask = pc.or_(mask, pc.is_null(b.column(key0)))
+        return fold_partial(b.filter(mask))
+
+    if dirty_ds is not None:
+        # fully distributed recompute: the dirty keys never broadcast —
+        # lake rows co-bucket with the dirty-key set on hash(key0) and an
+        # exact semi-join keeps the affected groups; the null group (semi
+        # equality never matches null) streams in through its own filter
+        from ..stages import joins
+
+        lds = rd.read_parquet(
+            lake_files,
+            columns=need,
+            override_num_blocks=_read_blocks(lake_files),
+        )
+        prep_cols = sorted(set(group_by) | {a.col for a in minmax})
+
+        def prep(b: pa.Table) -> pa.Table:
+            return _apply_derived(b, derived).select(prep_cols)
+
+        prepped = lds.map_batches(prep, batch_format="pyarrow")
+        kept = joins.semi_join(
+            prepped, dirty_ds, on=[key0], left_cols=prep_cols
+        )
+        if dirty_has_null:
+
+            def null_rows(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_null(b.column(key0))).select(prep_cols)
+
+            kept = kept.union(
+                prepped.map_batches(null_rows, batch_format="pyarrow")
+            )
+        lineage = (
+            kept.map_batches(fold_partial, batch_format="pyarrow")
+            .groupby(VIEW_PART)
+            .map_groups(bound_repair_writer(view_dir), batch_format="pyarrow")
+            .take_all()
+        )
+        return {
+            "dirty_groups": n_dirty,
+            "repaired": int(sum(r["applied_rows"] for r in lineage)),
+        }
 
     # recompute leg: driver-side under the same 64 MB crossover (the PRUNED
     # lake slice for a small repair is usually tiny), distributed above it
@@ -1604,7 +1716,7 @@ def repair_view(view_dir: str) -> dict:
         )
         repaired = int(sum(r["applied_rows"] for r in lineage))
     return {
-        "dirty_groups": len(dirty_rows),
+        "dirty_groups": n_dirty,
         "repaired": repaired,
     }
 
