@@ -1084,6 +1084,49 @@ def run_rss_leg() -> dict:
         out["view_bytes"] = view_bytes
         out["driver_held_bytes"] = 0 if dist else view_bytes * 2  # k=2 explode
         shutil.rmtree(work, ignore_errors=True)
+    elif leg == "repair":
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        from bcdc2bcdc_ray import changegen as cg
+        from bcdc2bcdc_ray.pipelines import cdc, view
+        from bcdc2bcdc_ray.spec import transcripts_spec
+
+        work = f"/tmp/bench_rssr_{n}_{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        spec = transcripts_spec()
+        lake = os.path.join(work, "lake")
+        vdir = os.path.join(work, "view")
+        cdc.init_lake(cg.gen_transcripts(n, seed=42), lake, spec, num_partitions=32)
+        view.create_view(
+            vdir, lake, ["conv_id"],
+            [view.AggSpec("n_rows", "count"),
+             view.AggSpec("max_turn", "max", "turn_idx")],
+        )
+        # the post-mass-retraction state: EVERY group's bound dirty at once
+        # (null the stored bounds in place), then time the repair alone
+        for f in sorted(os.listdir(vdir)):
+            if f.endswith(".parquet"):
+                pth = os.path.join(vdir, f)
+                t = _pq.read_table(pth)
+                meta = t.schema.metadata
+                i = t.column_names.index("max_turn")
+                t = t.set_column(i, "max_turn", pa.nulls(t.num_rows, pa.int32()))
+                _pq.write_table(t.replace_schema_metadata(meta), pth)
+        out["rss_before_mb"] = round(_vm_rss_mb(), 1)
+        t0 = time.perf_counter()
+        rep = view.repair_view(vdir)
+        out["wall_sec"] = round(time.perf_counter() - t0, 2)
+        out["dirty_groups"] = rep["dirty_groups"]
+        out["repaired"] = rep["repaired"]
+        # the gather plan's driver payload: one Python dict per dirty group
+        out["driver_held_bytes"] = (
+            rep["dirty_groups"] * 24
+            if int(os.environ.get("REPAIR_GATHER_BYTES", str(64 << 20))) > 0
+            else 0
+        )
+        shutil.rmtree(work, ignore_errors=True)
     else:
         raise SystemExit(f"unknown RSS_LEG {leg}")
 
@@ -1098,7 +1141,8 @@ def run_rss() -> dict:
     """--rss: driver-memory ceilings of the size-capped plan pickers
     (VERDICT r4 next-round #5) — for each crossover stage (neardup
     survivorship drop-set, denorm dim-fanout affected set, read_window
-    pane fold) run the GATHER plan and the DISTRIBUTED plan in fresh
+    pane fold, mass-retraction view repair) run the GATHER plan and the
+    DISTRIBUTED plan in fresh
     processes at two corpus widths; report wall, the driver-held stage
     payload, and the process peak RSS. The claim under test: the
     distributed plan's driver footprint does NOT grow with the corpus."""
@@ -1130,6 +1174,10 @@ def run_rss() -> dict:
         for plan, cap in (("driver_fold", str(1 << 40)), ("distributed", "0")):
             r = leg("window", nc, {"WINDOW_LOCAL_BYTES": cap})
             legs.append({"stage": "read_window", "plan": plan, **r})
+    for nc in conv_sizes:
+        for plan, cap in (("gather", str(1 << 40)), ("distributed", "0")):
+            r = leg("repair", nc, {"REPAIR_GATHER_BYTES": cap})
+            legs.append({"stage": "view_repair", "plan": plan, **r})
     return {
         "metric": "driver_rss_crossovers",
         "num_cpus": NUM_CPUS,
