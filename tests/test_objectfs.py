@@ -138,6 +138,62 @@ def test_object_feed_to_view_refresh(ray_session, dirs):
     assert got.select(want.column_names).equals(want)
 
 
+def test_object_view_bound_repair_distributed(ray_session, dirs, monkeypatch):
+    """Dirty min/max bound repair on the OBJECT backend, forced through the
+    distributed plan (``REPAIR_GATHER_BYTES=0``): the semi-join recompute's
+    RepairWriter publishes view partitions via atomic whole-object PUT —
+    the one write path the other objectfs tests never reach. The healed
+    view must equal a full recompute with zero hardlinks anywhere."""
+    import pyarrow.compute as pc
+
+    spec, lake, events, paths = _setup_object(dirs)
+    cdc.replay(dirs["lake"], paths, spec, changes_dir=dirs["changes"],
+               changes_before=True)
+    aggs = [AggSpec("n_rows", "count"), AggSpec("max_turn", "max", "turn_idx")]
+    view.create_view(dirs["view"], dirs["lake"], ["conv_id"], aggs)
+    view.refresh_view(dirs["view"], dirs["changes"])
+    # delete every conversation's max-turn row: mass bound retraction
+    df = (
+        cdc.read_lake_table(dirs["lake"])
+        .select(["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    victims = df.loc[df.groupby("conv_id").turn_idx.idxmax()]
+    n = len(victims)
+    wal = pa.table(
+        {
+            "lsn": pa.array(range(10**7, 10**7 + n), pa.int64()),
+            "op": pa.array(["delete"] * n),
+            "conv_id": pa.array(victims.conv_id, pa.string()),
+            "turn_idx": pa.array(victims.turn_idx, pa.int32()),
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.nulls(n, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": pa.nulls(n, pa.timestamp("us")),
+        }
+    )
+    mp = cg.write_wal_chunks(wal, os.path.join(dirs["wal"], "mass"), num_chunks=1)
+    cdc.replay(dirs["lake"], mp, spec, changes_dir=dirs["changes"],
+               changes_before=True)
+    monkeypatch.setenv("REPAIR_GATHER_BYTES", "0")
+    rep = view.refresh_view(dirs["view"], dirs["changes"])
+    assert rep["repair"]["dirty_groups"] >= n
+    got = view.read_view(dirs["view"]).sort_by([("conv_id", "ascending")])
+    df = cdc.read_lake_table(dirs["lake"]).to_pandas()
+    g = df.groupby("conv_id").agg(
+        n_rows=("conv_id", "size"), max_turn=("turn_idx", "max")
+    ).reset_index()
+    want = pa.table(
+        {
+            "conv_id": pa.array(g.conv_id, pa.string()),
+            "n_rows": pa.array(g.n_rows, pa.int64()),
+            "max_turn": pa.array(g.max_turn, pa.int32()),
+        }
+    ).sort_by([("conv_id", "ascending")])
+    assert got.select(want.column_names).equals(want)
+    assert _all_nlink_one(dirs["view"]) and _all_nlink_one(dirs["lake"])
+
+
 def test_object_split_merge_maintenance(ray_session, dirs):
     """split/merge publish via CopyObject+DELETE instead of rename — state
     and watermarks identical through a split→merge round trip."""
