@@ -375,6 +375,32 @@ def test_view_repair_distributed_plan_matches_recompute(
     assert view.repair_view(vdirs["view"])["dirty_groups"] == 0
 
 
+def test_view_repair_distributed_heals_hll_registers(
+    ray_session, vdirs, tmp_path, monkeypatch
+):
+    """HLL register vectors through the DISTRIBUTED repair plan: the
+    fixed_size_binary partials ride the semi-join output and the
+    VIEW_PART exchange (the driver plan never exchanges them). Deletes
+    that dirty registers + the forced plan must land bit-identical to a
+    from-scratch ``create_view`` over the final lake."""
+    spec = _setup(vdirs, n_convs=60)
+    aggs = [
+        AggSpec("n_rows", "count"),
+        AggSpec("distinct_turns", "hll", "turn_idx"),
+        AggSpec("max_turn", "max", "turn_idx"),
+    ]
+    view.create_view(vdirs["view"], vdirs["lake"], ["conv_id"], aggs)
+    monkeypatch.setenv("REPAIR_GATHER_BYTES", "0")
+    for rnd, seed in enumerate((31, 37)):
+        _replay_round(vdirs, spec, 2500, seed, lsn_start=1 + rnd * 100_000, n_convs=60)
+        view.refresh_view(vdirs["view"], vdirs["changes"])
+        rebuilt = str(tmp_path / f"rebuild{rnd}")
+        view.create_view(rebuilt, vdirs["lake"], ["conv_id"], aggs)
+        assert view.read_view(vdirs["view"]).equals(view.read_view(rebuilt))
+        assert view.read_view(vdirs["view"]).column("distinct_turns").null_count == 0
+        assert view.fsck(vdirs["view"])["clean"]
+
+
 def test_view_repair_distributed_heals_null_group(ray_session, vdirs, monkeypatch):
     """The distributed repair plan's null-group leg: semi-join equality
     never matches NULL keys, so the null group streams in through its own
